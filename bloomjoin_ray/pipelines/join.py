@@ -1,0 +1,501 @@
+"""Distributed exact hash join + the flagship ``bloom_join`` pipeline.
+
+Two physical join strategies, chosen automatically:
+
+* **Broadcast** (the bloomjoin shape — big probe side, small build side,
+  ``/root/reference/README.md:7,53-58``): the small side is materialized
+  once, ``ray.put`` into the object store, and every ``map_batches`` task
+  joins its Arrow block against it zero-copy. No shuffle. Used for
+  inner/left/semi/anti when the right side fits the broadcast budget.
+* **Partitioned** (both sides large): both sides are tagged and bucketed by
+  the canonical 32-bit key hash (``bucket = uint32(hash_keys32(keys)) % B``),
+  union'ed, hash-shuffled with ``groupby("__bucket")``, and each bucket is
+  joined with ``pyarrow.Table.join`` (Acero) inside ``map_groups``. One
+  all-to-all exchange, co-partitioning both sides in a single shuffle.
+  Supports all six join types natively.
+
+Semantics follow the reference (= dplyr):
+
+* six join types incl. semi/anti (``R/bloomjoin.R:458-474``);
+* many-to-many keys produce the full cartesian product;
+* ``na_matches="na"`` (default): null keys join null keys — implemented by
+  joining on ``(canonical_key_value, null_flag)`` pairs, with nulls coalesced
+  to a type default and flagged; ``na_matches="never"`` gives SQL semantics
+  by making the null flag side-distinct so null never matches null;
+* cross-type keys (int vs float, date vs timestamp, dictionary vs string)
+  join by value: key columns are cast to a promoted canonical type for
+  comparison while output columns keep the x side's storage type
+  (promoted for right/full, where unmatched y rows contribute key values);
+* overlapping non-key column names get ``_x``/``_y`` suffixes (dplyr uses
+  ``.x``/``.y``; documented naming difference).
+
+``bloom_join`` reproduces the reference's two-pass pipeline
+(``R/bloomjoin.R:62-124``): plan (reference decision procedure) → build
+per-block Bloom partials on the build side → tree-merge → broadcast the
+merged filter → prune the probe side in ``map_batches`` → exact join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.keys import hash_keys32
+from ..params import bloom_sizing
+from ..report import JoinReport
+from ..stages.bloom_stages import (
+    BloomPartialBuildFn,
+    bloom_probe_fn,
+    build_bloom_filter,
+    make_prune_counter,
+)
+from .plan import (
+    DISTINCT_SAMPLE_LIMIT,
+    JOIN_TYPES,
+    OnSpec,
+    estimate_distinct_count,
+    normalize_n_hint,
+    plan_prefilter,
+    resolve_on,
+)
+
+_PA_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+DEFAULT_NUM_BUCKETS = 64
+DEFAULT_BROADCAST_LIMIT_ROWS = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# canonical key representation
+# --------------------------------------------------------------------------
+
+def _decode_type(t: pa.DataType) -> pa.DataType:
+    return t.value_type if pa.types.is_dictionary(t) else t
+
+def _is_stringish(t): return pa.types.is_string(t) or pa.types.is_large_string(t)
+def _is_binaryish(t): return pa.types.is_binary(t) or pa.types.is_large_binary(t)
+def _is_temporal(t): return pa.types.is_timestamp(t) or pa.types.is_date(t)
+def _is_numericish(t):
+    return pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t) or pa.types.is_decimal(t)
+
+
+def promote_key_type(tx: pa.DataType, ty: pa.DataType) -> pa.DataType:
+    """Common comparison type for a key column pair (join notion of
+    equality: 1 == 1.0, date == timestamp at the instant, factor == chr)."""
+    tx, ty = _decode_type(tx), _decode_type(ty)
+    if tx.equals(ty):
+        return tx
+    if _is_stringish(tx) and _is_stringish(ty):
+        return pa.large_string()
+    if _is_binaryish(tx) and _is_binaryish(ty):
+        return pa.large_binary()
+    if pa.types.is_integer(tx) and pa.types.is_integer(ty):
+        return pa.int64()
+    if _is_numericish(tx) and _is_numericish(ty):
+        return pa.float64()
+    if _is_temporal(tx) and _is_temporal(ty):
+        return pa.timestamp("us")
+    if (_is_temporal(tx) and _is_numericish(ty)) or (_is_numericish(tx) and _is_temporal(ty)):
+        return pa.float64()  # seconds scale, matching the key hash
+    raise TypeError(f"cannot join key columns of types {tx} and {ty}")
+
+
+def canon_cast(arr: pa.ChunkedArray | pa.Array, target: pa.DataType) -> pa.Array:
+    """Value-preserving cast of a key column to its promoted comparison
+    type (nulls preserved; temporal→float64 lands on the seconds scale)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        arr = arr.cast(t.value_type)
+        t = arr.type
+    if t.equals(target):
+        return arr
+    if pa.types.is_float64(target) and _is_temporal(t):
+        if pa.types.is_date32(t):
+            return pc.multiply(arr.cast(pa.int32()).cast(pa.float64()), pa.scalar(86400.0))
+        if pa.types.is_date64(t):
+            return pc.divide(arr.cast(pa.int64()).cast(pa.float64()), pa.scalar(1e3))
+        scale = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[t.unit]
+        return pc.divide(arr.cast(pa.int64()).cast(pa.float64()), pa.scalar(scale))
+    return arr.cast(target)
+
+
+def _null_default(t: pa.DataType):
+    if _is_stringish(t):
+        return pa.scalar("", type=t)
+    if _is_binaryish(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_timestamp(t):
+        return pa.scalar(0, type=t)
+    if pa.types.is_date32(t):
+        return pa.scalar(0, type=t)
+    return pa.scalar(0, type=t)
+
+
+def _key_cols(batch: pa.Table, cols: list[str], targets: list[pa.DataType],
+              side: int, na_matches: str, num_buckets: int | None):
+    """Compute (__jk_i, __jn_i) canonical join-key arrays and, when
+    ``num_buckets`` is given, the shuffle bucket column."""
+    n = batch.num_rows
+    out: dict[str, pa.Array] = {}
+    for i, (c, t) in enumerate(zip(cols, targets)):
+        arr = canon_cast(batch.column(c), t)
+        if pa.types.is_floating(t):
+            # NaN keys behave as nulls (reference NA ≡ NaN rule)
+            arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, type=t), arr)
+        nulls = pc.is_null(arr)
+        flag_val = 1 if na_matches == "na" else 1 + side
+        flag = pc.if_else(nulls, pa.scalar(flag_val, type=pa.int8()),
+                          pa.scalar(0, type=pa.int8()))
+        out[f"__jk{i}"] = pc.fill_null(arr, _null_default(t))
+        out[f"__jn{i}"] = flag
+    if num_buckets is not None:
+        h = hash_keys32(batch, cols).view(np.uint32)
+        out["__bucket"] = pa.array((h % np.uint32(num_buckets)).astype(np.int32))
+    return out
+
+
+# --------------------------------------------------------------------------
+# output naming
+# --------------------------------------------------------------------------
+
+class _JoinLayout:
+    """Column naming / schema plan shared by both physical strategies."""
+
+    def __init__(self, x_schema: pa.Schema, y_schema: pa.Schema, spec: OnSpec,
+                 how: str, suffixes=("_x", "_y")):
+        self.spec = spec
+        self.how = how
+        x_names = list(x_schema.names)
+        y_names = list(y_schema.names)
+        for nm in x_names + y_names:
+            if nm.startswith("__"):
+                raise ValueError(f"column names starting with '__' are reserved: {nm}")
+        self.keep_y = [c for c in y_names if c not in spec.y_cols]
+        if how in ("semi", "anti"):
+            self.keep_y = []
+        x_key_set = set(spec.x_cols)
+        overlap = set(self.keep_y) & set(x_names)
+        self.x_rename = {c: c + suffixes[0] for c in x_names
+                         if c in overlap and c not in x_key_set}
+        self.y_rename = {c: c + suffixes[1] for c in self.keep_y if c in overlap}
+        self.x_out = [self.x_rename.get(c, c) for c in x_names]
+        self.y_out = [self.y_rename.get(c, c) for c in self.keep_y]
+        self.x_names, self.y_names = x_names, y_names
+        self.targets = [
+            promote_key_type(x_schema.field(cx).type, y_schema.field(cy).type)
+            for cx, cy in zip(spec.x_cols, spec.y_cols)
+        ]
+        self.jk = [f"__jk{i}" for i in range(len(spec.x_cols))]
+        self.jn = [f"__jn{i}" for i in range(len(spec.x_cols))]
+        self.need_yk = how in ("right", "full")
+        self.yk = [f"__yk{i}" for i in range(len(spec.y_cols))] if self.need_yk else []
+        # x-side output key columns (post-rename names, original x positions)
+        self.x_key_out = [self.x_rename.get(c, c) for c in spec.x_cols]
+        self.final_names = self.x_out + self.y_out
+
+    def x_table(self, batch: pa.Table, na_matches: str, num_buckets=None) -> pa.Table:
+        cols = _key_cols(batch, self.spec.x_cols, self.targets, 0, na_matches, num_buckets)
+        t = batch.rename_columns([self.x_rename.get(c, c) for c in batch.schema.names])
+        t = t.select(self.x_out)
+        for k, v in cols.items():
+            t = t.append_column(k, v)
+        return t
+
+    def y_table(self, batch: pa.Table, na_matches: str, num_buckets=None) -> pa.Table:
+        cols = _key_cols(batch, self.spec.y_cols, self.targets, 1, na_matches, num_buckets)
+        yk_vals = [canon_cast(batch.column(c), t)
+                   for c, t in zip(self.spec.y_cols, self.targets)] if self.need_yk else []
+        t = batch.rename_columns([self.y_rename.get(c, c) for c in batch.schema.names])
+        t = t.select(self.y_out)
+        for k, v in cols.items():
+            t = t.append_column(k, v)
+        for name, v in zip(self.yk, yk_vals):
+            t = t.append_column(name, v)
+        return t
+
+    def join_tables(self, x_t: pa.Table, y_t: pa.Table) -> pa.Table:
+        """Per-bucket (or per-batch vs broadcast) exact join."""
+        joined = x_t.join(
+            y_t,
+            keys=self.jk + self.jn,
+            join_type=_PA_JOIN_TYPE[self.how],
+            use_threads=False,
+        )
+        if self.need_yk:
+            # unmatched y rows must contribute key values: promote + coalesce
+            for xk, ykn, tgt in zip(self.x_key_out, self.yk, self.targets):
+                merged = pc.coalesce(canon_cast(joined.column(xk), tgt), joined.column(ykn))
+                joined = joined.set_column(joined.schema.get_field_index(xk), xk, merged)
+        return joined.select(self.final_names)
+
+
+# --------------------------------------------------------------------------
+# physical strategies
+# --------------------------------------------------------------------------
+
+def _broadcast_join(ds_x, y_ref, layout: _JoinLayout, na_matches: str):
+    """Small right side via ray.put; per-batch Acero join, no shuffle."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        y_t = ray.get(y_ref)  # zero-copy from the local object store
+        x_t = layout.x_table(batch, na_matches)
+        return layout.join_tables(x_t, y_t)
+
+    return ds_x.map_batches(fn, batch_format="pyarrow")
+
+
+def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
+                      num_buckets: int):
+    """Both sides large: tag + bucket by key hash, one co-partitioning
+    shuffle, per-bucket pyarrow join inside map_groups."""
+    jk_fields = [pa.field(n, t) for n, t in zip(layout.jk, layout.targets)]
+    jn_fields = [pa.field(n, pa.int8()) for n in layout.jn]
+
+    x_fields = [pa.field(n, layout._x_types[i]) for i, n in enumerate(layout.x_out)]
+    y_fields = [pa.field(n, layout._y_types[i]) for i, n in enumerate(layout.y_out)]
+    yk_fields = [pa.field(n, t) for n, t in zip(layout.yk, layout.targets)]
+    unified = pa.schema(
+        x_fields + y_fields + jk_fields + jn_fields + yk_fields
+        + [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32())]
+    )
+
+    def _pad(t: pa.Table, side: int) -> pa.Table:
+        n = t.num_rows
+        arrays = []
+        for f in unified:
+            if f.name == "__side":
+                arrays.append(pa.nulls(n, pa.int8()).fill_null(side))
+            elif f.name in t.schema.names:
+                col = t.column(f.name)
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                arrays.append(col.cast(f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=unified)
+
+    def prep_x(batch: pa.Table) -> pa.Table:
+        return _pad(layout.x_table(batch, na_matches, num_buckets), 0)
+
+    def prep_y(batch: pa.Table) -> pa.Table:
+        return _pad(layout.y_table(batch, na_matches, num_buckets), 1)
+
+    tagged = ds_x.map_batches(prep_x, batch_format="pyarrow").union(
+        ds_y.map_batches(prep_y, batch_format="pyarrow")
+    )
+
+    x_cols = layout.x_out + layout.jk + layout.jn
+    y_cols = layout.y_out + layout.jk + layout.jn + layout.yk
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side")
+        x_t = group.filter(pc.equal(side, 0)).select(x_cols)
+        y_t = group.filter(pc.equal(side, 1)).select(y_cols)
+        return layout.join_tables(x_t, y_t)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _materialize_if_small(ds, limit_rows: int):
+    """Read at most limit_rows+1 rows; if that is everything, return the
+    whole side as one Arrow table (the broadcast build side)."""
+    import ray
+
+    head = ds.limit(limit_rows + 1).materialize()
+    if head.count() <= limit_rows:
+        tables = ray.get(head.to_arrow_refs())
+        tables = [t for t in tables if t.num_rows] or tables[:1]
+        return pa.concat_tables(tables).combine_chunks() if tables else None
+    return None
+
+
+def hash_join(ds_x, ds_y, on=None, how: str = "inner", *,
+              num_buckets: int = DEFAULT_NUM_BUCKETS,
+              broadcast_limit_rows: int = DEFAULT_BROADCAST_LIMIT_ROWS,
+              na_matches: str = "na",
+              x_schema: pa.Schema | None = None,
+              y_schema: pa.Schema | None = None):
+    """Exact distributed join of two Datasets (all six dplyr join types).
+
+    Strategy: broadcast the right side when it fits
+    (inner/left/semi/anti), else a single co-partitioning hash shuffle.
+    ``x_schema``/``y_schema`` may be supplied to avoid the (partial
+    execution) cost of ``ds.schema()`` on derived datasets.
+    """
+    import ray
+
+    if how not in JOIN_TYPES:
+        raise ValueError(f"Invalid join type '{how}'")
+    if na_matches not in ("na", "never"):
+        raise ValueError("na_matches must be 'na' or 'never'")
+    if x_schema is None:
+        x_schema = _to_arrow_schema(ds_x.schema())
+    if y_schema is None:
+        y_schema = _to_arrow_schema(ds_y.schema())
+    spec = resolve_on(list(x_schema.names), list(y_schema.names), on)
+    layout = _JoinLayout(x_schema, y_schema, spec, how)
+    layout._x_types = [x_schema.field(c).type for c in layout.x_names]
+    layout._y_types = [y_schema.field(c).type for c in layout.keep_y]
+
+    if how in ("inner", "left", "semi", "anti") and broadcast_limit_rows > 0:
+        y_all = _materialize_if_small(ds_y, broadcast_limit_rows)
+        if y_all is not None:
+            y_prep = layout.y_table(y_all, na_matches)
+            return _broadcast_join(ds_x, ray.put(y_prep), layout, na_matches)
+    return _partitioned_join(ds_x, ds_y, layout, na_matches, num_buckets)
+
+
+def _to_arrow_schema(schema) -> pa.Schema:
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    if isinstance(schema, pa.Schema):
+        return schema
+    try:
+        return pa.schema([pa.field(n, t) for n, t in zip(schema.names, schema.types)])
+    except (TypeError, pa.ArrowInvalid):
+        raise TypeError(
+            "could not derive an Arrow schema for this Dataset (pandas "
+            "extension dtypes?) — create it from Arrow data, e.g. "
+            "ray.data.from_arrow(pa.Table.from_pandas(df))"
+        )
+
+
+# --------------------------------------------------------------------------
+# bloom_join — the flagship two-pass pipeline
+# --------------------------------------------------------------------------
+
+class BloomJoinResult:
+    """(dataset, report) pair; iterate/consume ``dataset`` then call
+    ``report.finalize()`` for runtime counters."""
+
+    def __init__(self, dataset, report: JoinReport):
+        self.dataset = dataset
+        self.report = report
+
+    def __iter__(self):
+        yield self.dataset
+        yield self.report
+
+
+def _sample_keys(ds, cols, limit=DISTINCT_SAMPLE_LIMIT) -> np.ndarray:
+    try:
+        tbl = ds.select_columns(list(cols)).limit(limit).take_batch(
+            limit, batch_format="pyarrow")
+    except ValueError:  # empty dataset
+        return np.empty(0, dtype=np.int32)
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int32)
+    return hash_keys32(tbl, list(cols))
+
+
+def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
+               engine: str = "auto", prefilter_side: str = "auto",
+               fpr: float = 0.01, n_hint=None,
+               num_buckets: int = DEFAULT_NUM_BUCKETS,
+               broadcast_limit_rows: int = DEFAULT_BROADCAST_LIMIT_ROWS,
+               na_matches: str = "na",
+               max_filter_bits: int = 1 << 33,
+               verbose: bool = False) -> BloomJoinResult:
+    """dplyr-equivalent join with an optional Bloom pre-filter
+    (reference top-level API, ``R/bloomjoin.R:62-124``).
+
+    Two-pass Ray pipeline when the planner elects to prefilter: the build
+    side streams through a ``map_batches`` stage emitting per-block Bloom
+    partials (adaptively raw unique key hashes when cheaper), partials
+    tree-merge into one filter with the globally-decided ``(m, k)``, the
+    merged filter is ``ray.put`` once and every probe-side task filters its
+    block against it; the surviving rows feed the exact join.
+
+    ``max_filter_bits`` caps what will be broadcast (default 2^33 bits =
+    1 GiB); a plan whose filter would exceed it falls back to the plain
+    join — the reference's 2^40-bit cap is a single-process memory cap, a
+    cluster must also bound the per-node broadcast.
+    """
+    import ray
+
+    if how not in JOIN_TYPES:
+        raise ValueError(f"Invalid join type '{how}'")
+    if not (0.0 < fpr < 1.0):
+        raise ValueError("'fpr' must be strictly between 0 and 1")
+
+    x_schema = _to_arrow_schema(ds_x.schema())
+    y_schema = _to_arrow_schema(ds_y.schema())
+    spec = resolve_on(list(x_schema.names), list(y_schema.names), on)
+
+    n_x, n_y = ds_x.count(), ds_y.count()
+    hints = normalize_n_hint(n_hint)
+    sample_x = _sample_keys(ds_x, spec.x_cols)
+    sample_y = _sample_keys(ds_y, spec.y_cols)
+    distinct_x = estimate_distinct_count(sample_x, n_x, hints["x"])
+    distinct_y = estimate_distinct_count(sample_y, n_y, hints["y"])
+
+    plan = plan_prefilter(how, engine, prefilter_side, n_x, n_y,
+                          distinct_x, distinct_y, fpr, sample_x, sample_y)
+    report = JoinReport(**{k: v for k, v in plan.metadata.items()
+                           if k in JoinReport.__dataclass_fields__})
+    report.extra = {k: v for k, v in plan.metadata.items()
+                    if k not in JoinReport.__dataclass_fields__}
+
+    def plain() -> BloomJoinResult:
+        joined = hash_join(ds_x, ds_y, on, how, num_buckets=num_buckets,
+                           broadcast_limit_rows=broadcast_limit_rows,
+                           na_matches=na_matches,
+                           x_schema=x_schema, y_schema=y_schema)
+        return BloomJoinResult(joined, report)
+
+    if not plan.use_prefilter:
+        if verbose:
+            print(f"Skipping Bloom pre-filter: {report.reason or 'heuristic disabled'}")
+        return plain()
+
+    m_bits, k = bloom_sizing(plan.expected_elements, fpr)
+    if m_bits > max_filter_bits:
+        report.bloom_filter_used = False
+        report.reason = (f"filter of {m_bits} bits exceeds broadcast budget "
+                         f"({max_filter_bits}); falling back to plain join")
+        return plain()
+    report.bloom_m_bits, report.bloom_k = m_bits, k
+
+    if plan.target == "x":
+        build_ds, build_cols = ds_y, spec.y_cols
+        probe_ds, probe_cols = ds_x, spec.x_cols
+    else:
+        build_ds, build_cols = ds_x, spec.x_cols
+        probe_ds, probe_cols = ds_y, spec.y_cols
+
+    bloom = build_bloom_filter(build_ds, list(build_cols), plan.expected_elements,
+                               fpr, m_bits, k)
+    filter_ref = ray.put(bloom)
+    counter = make_prune_counter()
+    report._counter = counter
+    pruned = probe_ds.map_batches(
+        bloom_probe_fn(filter_ref, list(probe_cols), counter),
+        batch_format="pyarrow",
+    )
+    if verbose:
+        print(f"Bloom prefilter on '{plan.target}' side: m={m_bits} bits, k={k}")
+
+    if plan.target == "x":
+        joined = hash_join(pruned, ds_y, on, how, num_buckets=num_buckets,
+                           broadcast_limit_rows=broadcast_limit_rows,
+                           na_matches=na_matches,
+                           x_schema=x_schema, y_schema=y_schema)
+    else:
+        joined = hash_join(ds_x, pruned, on, how, num_buckets=num_buckets,
+                           broadcast_limit_rows=broadcast_limit_rows,
+                           na_matches=na_matches,
+                           x_schema=x_schema, y_schema=y_schema)
+    return BloomJoinResult(joined, report)
