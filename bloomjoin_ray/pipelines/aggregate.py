@@ -1,0 +1,256 @@
+"""Sketch aggregation pipelines: global + grouped (skew-aware salted),
+plus exact distributed distinct / top-k.
+
+Shuffle discipline (SURVEY §7.3):
+
+* **global sketches** — no shuffle at all: per-block partials
+  (``map_batches``) + a tiny merge. Mergeability is the whole point.
+* **grouped sketches** — rows never shuffle; per-block per-key partial
+  sketches shuffle instead (orders of magnitude smaller). With
+  ``salt=S`` a two-stage reduce first merges partials within
+  ``(key, salt)`` sub-groups so one hot key (Zipf conv_id) fans out
+  across S reducers before the final per-key merge — legal precisely
+  because sketch merge is associative/commutative (property-tested).
+* **exact aggregates** — per-block pre-aggregation (dedupe / local
+  counts) before the ``groupby`` so the shuffle carries partials, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.keys import hash_keys64
+from ..state.base import merge_all, sketch_from_bytes
+from ..state.cms import CountMinSketch
+from ..state.hll import HllSketch
+from ..state.kll import KllSketch
+from ..state.tdigest import TDigest
+from ..stages.sketch_stages import GlobalSketchPartial, GroupedSketchPartial
+
+_TREE_MERGE_FANIN = 32
+
+
+# --------------------------------------------------------------------------
+# generic machinery
+# --------------------------------------------------------------------------
+
+def sketch_aggregate_global(ds, make: Callable, update: Callable, *,
+                            input_cols: Sequence[str] | None = None):
+    """One merged sketch over the whole Dataset. Column-pruned read,
+    per-block partials, driver/tree merge; returns the sketch (None if
+    the dataset is empty)."""
+    import ray
+
+    if input_cols:
+        ds = ds.select_columns(list(input_cols))
+    rows = ds.map_batches(GlobalSketchPartial(make, update),
+                          batch_format="pyarrow").take_all()
+    states = [r["state"] for r in rows]
+    if len(states) > _TREE_MERGE_FANIN:
+        @ray.remote
+        def merge_chunk(blobs):
+            return merge_all(sketch_from_bytes(bytes(b)) for b in blobs).to_bytes()
+
+        refs = [merge_chunk.remote(states[i:i + _TREE_MERGE_FANIN])
+                for i in range(0, len(states), _TREE_MERGE_FANIN)]
+        return merge_all(sketch_from_bytes(b) for b in ray.get(refs))
+    return merge_all(sketch_from_bytes(bytes(b)) for b in states)
+
+
+def sketch_aggregate_grouped(ds, key: str | Sequence[str], make: Callable,
+                             update: Callable, finalize: Callable[[object], dict], *,
+                             input_cols: Sequence[str] | None = None,
+                             salt: int | None = None):
+    """Per-key merged sketches → Dataset[key cols + finalize() columns].
+
+    ``finalize(sketch) -> {col: value}`` names the output columns.
+    ``salt=S`` inserts a pre-reduce stage on ``(key, salt)`` for hot keys.
+    """
+    key_cols = [key] if isinstance(key, str) else list(key)
+    if input_cols:
+        cols = list(dict.fromkeys(key_cols + list(input_cols)))
+        ds = ds.select_columns(cols)
+    partials = ds.map_batches(GroupedSketchPartial(key_cols, make, update),
+                              batch_format="pyarrow")
+
+    if salt and salt > 1:
+        S = int(salt)
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            sarr = (np.arange(batch.num_rows) % S).astype(np.int32)
+            return batch.append_column("__salt", pa.array(sarr))
+
+        def presum(group: pa.Table) -> pa.Table:
+            merged = merge_all(sketch_from_bytes(bytes(b))
+                               for b in group.column("state").to_pylist())
+            out = group.slice(0, 1).drop_columns(["state", "__salt"])
+            return out.append_column(
+                "state", pa.array([merged.to_bytes()], type=pa.large_binary()))
+
+        partials = (partials.map_batches(add_salt, batch_format="pyarrow")
+                    .groupby(key_cols + ["__salt"])
+                    .map_groups(presum, batch_format="pyarrow"))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        merged = merge_all(sketch_from_bytes(bytes(b))
+                           for b in group.column("state").to_pylist())
+        out = group.slice(0, 1).select(key_cols)
+        for name, value in finalize(merged).items():
+            out = out.append_column(name, pa.array([value]))
+        return out
+
+    return partials.groupby(key_cols).map_groups(reduce_group,
+                                                 batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# concrete sketch aggregations
+# --------------------------------------------------------------------------
+
+def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
+                 salt: int | None = None, out_col: str = "distinct_est"):
+    """Approximate COUNT(DISTINCT cols) — global (returns float) or per
+    ``key`` (returns Dataset[key, out_col])."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    make = lambda: HllSketch(p)
+    update = lambda s, t: s.update_batch(hash_keys64(t, cols))
+    if key is None:
+        sk = sketch_aggregate_global(ds, make, update, input_cols=cols)
+        return 0.0 if sk is None else sk.estimate()
+    return sketch_aggregate_grouped(
+        ds, key, make, update,
+        lambda s: {out_col: float(s.estimate())},
+        input_cols=cols, salt=salt)
+
+
+def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
+                     method: str = "tdigest", delta: int = 200, k: int = 200,
+                     salt: int | None = None, out_prefix: str = "q"):
+    """Approximate quantiles of a numeric column via t-digest or KLL.
+
+    Global → np.ndarray aligned with ``qs``; grouped → Dataset with one
+    ``{out_prefix}{int(100 q)}`` column per quantile.
+    """
+    qs = list(qs)
+    if method == "tdigest":
+        make = lambda: TDigest(delta)
+    elif method == "kll":
+        make = lambda: KllSketch(k)
+    else:
+        raise ValueError("method must be 'tdigest' or 'kll'")
+
+    def update(s, t: pa.Table):
+        arr = t.column(col)
+        vals = np.asarray(arr.cast(pa.float64()).drop_null())
+        s.update_batch(vals)
+
+    if key is None:
+        sk = sketch_aggregate_global(ds, make, update, input_cols=[col])
+        if sk is None:
+            return np.full(len(qs), np.nan)
+        return np.asarray(sk.quantile(np.asarray(qs, dtype=np.float64)))
+
+    def finalize(s):
+        vals = s.quantile(np.asarray(qs, dtype=np.float64))
+        return {f"{out_prefix}{round(q * 100)}": float(v)
+                for q, v in zip(qs, np.atleast_1d(vals))}
+
+    return sketch_aggregate_grouped(ds, key, make, update, finalize,
+                                    input_cols=[col], salt=salt)
+
+
+def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,
+               width: int = 4096) -> CountMinSketch:
+    """Global count–min sketch over the given key columns."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return sketch_aggregate_global(
+        ds, lambda: CountMinSketch(depth, width),
+        lambda s, t: s.update_batch(hash_keys64(t, cols)),
+        input_cols=cols) or CountMinSketch(depth, width)
+
+
+def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
+                      depth: int = 5, width: int = 4096,
+                      candidates_per_block: int | None = None,
+                      out_col: str = "est_count") -> pa.Table:
+    """Top-k heavy hitters with CMS-estimated counts, single read pass.
+
+    Each block emits one partial row carrying (a) its CMS partial and
+    (b) its local top-m candidate values (serialized Arrow IPC). The
+    merged CMS then scores the union of candidates — a key in the global
+    top-k must be a local candidate in at least one block.
+    """
+    import ray
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    m = candidates_per_block or max(4 * topk, 64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = hash_keys64(batch, cols)
+        s = CountMinSketch(depth, width)
+        s.update_batch(h)
+        uh, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+        top = np.argsort(counts)[::-1][:m]
+        first_idx = np.zeros(len(uh), dtype=np.int64)
+        first_idx[inv[::-1]] = np.arange(len(h) - 1, -1, -1)
+        cand = batch.take(pa.array(first_idx[top])).select(cols)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, cand.schema) as w:
+            w.write_table(cand)
+        return pa.table({
+            "state": pa.array([s.to_bytes()], type=pa.large_binary()),
+            "cands": pa.array([sink.getvalue().to_pybytes()], type=pa.large_binary()),
+        })
+
+    rows = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return pa.table({c: [] for c in cols} | {out_col: []})
+    merged = merge_all(sketch_from_bytes(bytes(r["state"])) for r in rows)
+    cands = pa.concat_tables([
+        pa.ipc.open_stream(pa.BufferReader(bytes(r["cands"]))).read_all()
+        for r in rows
+    ])
+    cands = cands.group_by(cols).aggregate([])  # dedupe candidate values
+    est = merged.query_batch(hash_keys64(cands, cols))
+    order = np.argsort(est, kind="stable")[::-1][:topk]
+    out = cands.take(pa.array(order))
+    return out.append_column(out_col, pa.array(est[order]))
+
+
+# --------------------------------------------------------------------------
+# exact distributed aggregates (pre-aggregated shuffles)
+# --------------------------------------------------------------------------
+
+def distinct_exact(ds, cols: str | Sequence[str]) -> int:
+    """Exact COUNT(DISTINCT cols): per-block dedupe (map_batches) → shuffle
+    only the block-distinct rows → global dedupe → count."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        return batch.group_by(cols).aggregate([])
+
+    deduped = ds.select_columns(cols).map_batches(dedupe, batch_format="pyarrow")
+    return deduped.groupby(cols).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow").count()
+
+
+def topk_exact(ds, cols: str | Sequence[str], k: int, *,
+               count_col: str = "n"):
+    """Exact top-k by frequency: per-block counts → groupby-sum of the
+    partials → sort desc → limit k. Returns a Dataset."""
+    from ray.data.aggregate import Sum
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return batch.group_by(cols).aggregate([([], "count_all")]).rename_columns(
+            cols + ["__partial_n"])
+
+    partials = ds.select_columns(cols).map_batches(partial_counts,
+                                                   batch_format="pyarrow")
+    summed = partials.groupby(cols).aggregate(Sum("__partial_n", alias_name=count_col))
+    return summed.sort(count_col, descending=True).limit(k)

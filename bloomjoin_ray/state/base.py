@@ -80,8 +80,16 @@ def register_sketch(name: str):
     return deco
 
 
+def _ensure_registry() -> None:
+    # populate lazily: a Ray worker may deserialize a blob having imported
+    # only this module, not the concrete sketch modules
+    if len(_REGISTRY) < 5:
+        from . import bloom, cms, hll, kll, tdigest  # noqa: F401
+
+
 def sketch_from_bytes(blob: bytes):
     """Deserialize any registered sketch from its blob."""
+    _ensure_registry()
     name, meta, arrays = unpack_state(blob)
     cls = _REGISTRY.get(name)
     if cls is None:

@@ -1,0 +1,126 @@
+"""Sketch-aggregation pipelines over Ray Datasets: global (no shuffle),
+grouped (partials shuffle), salted two-stage == unsalted (merge
+associativity under repartitioning), exact aggregates vs duckdb."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.01/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql("CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.01/events.parquet'")
+    return c
+
+
+def test_hll_distinct_global(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    true = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    est = hll_distinct(events_ds, "user_id", p=14)
+    assert abs(est - true) / true < 4 * (1.04 / np.sqrt(2**14))
+
+
+def test_hll_distinct_grouped_and_salted(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    true = con.sql(
+        "SELECT user_id, count(DISTINCT event_type) d FROM events GROUP BY 1"
+    ).df().sort_values("user_id").reset_index(drop=True)
+    got = hll_distinct(events_ds, "event_type", key="user_id").to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert len(got) == len(true)
+    # tiny per-group cardinalities → linear counting is exact
+    np.testing.assert_array_equal(got["distinct_est"].round().astype(int), true["d"])
+
+    salted = hll_distinct(events_ds, "event_type", key="user_id", salt=4).to_pandas()
+    salted = salted.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, salted)  # salting must not change results
+
+
+def test_quantiles_global(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    true = np.array(con.sql(
+        "SELECT quantile_cont(value, [0.1, 0.5, 0.9]) FROM events").fetchone()[0])
+    for method in ("tdigest", "kll"):
+        est = approx_quantiles(events_ds, "value", [0.1, 0.5, 0.9], method=method)
+        # rank-error check via duckdb cdf
+        for q, e in zip((0.1, 0.5, 0.9), est):
+            r = con.sql(f"SELECT avg(CASE WHEN value <= {e} THEN 1.0 ELSE 0 END) FROM events").fetchone()[0]
+            assert abs(r - q) < 0.03, (method, q, r)
+
+
+def test_quantiles_grouped(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    got = approx_quantiles(events_ds, "value", [0.5], key="event_type").to_pandas()
+    true = con.sql(
+        "SELECT event_type, median(value) m FROM events GROUP BY 1").df()
+    m = got.merge(true, on="event_type")
+    assert len(m) == len(true)
+    # per-group n≈2000 → median within a few percent rank error
+    for _, row in m.iterrows():
+        r = con.sql(
+            f"SELECT avg(CASE WHEN value <= {row['q50']} THEN 1.0 ELSE 0 END) "
+            f"FROM events WHERE event_type = '{row['event_type']}'").fetchone()[0]
+        assert abs(r - 0.5) < 0.05
+
+
+def test_cms_heavy_hitters_match_exact(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import cms_heavy_hitters
+
+    hh = cms_heavy_hitters(events_ds, "event_type", topk=5, width=8192)
+    true = con.sql(
+        "SELECT event_type, count(*) n FROM events GROUP BY 1 ORDER BY n DESC, event_type"
+    ).df()
+    got = hh.to_pandas()
+    assert set(got["event_type"]) == set(true["event_type"][:5])
+    m = got.merge(true, on="event_type")
+    # CMS never undercounts; with width >> distincts the estimates are exact
+    assert (m["est_count"] >= m["n"]).all()
+    assert ((m["est_count"] - m["n"]) <= np.e / 8192 * len(m) * 10000).all()
+
+
+def test_topk_and_distinct_exact(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import distinct_exact, topk_exact
+
+    true_n = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert distinct_exact(events_ds, "user_id") == true_n
+
+    got = topk_exact(events_ds, "event_type", 3).to_pandas()
+    true = con.sql(
+        "SELECT event_type, count(*) n FROM events GROUP BY 1 ORDER BY n DESC LIMIT 3").df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), true, check_dtype=False)
+
+
+def test_multi_column_distinct(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import distinct_exact, hll_distinct
+
+    true = con.sql(
+        "SELECT count(DISTINCT (user_id, event_type)) FROM events").fetchone()[0]
+    assert distinct_exact(events_ds, ["user_id", "event_type"]) == true
+    est = hll_distinct(events_ds, ["user_id", "event_type"])
+    assert abs(est - true) / true < 4 * (1.04 / np.sqrt(2**14))
+
+
+def test_empty_dataset(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles, hll_distinct
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                    "v": pa.array([], type=pa.float64())}))
+    assert hll_distinct(empty, "k") == 0.0
+    assert np.isnan(approx_quantiles(empty, "v", [0.5])).all()
