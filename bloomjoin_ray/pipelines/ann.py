@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor pipelines over embedding columns.
+
+* ``ann_topk`` — brute-force cosine top-k: one dense matmul per Arrow
+  block against a broadcast query matrix (the exact baseline; linear in
+  corpus size but perfectly parallel — per-block local top-k candidates,
+  then a tiny global reduce of blocks × k rows per query).
+* ``lsh_ann_topk`` — the scale path: random-hyperplane LSH buckets both
+  corpus and queries; only same-bucket vectors are scored (probing the
+  query's bucket). Recall < 1 by design; increase ``n_bits`` ↓ bucket
+  size, add multiprobe by flipping bits for recall.
+* ``embedding_dedup_pairs`` — near-duplicate vector pairs (cosine ≥ τ)
+  via LSH buckets + in-bucket verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.ann_stages import BruteForceTopK, LshBucketStage, _normalize, embeddings_to_matrix
+
+
+def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pa.Table:
+    """Exact cosine top-k for each query row. Returns
+    pa.Table[query_id, id_col, score] sorted by (query_id, -score, id)."""
+    import ray
+
+    qref = ray.put(np.ascontiguousarray(queries, dtype=np.float32))
+    local = ds.map_batches(
+        BruteForceTopK(qref, k, id_col, vec_col),
+        batch_format="pyarrow",
+    )
+    cand = local.take_all()  # blocks × k × nq rows — small
+    if not cand:
+        return pa.table({"query_id": [], id_col: [], "score": []})
+    qids = np.array([r["query_id"] for r in cand])
+    ids = np.array([r[id_col] for r in cand])
+    scores = np.array([r["score"] for r in cand], dtype=np.float32)
+    out_q, out_i, out_s = [], [], []
+    for q in np.unique(qids):
+        m = qids == q
+        # deterministic order: score desc, id asc
+        order = np.lexsort((ids[m], -scores[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_i.extend(ids[m][order].tolist())
+        out_s.extend(scores[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                     id_col: pa.array(out_i),
+                     "score": pa.array(out_s, type=pa.float32())})
+
+
+def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_bits: int = 8, seed: int = 0xA11) -> pa.Table:
+    """LSH-bucketed ANN: score only vectors sharing the query's bucket."""
+    import ray
+
+    Q = np.ascontiguousarray(queries, dtype=np.float32)
+    dim = Q.shape[1]
+    stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
+    qbits = (Q @ stage.planes) > 0
+    qkey = np.zeros(len(Q), dtype=np.int64)
+    for b in range(n_bits):
+        qkey |= qbits[:, b].astype(np.int64) << b
+    wanted = {}
+    for qi, kk in enumerate(qkey):
+        wanted.setdefault(int(kk), []).append(qi)
+    wanted_ref = ray.put(wanted)
+    qref = ray.put(_normalize(Q))
+
+    def score_bucket(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        qm = ray.get(qref)
+        buckets = np.asarray(batch.column("bucket"))
+        keep = np.isin(buckets, np.fromiter(w.keys(), dtype=np.int64))
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: batch.column(id_col).slice(0, 0),
+                             "score": pa.array([], type=pa.float32())})
+        V = _normalize(embeddings_to_matrix(sub.column(vec_col)).astype(np.float32))
+        ids = np.asarray(sub.column(id_col))
+        sub_buckets = np.asarray(sub.column("bucket"))
+        out_q, out_i, out_s = [], [], []
+        for bk, qis in w.items():
+            m = sub_buckets == bk
+            if not m.any():
+                continue
+            sims = V[m] @ qm[qis].T
+            for col, qi in enumerate(qis):
+                out_q.extend([qi] * int(m.sum()))
+                out_i.extend(ids[m].tolist())
+                out_s.extend(sims[:, col].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                         id_col: pa.array(out_i),
+                         "score": pa.array(np.asarray(out_s, dtype=np.float32))})
+
+    scored = ds.map_batches(stage, batch_format="pyarrow").map_batches(
+        score_bucket, batch_format="pyarrow")
+    rows = scored.take_all()
+    if not rows:
+        return pa.table({"query_id": [], id_col: [], "score": []})
+    qids = np.array([r["query_id"] for r in rows])
+    ids = np.array([r[id_col] for r in rows])
+    scores = np.array([r["score"] for r in rows], dtype=np.float32)
+    out_q, out_i, out_s = [], [], []
+    for q in np.unique(qids):
+        m = qids == q
+        order = np.lexsort((ids[m], -scores[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_i.extend(ids[m][order].tolist())
+        out_s.extend(scores[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
+                     id_col: pa.array(out_i),
+                     "score": pa.array(out_s, type=pa.float32())})
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_bits: int = 6, seed: int = 0xA11,
+                          dim: int | None = None):
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH bucket
+    + in-bucket exact verification. Returns Dataset[id_a, id_b, cosine]."""
+    if dim is None:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        dim = embeddings_to_matrix(first.column(vec_col)).shape[1]
+    stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
+
+    def verify(group: pa.Table) -> pa.Table:
+        V = _normalize(embeddings_to_matrix(group.column(vec_col)).astype(np.float32))
+        ids = group.column(id_col).to_pylist()
+        uniq = {}
+        for i, d in enumerate(ids):
+            uniq.setdefault(d, i)
+        uids = sorted(uniq)
+        a_col, b_col, c_col = [], [], []
+        if len(uids) >= 2:
+            idx = [uniq[d] for d in uids]
+            sims = V[idx] @ V[idx].T
+            iu, ju = np.triu_indices(len(uids), 1)
+            hits = sims[iu, ju] >= threshold
+            for i, j, s in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
+                a_col.append(uids[i])
+                b_col.append(uids[j])
+                c_col.append(float(s))
+        return pa.table({"id_a": a_col, "id_b": b_col,
+                         "cosine": pa.array(c_col, type=pa.float64())})
+
+    pairs = (ds.select_columns([id_col, vec_col])
+               .map_batches(stage, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(verify, batch_format="pyarrow"))
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -1,0 +1,87 @@
+"""ANN pipelines: brute-force exactness vs a numpy oracle, LSH recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    V = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.asarray(t.column("vec_id"))
+    return ds, V, ids
+
+
+def _oracle_topk(V, ids, Q, k):
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Vn @ Qn.T
+    out = {}
+    for qi in range(Q.shape[0]):
+        order = np.lexsort((ids, -sims[:, qi]))[:k]
+        out[qi] = list(ids[order])
+    return out
+
+
+def test_bruteforce_matches_numpy_oracle(emb):
+    from bloomjoin_ray.pipelines.ann import ann_topk
+
+    ds, V, ids = emb
+    Q = V[:5]  # first five vectors as queries
+    got = ann_topk(ds, Q, k=10).to_pandas()
+    want = _oracle_topk(V, ids, Q, 10)
+    for qi in range(5):
+        g = got[got["query_id"] == qi]["vec_id"].tolist()
+        assert g == want[qi]
+        # self must be its own nearest neighbor
+        assert g[0] == ids[qi]
+
+
+def test_bruteforce_scores_are_cosine(emb):
+    from bloomjoin_ray.pipelines.ann import ann_topk
+
+    ds, V, ids = emb
+    got = ann_topk(ds, V[:1], k=1).to_pandas()
+    assert got["score"].iloc[0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_ann_recall(emb):
+    from bloomjoin_ray.pipelines.ann import ann_topk, lsh_ann_topk
+
+    ds, V, ids = emb
+    Q = V[10:20]
+    exact = ann_topk(ds, Q, k=5).to_pandas()
+    approx = lsh_ann_topk(ds, Q, k=5, n_bits=4).to_pandas()
+    # self-hit must survive (query bucket == its own bucket)
+    for qi in range(10):
+        a = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        assert ids[10 + qi] in a
+    # overall recall of the approximate against exact should be reasonable
+    hit = 0
+    tot = 0
+    for qi in range(10):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hit += len(e & a)
+        tot += len(e)
+    assert hit / tot > 0.3
+
+
+def test_embeddings_to_matrix_fixed_and_var(ray_session):
+    from bloomjoin_ray.stages.ann_stages import embeddings_to_matrix
+
+    fixed = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32(), 2))
+    var = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))
+    np.testing.assert_array_equal(embeddings_to_matrix(fixed),
+                                  [[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(embeddings_to_matrix(var),
+                                  [[1.0, 2.0], [3.0, 4.0]])
+    ragged = pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        embeddings_to_matrix(ragged)

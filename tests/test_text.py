@@ -1,0 +1,102 @@
+"""Text-analysis kernels and pipelines, with duckdb oracle for the
+SQL-expressible metrics."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bloomjoin_ray.functions.text import (
+    content_hash64,
+    detect_language,
+    fingerprint64,
+    quality_metrics,
+    shingle_hashes,
+    token_count,
+)
+
+
+def test_token_count_matches_sql():
+    texts = ["hello world", "  padded   spaces  ", "", "one", "a b c d e"]
+    arr = pa.array(texts)
+    got = token_count(arr).to_pylist()
+    con = duckdb.connect()
+    con.register("t", pa.table({"text": arr}))
+    want = [r[0] for r in con.sql(
+        "SELECT len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+        " FROM t").fetchall()]
+    assert got == want == [2, 2, 0, 1, 5]
+
+
+def test_quality_metrics_vs_sql():
+    texts = ["Hello, world! How are you?", "no punct here", "!!!", ""]
+    arr = pa.array(texts)
+    m = quality_metrics(arr)
+    con = duckdb.connect()
+    con.register("t", pa.table({"text": arr}))
+    want_chars = [r[0] for r in con.sql("SELECT length(text) FROM t").fetchall()]
+    want_punct = [r[0] for r in con.sql(
+        "SELECT length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) FROM t").fetchall()]
+    assert m["n_chars"].to_pylist() == want_chars
+    assert m["n_punct"].to_pylist() == want_punct
+    assert m["punct_ratio"].to_pylist()[2] == 1.0
+    assert m["avg_token_len"].to_pylist()[3] == 0.0
+
+
+def test_language_id_heuristic():
+    samples = {
+        "en": "the cat sat on the mat and it was happy with the sun",
+        "de": "der hund ist nicht in dem haus und die katze ist auf dem dach",
+        "fr": "le chat est dans la maison et il ne veut pas sortir pour le moment",
+        "es": "el perro está en la casa y no quiere salir porque es muy tarde",
+    }
+    preds = detect_language(pa.array(list(samples.values()))).to_pylist()
+    assert preds == list(samples.keys())
+    assert detect_language(pa.array(["zzz qqq xxx"])).to_pylist() == ["und"]
+    assert detect_language(pa.array([None], type=pa.string())).to_pylist() == [None]
+
+
+def test_content_hash_and_fingerprint():
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "totally different words here", None]
+    h = content_hash64(pa.array(texts, type=pa.string()))
+    assert h[0] == h[1] and h[0] != h[2]
+    fp = fingerprint64(pa.array([t or "" for t in texts]))
+    assert fp[0] == fp[1]
+
+    # shared long passage → shared min rolling hash (likely equal fingerprint)
+    a = "one two three four five six seven eight nine ten eleven twelve"
+    b = "zzz " + a
+    fpa = fingerprint64(pa.array([a, b]))
+    assert fpa[0] == fpa[1]
+
+
+def test_shingles():
+    s1 = shingle_hashes("abcdefgh", 5)
+    s2 = shingle_hashes("abcdefgh", 5)
+    np.testing.assert_array_equal(s1, s2)
+    assert len(s1) == 4
+    assert shingle_hashes(None).size == 0
+    assert shingle_hashes("ab", 5).size == 1  # padded
+
+
+def test_text_stats_pipeline(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import filter_by_quality, language_id, text_stats
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = text_stats(docs).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(
+        "SELECT doc_id, length(text) AS n_chars FROM "
+        "'/root/testdata/sf0.001/documents.parquet'").df()
+    m = out.merge(want, left_on="doc_id", right_on="doc_id", suffixes=("", "_sql"))
+    assert (m["n_chars"] == m["n_chars_sql"]).all()
+    assert (out["n_tokens"] > 0).all()
+
+    lid = language_id(docs, concurrency=2).to_pandas()
+    assert set(lid["lang_pred"]) <= {"en", "de", "fr", "es", "it", "und"}
+
+    filtered = filter_by_quality(docs, min_tokens=5)
+    assert filtered.count() <= docs.count()
