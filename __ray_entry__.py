@@ -1,44 +1,451 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the bloomjoin_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then imports this module:
+``entry()`` smoke-runs the flagship pipeline at sf0.001; each
+``queries()[name](sf_dir)`` is compared against ``oracle_sql()[name]`` via
+DuckDB at sf0.01 (row count + schema + order-insensitive value hash).
+Approximate-sketch / heuristic queries omit the oracle (rows-only check);
+their error bounds are asserted in ``tests/`` instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here (or in ``bloomjoin_ray``) calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# query implementations (each takes sf_dir, returns Dataset / Table)
+# --------------------------------------------------------------------------
+
+def _q_join_inner(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    ds, _ = bloom_join(_read(sf_dir, "orders"), _read(sf_dir, "customer"),
+                       {"o_custkey": "c_custkey"}, "inner")
+    return ds
+
+
+def _q_join_left(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    ds, _ = bloom_join(_read(sf_dir, "lineitem"), _read(sf_dir, "part"),
+                       {"l_partkey": "p_partkey"}, "left")
+    return ds
+
+
+def _q_join_right(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    ds, _ = bloom_join(_read(sf_dir, "orders"), _read(sf_dir, "customer"),
+                       {"o_custkey": "c_custkey"}, "right")
+    return ds
+
+
+def _q_join_full(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    ds, _ = bloom_join(_read(sf_dir, "customer"), _read(sf_dir, "supplier"),
+                       {"c_nationkey": "s_nationkey"}, "full")
+    return ds
+
+
+def _q_join_semi(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    building = _read(sf_dir, "customer").filter(
+        lambda r: r["c_mktsegment"] == "BUILDING")
+    ds, _ = bloom_join(_read(sf_dir, "orders"), building,
+                       {"o_custkey": "c_custkey"}, "semi")
+    return ds
+
+
+def _q_join_anti(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    ds, _ = bloom_join(_read(sf_dir, "orders"),
+                       _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+                       {"o_orderkey": "l_orderkey"}, "anti")
+    return ds
+
+
+def _q_join_multikey(sf_dir: str):
+    from bloomjoin_ray.pipelines.join import hash_join
+
+    x = _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    y = _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return hash_join(x, y, ["l_orderkey", "l_linenumber"], "inner")
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped: filter → per-block partial sums → grouped sum."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_sums
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+    li = li.map_batches(lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
+                        batch_format="pyarrow")
+    out = grouped_sums(li, ["l_returnflag", "l_linestatus"],
+                       {"l_quantity": "sum_qty",
+                        "l_extendedprice": "sum_base_price"},
+                       count_col="count_order")
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_base_price")
+        return batch.set_column(i, "sum_base_price",
+                                pc.round(batch["sum_base_price"], 2))
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_events_filtered(sf_dir: str):
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+    return ev.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
+                                   pc.greater(t["value"], 100.0))),
+        batch_format="pyarrow")
+
+
+def _q_events_hourly(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import grouped_sums
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    ev = ev.map_batches(add_hour, batch_format="pyarrow")
+    return grouped_sums(ev.select_columns(["hour", "event_type", "value"]),
+                        ["hour", "event_type"], {}, count_col="n")
+
+
+def _q_topk_event_types(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import topk_exact
+
+    return topk_exact(_read(sf_dir, "events", columns=["event_type"]),
+                      "event_type", 5)
+
+
+def _q_distinct_users(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import distinct_exact
+
+    n = distinct_exact(_read(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+def _q_hll_users(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    est = hll_distinct(_read(sf_dir, "events", columns=["user_id"]), "user_id")
+    return pa.table({"distinct_est": pa.array([float(est)])})
+
+
+def _q_hll_event_types_by_user(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "events", columns=["user_id", "event_type"]),
+                        "event_type", key="user_id", salt=4)
+
+
+def _q_cms_top_event_types(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import cms_heavy_hitters
+
+    return cms_heavy_hitters(_read(sf_dir, "events", columns=["event_type"]),
+                             "event_type", topk=5, width=8192)
+
+
+def _q_tdigest_value(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(_read(sf_dir, "events", columns=["value"]),
+                           "value", qs, method="tdigest")
+    return pa.table({"q": pa.array(qs), "value_est": pa.array(np.asarray(est))})
+
+
+def _q_kll_value(sf_dir: str):
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(_read(sf_dir, "events", columns=["value"]),
+                           "value", qs, method="kll")
+    return pa.table({"q": pa.array(qs), "value_est": pa.array(np.asarray(est))})
+
+
+def _q_dedup_exact(sf_dir: str):
+    from bloomjoin_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents"), "text", "doc_id")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from bloomjoin_ray.pipelines.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]),
+                         threshold=0.7)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from bloomjoin_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                         max_hamming=3)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from bloomjoin_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               threshold=0.8, max_df=64)
+
+
+def _q_doc_stats(sf_dir: str):
+    from bloomjoin_ray.pipelines.text import text_stats
+
+    out = text_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "n_chars", "n_tokens", "n_punct",
+                               "avg_token_len", "punct_ratio"])
+
+
+def _q_lang_id(sf_dir: str):
+    from bloomjoin_ray.pipelines.text import language_id
+
+    out = language_id(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprints(sf_dir: str):
+    from bloomjoin_ray.pipelines.text import fingerprints
+
+    out = fingerprints(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from bloomjoin_ray.pipelines.ann import ann_topk
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    return ann_topk(_read(sf_dir, "embeddings"), Q, k=10)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    from bloomjoin_ray.pipelines.ann import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_read(sf_dir, "embeddings"), threshold=0.95,
+                                 n_bits=4)
+
+
+def _transcript_convs_for(sf_dir: str) -> int:
+    scale = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
+    return scale.get(os.path.basename(os.path.normpath(sf_dir)), 2000)
+
+
+def _q_transcript_sketches(sf_dir: str):
+    """Flagship transcript suite on deterministic synthetic transcripts
+    (the input_hint table): per-conv distinct turns (HLL, salted), tool
+    heavy hitters (CMS), text-length quantiles (t-digest)."""
+    from bloomjoin_ray.functions.keys import hash_keys64
+    from bloomjoin_ray.pipelines.aggregate import (
+        approx_quantiles,
+        cms_heavy_hitters,
+        hll_distinct,
+    )
+    from bloomjoin_ray.sources.transcripts import transcripts_dataset
+
+    n_convs = _transcript_convs_for(sf_dir)
+    ds = transcripts_dataset(n_convs, parallelism=16)
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return t.append_column("text_len", pc.utf8_length(t["text"]).cast(pa.float64()))
+
+    with_cols = ds.map_batches(with_len, batch_format="pyarrow")
+    per_conv = hll_distinct(ds, "turn_idx", key="conv_id", salt=4)
+    n_convs_seen = per_conv.count()
+    tools = cms_heavy_hitters(
+        ds.filter(lambda r: r["tool"] is not None), "tool", topk=5)
+    qs = approx_quantiles(with_cols, "text_len", [0.5, 0.95], method="tdigest")
+    return pa.table({
+        "n_convs": pa.array([n_convs_seen], type=pa.int64()),
+        "top_tool": pa.array([tools.column("tool")[0].as_py()]),
+        "top_tool_est": pa.array([tools.column("est_count")[0].as_py()], type=pa.int64()),
+        "text_len_p50": pa.array([float(qs[0])]),
+        "text_len_p95": pa.array([float(qs[1])]),
+    })
+
+
+def _q_bloom_params(sf_dir: str):
+    """bloom_params report grid — pure sizing, exercised as a query so the
+    helper surface is driver-visible (reference R/params.R)."""
+    from bloomjoin_ray.params import bloom_params
+
+    rows = []
+    for n in (10_000, 100_000, 1_000_000):
+        for p in (1e-1, 1e-2, 1e-4):
+            bp = bloom_params(n, p)
+            rows.append({"n": float(n), "p_target": p, "m_bits": bp.m_bits,
+                         "k": bp.k, "fpr_est": bp.fpr_est})
+    return pa.Table.from_pylist(rows)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: Bloom-prefiltered orders ⋈ customer."""
+    return _q_join_inner("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bloom_join_inner": _q_join_inner,
+        "bloom_join_left": _q_join_left,
+        "bloom_join_right": _q_join_right,
+        "bloom_join_full": _q_join_full,
+        "bloom_join_semi": _q_join_semi,
+        "bloom_join_anti": _q_join_anti,
+        "join_multikey": _q_join_multikey,
+        "pricing_summary": _q_pricing_summary,
+        "events_filtered": _q_events_filtered,
+        "events_hourly": _q_events_hourly,
+        "topk_event_types": _q_topk_event_types,
+        "distinct_users_exact": _q_distinct_users,
+        "cms_top_event_types": _q_cms_top_event_types,
+        "dedup_exact_docs": _q_dedup_exact,
+        "doc_text_stats": _q_doc_stats,
+        # approximate / heuristic — rows-only checks (bounds pinned in tests/)
+        "hll_distinct_users": _q_hll_users,
+        "hll_event_types_by_user": _q_hll_event_types_by_user,
+        "tdigest_value_quantiles": _q_tdigest_value,
+        "kll_value_quantiles": _q_kll_value,
+        "dedup_minhash_docs": _q_dedup_minhash,
+        "simhash_pairs_docs": _q_simhash_pairs,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
+        "lang_id_docs": _q_lang_id,
+        "doc_fingerprints": _q_fingerprints,
+        "ann_topk_bruteforce": _q_ann_topk,
+        "embedding_dedup_pairs": _q_embedding_dedup,
+        "transcript_sketches": _q_transcript_sketches,
+        "bloom_params_grid": _q_bloom_params,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bloom_join_inner": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                   o.o_orderdate, o.o_orderpriority,
+                   c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "bloom_join_left": """
+            SELECT l.*, p.p_name, p.p_brand, p.p_type, p.p_size, p.p_retailprice
+            FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "bloom_join_right": """
+            SELECT o.o_orderkey, coalesce(o.o_custkey, c.c_custkey) AS o_custkey,
+                   o.o_orderstatus, o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+                   c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+            FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "bloom_join_full": """
+            SELECT c.c_custkey, c.c_name,
+                   coalesce(c.c_nationkey, s.s_nationkey) AS c_nationkey,
+                   c.c_acctbal, c.c_mktsegment,
+                   s.s_suppkey, s.s_name, s.s_acctbal
+            FROM customer c FULL JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        """,
+        "bloom_join_semi": """
+            SELECT o.* FROM orders o WHERE EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        """,
+        "bloom_join_anti": """
+            SELECT o.* FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "join_multikey": """
+            SELECT x.l_orderkey, x.l_linenumber, x.l_quantity, y.l_extendedprice
+            FROM (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem) x
+            JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem) y
+            ON x.l_orderkey = y.l_orderkey AND x.l_linenumber = y.l_linenumber
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_filtered": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "topk_event_types": """
+            SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC LIMIT 5
+        """,
+        "distinct_users_exact": """
+            SELECT count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        "cms_top_event_types": """
+            SELECT event_type, count(*) AS est_count FROM events
+            GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 5
+        """,
+        "dedup_exact_docs": """
+            SELECT * FROM documents WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "doc_text_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                       AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                       AS n_punct,
+                   CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+                        THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                             / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1)
+                        ELSE 0.0 END AS avg_token_len,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                             / greatest(length(text), 1)
+                        ELSE 0.0 END AS punct_ratio
+            FROM documents
+        """,
+    }

@@ -63,18 +63,21 @@ def sketch_aggregate_global(ds, make: Callable, update: Callable, *,
 def sketch_aggregate_grouped(ds, key: str | Sequence[str], make: Callable,
                              update: Callable, finalize: Callable[[object], dict], *,
                              input_cols: Sequence[str] | None = None,
-                             salt: int | None = None):
+                             salt: int | None = None,
+                             partial_stage: Callable | None = None):
     """Per-key merged sketches → Dataset[key cols + finalize() columns].
 
     ``finalize(sketch) -> {col: value}`` names the output columns.
     ``salt=S`` inserts a pre-reduce stage on ``(key, salt)`` for hot keys.
+    ``partial_stage`` substitutes a specialized (vectorized) per-block
+    partial builder for the generic one.
     """
     key_cols = [key] if isinstance(key, str) else list(key)
     if input_cols:
         cols = list(dict.fromkeys(key_cols + list(input_cols)))
         ds = ds.select_columns(cols)
-    partials = ds.map_batches(GroupedSketchPartial(key_cols, make, update),
-                              batch_format="pyarrow")
+    stage = partial_stage or GroupedSketchPartial(key_cols, make, update)
+    partials = ds.map_batches(stage, batch_format="pyarrow")
 
     if salt and salt > 1:
         S = int(salt)
@@ -83,27 +86,55 @@ def sketch_aggregate_grouped(ds, key: str | Sequence[str], make: Callable,
             sarr = (np.arange(batch.num_rows) % S).astype(np.int32)
             return batch.append_column("__salt", pa.array(sarr))
 
-        def presum(group: pa.Table) -> pa.Table:
-            merged = merge_all(sketch_from_bytes(bytes(b))
-                               for b in group.column("state").to_pylist())
-            out = group.slice(0, 1).drop_columns(["state", "__salt"])
-            return out.append_column(
-                "state", pa.array([merged.to_bytes()], type=pa.large_binary()))
+        def presum(states) -> dict:
+            return {"state": merge_all(
+                sketch_from_bytes(bytes(b)) for b in states).to_bytes()}
 
-        partials = (partials.map_batches(add_salt, batch_format="pyarrow")
-                    .groupby(key_cols + ["__salt"])
-                    .map_groups(presum, batch_format="pyarrow"))
+        partials = _bucketed_group_reduce(
+            partials.map_batches(add_salt, batch_format="pyarrow"),
+            key_cols + ["__salt"], presum,
+            state_type=pa.large_binary()).drop_columns(["__salt"])
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        merged = merge_all(sketch_from_bytes(bytes(b))
-                           for b in group.column("state").to_pylist())
-        out = group.slice(0, 1).select(key_cols)
-        for name, value in finalize(merged).items():
-            out = out.append_column(name, pa.array([value]))
+    def final(states) -> dict:
+        return finalize(merge_all(sketch_from_bytes(bytes(b)) for b in states))
+
+    return _bucketed_group_reduce(partials, key_cols, final)
+
+
+def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,
+                           *, num_buckets: int = 64, state_type=None):
+    """Reduce per-key partial-sketch rows without per-key task overhead:
+    hash-bucket the keys, one ``map_groups`` task per bucket, and inside
+    each bucket group by the 64-bit key hash vectorized — Python touches
+    each key once (for the sketch merge), never each row, and each bucket
+    emits ONE Arrow table instead of one per key."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash_keys64(batch, key_cols)
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("__gbucket", pa.array(b))
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        h = hash_keys64(group, key_cols)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1, [n]])
+        states_sorted = group.column("state").combine_chunks().take(pa.array(order))
+        first_rows = order[bounds[:-1]]
+        out_cols: dict[str, list] = {}
+        for i in range(len(bounds) - 1):
+            states = states_sorted.slice(bounds[i], bounds[i + 1] - bounds[i]).to_pylist()
+            for name, value in per_key(states).items():
+                out_cols.setdefault(name, []).append(value)
+        out = group.take(pa.array(first_rows)).select(key_cols)
+        for name, values in out_cols.items():
+            out = out.append_column(name, pa.array(values, type=state_type))
         return out
 
-    return partials.groupby(key_cols).map_groups(reduce_group,
-                                                 batch_format="pyarrow")
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__gbucket")
+            .map_groups(reduce_bucket, batch_format="pyarrow"))
 
 
 # --------------------------------------------------------------------------
@@ -114,16 +145,20 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
                  salt: int | None = None, out_col: str = "distinct_est"):
     """Approximate COUNT(DISTINCT cols) — global (returns float) or per
     ``key`` (returns Dataset[key, out_col])."""
+    from ..stages.sketch_stages import GroupedHllPartial
+
     cols = [cols] if isinstance(cols, str) else list(cols)
     make = lambda: HllSketch(p)
     update = lambda s, t: s.update_batch(hash_keys64(t, cols))
     if key is None:
         sk = sketch_aggregate_global(ds, make, update, input_cols=cols)
         return 0.0 if sk is None else sk.estimate()
+    key_cols = [key] if isinstance(key, str) else list(key)
     return sketch_aggregate_grouped(
         ds, key, make, update,
         lambda s: {out_col: float(s.estimate())},
-        input_cols=cols, salt=salt)
+        input_cols=cols, salt=salt,
+        partial_stage=GroupedHllPartial(key_cols, cols, p=p))
 
 
 def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
@@ -236,6 +271,34 @@ def distinct_exact(ds, cols: str | Sequence[str]) -> int:
     deduped = ds.select_columns(cols).map_batches(dedupe, batch_format="pyarrow")
     return deduped.groupby(cols).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow").count()
+
+
+def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,
+                 count_col: str | None = None):
+    """Grouped SUM/COUNT with per-block pre-aggregation: each block first
+    collapses to one row per in-block key (pyarrow hash aggregate), then the
+    shuffle carries only those partials into the final ``groupby().sum()``.
+    ``sum_cols`` maps input column → output alias. Returns a Dataset."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    in_cols = list(sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c in in_cols]
+        if count_col:
+            aggs.append(([], "count_all"))
+        out = batch.select(keys + in_cols).group_by(keys).aggregate(aggs)
+        names = keys + [f"__p_{c}" for c in in_cols]
+        if count_col:
+            names.append("__p_count")
+        return out.rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(f"__p_{c}", alias_name=alias) for c, alias in sum_cols.items()]
+    if count_col:
+        aggs.append(Sum("__p_count", alias_name=count_col))
+    return partials.groupby(keys).aggregate(*aggs)
 
 
 def topk_exact(ds, cols: str | Sequence[str], k: int, *,

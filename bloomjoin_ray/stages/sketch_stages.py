@@ -73,3 +73,51 @@ class GroupedSketchPartial:
 
 def merge_states_to_sketch(states) -> object | None:
     return merge_all(sketch_from_bytes(bytes(b)) for b in states)
+
+
+class GroupedHllPartial:
+    """Fully-vectorized grouped distinct-count partials.
+
+    One pass per block: hash group keys and value keys once, lexsort by
+    (group, value), dedupe (group, value) pairs with a single diff mask,
+    then slice per-group unique value hashes into SparseHll partials
+    (raw hashes while small, dense registers for hot groups). Python
+    touches each *group* once for serialization only — never each row.
+    """
+
+    def __init__(self, key_cols: list[str], val_cols: list[str],
+                 p: int = 14, cap: int = 4096):
+        self.key_cols = list(key_cols)
+        self.val_cols = list(val_cols)
+        self.p = p
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.hll import SparseHll
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {c: batch.column(c) for c in self.key_cols}
+                | {"state": pa.array([], type=pa.large_binary())}
+            )
+        g = hash_keys64(batch, self.key_cols)
+        v = hash_keys64(batch, self.val_cols)
+        order = np.lexsort((v, g))
+        gs, vs = g[order], v[order]
+        new_group = np.empty(n, dtype=bool)
+        new_group[0] = True
+        np.not_equal(gs[1:], gs[:-1], out=new_group[1:])
+        new_pair = new_group | np.concatenate([[True], vs[1:] != vs[:-1]])
+        first_rows = order[new_group]
+        dv = vs[new_pair]                       # unique value hashes, grouped
+        # boundaries of each group within the deduped array:
+        group_of_pair = np.cumsum(new_group)[new_pair] - 1
+        bounds = np.concatenate([[0], np.nonzero(np.diff(group_of_pair))[0] + 1,
+                                 [len(dv)]])
+        states = []
+        for i in range(len(bounds) - 1):
+            states.append(SparseHll.from_hashes(dv[bounds[i]:bounds[i + 1]],
+                                                self.p, self.cap).to_bytes())
+        out = batch.take(pa.array(first_rows)).select(self.key_cols)
+        return out.append_column("state", pa.array(states, type=pa.large_binary()))

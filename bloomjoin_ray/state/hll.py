@@ -110,3 +110,80 @@ class HllSketch:
         if name != "hll":
             raise ValueError(f"expected hll blob, got {name!r}")
         return cls._from_state(meta, arrays)
+
+
+@register_sketch("hllsp")
+class SparseHll:
+    """HLL++-style sparse mode: keep the raw unique 64-bit hashes until
+    they outgrow ``cap``, then densify to a ``HllSketch``. Low-cardinality
+    groups (the common case in per-key aggregation) get EXACT counts and
+    tiny partials (8 bytes/distinct instead of 2^p registers); hot groups
+    transparently fall back to the dense sketch and its 1.04/√m bound."""
+
+    def __init__(self, p: int = 14, cap: int = 4096):
+        self.p = p
+        self.cap = cap
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self.dense: HllSketch | None = None
+
+    def _densify(self) -> None:
+        if self.dense is None:
+            self.dense = HllSketch(self.p)
+        if self.hashes.size:
+            self.dense.update_batch(self.hashes)
+            self.hashes = np.empty(0, dtype=np.uint64)
+
+    def update_batch(self, hashes: np.ndarray) -> None:
+        if self.dense is not None:
+            self.dense.update_batch(hashes)
+            return
+        self.hashes = np.union1d(self.hashes, hashes.astype(np.uint64, copy=False))
+        if self.hashes.size > self.cap:
+            self._densify()
+
+    def merge(self, other) -> "SparseHll":
+        if isinstance(other, HllSketch):
+            self._densify()
+            self.dense.merge(other)
+            return self
+        if self.dense is not None or other.dense is not None:
+            self._densify()
+            o = other
+            if o.dense is not None:
+                self.dense.merge(o.dense)
+            if o.hashes.size:
+                self.dense.update_batch(o.hashes)
+            return self
+        self.hashes = np.union1d(self.hashes, other.hashes)
+        if self.hashes.size > self.cap:
+            self._densify()
+        return self
+
+    def estimate(self) -> float:
+        if self.dense is not None:
+            return self.dense.estimate()
+        return float(self.hashes.size)  # sparse mode is exact
+
+    def to_bytes(self) -> bytes:
+        if self.dense is not None:
+            return pack_state("hllsp", {"p": self.p, "cap": self.cap, "mode": "dense"},
+                              {"registers": self.dense.registers})
+        return pack_state("hllsp", {"p": self.p, "cap": self.cap, "mode": "sparse"},
+                          {"hashes": self.hashes})
+
+    @classmethod
+    def _from_state(cls, meta, arrays) -> "SparseHll":
+        obj = cls(int(meta["p"]), int(meta["cap"]))
+        if meta["mode"] == "dense":
+            obj.dense = HllSketch(obj.p)
+            obj.dense.registers = arrays["registers"]
+        else:
+            obj.hashes = arrays["hashes"]
+        return obj
+
+    @classmethod
+    def from_hashes(cls, hashes: np.ndarray, p: int = 14,
+                    cap: int = 4096) -> "SparseHll":
+        obj = cls(p, cap)
+        obj.update_batch(hashes)
+        return obj
