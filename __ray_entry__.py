@@ -302,6 +302,25 @@ def _q_transcript_sketches(sf_dir: str):
     })
 
 
+def _q_asof_last_purchase(sf_dir: str):
+    """As-of join: attach each event's user's most recent purchase value
+    (DuckDB ASOF JOIN oracle). Right side deduped on (user_id, ts) so the
+    tie-break is well-defined on both engines."""
+    from ray.data.aggregate import Max
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    purchases = (_read(sf_dir, "events",
+                       columns=["user_id", "ts", "event_type", "value"])
+                 .map_batches(lambda t: t.filter(
+                     pc.equal(t["event_type"], "purchase")).drop_columns(["event_type"]),
+                     batch_format="pyarrow")
+                 .groupby(["user_id", "ts"])
+                 .aggregate(Max("value", alias_name="last_purchase_value")))
+    return asof_join(ev, purchases, on="ts", by="user_id")
+
+
 def _q_bloom_params(sf_dir: str):
     """bloom_params report grid — pure sizing, exercised as a query so the
     helper surface is driver-visible (reference R/params.R)."""
@@ -342,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
         "doc_text_stats": _q_doc_stats,
+        "asof_last_purchase": _q_asof_last_purchase,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
@@ -430,6 +450,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT * FROM documents WHERE doc_id IN (
                 SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "asof_last_purchase": """
+            SELECT e.event_id, e.user_id, e.ts, e.value, p.last_purchase_value
+            FROM events e ASOF LEFT JOIN (
+                SELECT user_id, ts, max(value) AS last_purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            ) p ON e.user_id = p.user_id AND e.ts >= p.ts
         """,
         "doc_text_stats": """
             SELECT doc_id,

@@ -21,6 +21,8 @@ shingles are explicitly df-pruned.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -186,7 +188,7 @@ class _SimHashStage:
         for i, t in enumerate(texts):
             toks = (t or "").lower().split()
             th = np.array([np.frombuffer(
-                __import__("hashlib").blake2b(w.encode(), digest_size=8).digest(),
+                hashlib.blake2b(w.encode(), digest_size=8).digest(),
                 dtype=np.uint64)[0] for w in toks], dtype=np.uint64)
             fp = simhash64(th)
             for b in range(4):

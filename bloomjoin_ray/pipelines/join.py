@@ -408,6 +408,7 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                broadcast_limit_rows: int = DEFAULT_BROADCAST_LIMIT_ROWS,
                na_matches: str = "na",
                max_filter_bits: int = 1 << 33,
+               skip_estimation: bool = False,
                verbose: bool = False) -> BloomJoinResult:
     """dplyr-equivalent join with an optional Bloom pre-filter
     (reference top-level API, ``R/bloomjoin.R:62-124``).
@@ -437,10 +438,21 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
 
     n_x, n_y = ds_x.count(), ds_y.count()
     hints = normalize_n_hint(n_hint)
-    sample_x = _sample_keys(ds_x, spec.x_cols)
-    sample_y = _sample_keys(ds_y, spec.y_cols)
-    distinct_x = estimate_distinct_count(sample_x, n_x, hints["x"])
-    distinct_y = estimate_distinct_count(sample_y, n_y, hints["y"])
+    if skip_estimation:
+        # static planning for known shapes: no driver-side sampling passes
+        # (at scale the planner must not scan in the driver's hot path).
+        # Requires n_hint; selectivity is assumed favorable — the planner's
+        # skip heuristics then rely on the structural rules only.
+        if hints["x"] is None or hints["y"] is None:
+            raise ValueError("skip_estimation=True requires n_hint for both sides")
+        sample_x = sample_y = np.empty(0, dtype=np.int32)
+        distinct_x = int(hints["x"])
+        distinct_y = int(hints["y"])
+    else:
+        sample_x = _sample_keys(ds_x, spec.x_cols)
+        sample_y = _sample_keys(ds_y, spec.y_cols)
+        distinct_x = estimate_distinct_count(sample_x, n_x, hints["x"])
+        distinct_y = estimate_distinct_count(sample_y, n_y, hints["y"])
 
     plan = plan_prefilter(how, engine, prefilter_side, n_x, n_y,
                           distinct_x, distinct_y, fpr, sample_x, sample_y)

@@ -139,15 +139,24 @@ def generate_turns_table(conv_idx: np.ndarray, seed: int = 42) -> pa.Table:
     })
 
 
-def transcripts_dataset(n_convs: int, seed: int = 42, *, parallelism: int = -1):
+def transcripts_dataset(n_convs: int, seed: int = 42, *, parallelism: int = -1,
+                        convs_per_chunk: int = 2000):
     """Lazy Ray Dataset of n_convs synthetic conversations (generation
-    happens inside map_batches tasks — scales to any size)."""
+    happens inside map_batches tasks — scales to any size).
+
+    Each task yields bounded chunks (``convs_per_chunk`` conversations,
+    ~100k turns) so per-task memory stays flat however large a block of
+    conv ids it receives."""
     import ray.data as rd
 
-    base = rd.range(n_convs, override_num_blocks=parallelism if parallelism > 0 else None)
+    if parallelism <= 0:
+        parallelism = max(16, n_convs // 20_000)
+    base = rd.range(n_convs, override_num_blocks=parallelism)
 
-    def gen(batch: pa.Table) -> pa.Table:
-        return generate_turns_table(np.asarray(batch.column("id")), seed)
+    def gen(batch: pa.Table):
+        ids = np.asarray(batch.column("id"))
+        for i in range(0, len(ids), convs_per_chunk):
+            yield generate_turns_table(ids[i: i + convs_per_chunk], seed)
 
     return base.map_batches(gen, batch_format="pyarrow")
 

@@ -1,0 +1,89 @@
+"""As-of join vs the DuckDB ASOF JOIN oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 50, size=2000),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, size=2000), unit="s"),
+        "value": rng.normal(size=2000),
+    })
+    right = pd.DataFrame({
+        "user_id": np.repeat(np.arange(50), 4),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, size=200), unit="s"),
+        "score": rng.normal(size=200),
+    })
+    to_ds = lambda df: rd.from_arrow(  # noqa: E731
+        pa.Table.from_pandas(df).cast(pa.schema([
+            pa.field("user_id", pa.int64()), pa.field("ts", pa.timestamp("us")),
+            pa.field(df.columns[-1], pa.float64())]))).repartition(4)
+    return left, right, to_ds(left), to_ds(right)
+
+
+def _oracle(left, right):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.sql("""
+        SELECT l.user_id, l.ts, l.value, r.score
+        FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    """).df()
+
+
+def test_asof_by_key_vs_duckdb(frames):
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    got = asof_join(dsl, dsr, on="ts", by="user_id").to_pandas()
+    want = _oracle(left, right)
+    key = ["user_id", "ts", "value"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(left) == len(w)
+    pd.testing.assert_frame_equal(g[["score"]].fillna(-9), w[["score"]].fillna(-9),
+                                  check_dtype=False, rtol=1e-12)
+
+
+def test_asof_no_by_broadcast(frames):
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    got = asof_join(dsl, dsr.drop_columns(["user_id"]), on="ts").to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right.drop(columns=["user_id"]))
+    want = con.sql("""
+        SELECT l.user_id, l.ts, l.value, r.score
+        FROM l ASOF LEFT JOIN r ON l.ts >= r.ts
+    """).df()
+    key = ["user_id", "ts", "value"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g[["score"]].fillna(-9), w[["score"]].fillna(-9),
+                                  check_dtype=False, rtol=1e-12)
+
+
+def test_asof_column_collision_suffix(frames):
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    _, _, dsl, dsr = frames
+    # right 'value' collides with left 'value' → value_right
+    import pyarrow.compute as pc
+
+    dsr2 = dsr.map_batches(
+        lambda t: t.rename_columns(["user_id", "ts", "value"]),
+        batch_format="pyarrow")
+    out = asof_join(dsl, dsr2, on="ts", by="user_id")
+    assert "value_right" in out.schema().names
