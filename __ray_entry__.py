@@ -321,6 +321,15 @@ def _q_asof_last_purchase(sf_dir: str):
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 
+def _q_sessionize(sf_dir: str):
+    """Gap-based session windows per user over the events stream
+    (24h inactivity gap); oracle = SQL gaps-and-islands."""
+    from bloomjoin_ray.pipelines.windows import sessionize
+
+    return sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                      "user_id", "ts", gap_s=86_400)
+
+
 def _q_bloom_params(sf_dir: str):
     """bloom_params report grid — pure sizing, exercised as a query so the
     helper surface is driver-visible (reference R/params.R)."""
@@ -362,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact,
         "doc_text_stats": _q_doc_stats,
         "asof_last_purchase": _q_asof_last_purchase,
+        "sessionize_users": _q_sessionize,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
@@ -450,6 +460,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT * FROM documents WHERE doc_id IN (
                 SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "sessionize_users": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 86400 SECONDS OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM flagged)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "asof_last_purchase": """
             SELECT e.event_id, e.user_id, e.ts, e.value, p.last_purchase_value

@@ -112,7 +112,6 @@ def run_suite() -> dict:
     from bloomjoin_ray.pipelines.aggregate import (
         grouped_sums,
         hll_distinct,
-        sketch_aggregate_global,
     )
     from bloomjoin_ray.pipelines.join import bloom_join, hash_join
     from bloomjoin_ray.state.cms import CountMinSketch

@@ -147,7 +147,10 @@ def _component_hash(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
         dict_vals = arr.dictionary
         level_comp = _component_hash(dict_vals)
         codes = np.asarray(arr.indices.fill_null(0))
-        comp = level_comp[codes] if len(level_comp) else np.empty(0, np.uint64)
+        if len(level_comp):
+            comp = level_comp[codes]
+        else:  # dictionary with zero levels (e.g. an all-null column)
+            comp = np.zeros(len(arr), dtype=np.uint64)
         nulls = _null_mask(arr)
         if nulls.any():
             na = _CHR_NA_COMPONENT if _is_stringish(dict_vals.type) else _NUM_NA_COMPONENT

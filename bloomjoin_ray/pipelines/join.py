@@ -37,8 +37,6 @@ merged filter → prune the probe side in ``map_batches`` → exact join.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc

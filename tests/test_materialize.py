@@ -1,0 +1,72 @@
+"""Resumable partitioned writes: atomicity, skip-on-resume, equivalence."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from bloomjoin_ray.pipelines.materialize import read_write_manifest, resumable_write
+from bloomjoin_ray.sources.transcripts import generate_turns_table
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wshards")
+    paths = []
+    for i in range(5):
+        t = generate_turns_table(np.arange(i * 40, (i + 1) * 40))
+        p = str(d / f"s{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+# shipped by value to Ray workers (lambda), not by test-module reference
+_keep_assistant = lambda t: t.filter(pc.equal(t["role"], "assistant"))  # noqa: E731
+
+
+def test_write_and_resume(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out")
+    recs = resumable_write(shards, out, transform=_keep_assistant)
+    assert len(recs) == 5
+    assert all(r["status"] == "done" and r["rows_out"] < r["rows_in"] for r in recs)
+    total_rows = sum(r["rows_out"] for r in recs)
+    read_back = pq.read_table(os.path.join(out, "part-00002", "data.parquet"))
+    assert set(read_back.column("role").to_pylist()) == {"assistant"}
+
+    # resume: nothing recomputed (mtimes untouched), records identical
+    before = {r["partition"]: os.path.getmtime(os.path.join(out, r["dir"]))
+              for r in recs}
+    recs2 = resumable_write(shards, out, transform=_keep_assistant)
+    after = {r["partition"]: os.path.getmtime(os.path.join(out, r["dir"]))
+             for r in recs2}
+    assert before == after
+    assert sum(r["rows_out"] for r in recs2) == total_rows
+
+
+def test_partial_then_full(ray_session, shards, tmp_path):
+    out = str(tmp_path / "out2")
+    resumable_write(shards[:2], out, transform=_keep_assistant)
+    assert len(read_write_manifest(out)) == 2
+    recs = resumable_write(shards, out, transform=_keep_assistant)
+    assert len(recs) == 5
+    # full equivalence vs a single fresh run
+    fresh = str(tmp_path / "fresh")
+    recs_fresh = resumable_write(shards, fresh, transform=_keep_assistant)
+    for a, b in zip(recs, recs_fresh):
+        assert a["rows_out"] == b["rows_out"]
+
+
+def test_torn_partition_rerun(ray_session, shards, tmp_path):
+    import shutil
+
+    out = str(tmp_path / "out3")
+    recs = resumable_write(shards[:2], out, transform=None)
+    shutil.rmtree(os.path.join(out, recs[0]["dir"]))
+    assert set(read_write_manifest(out)) == {1}
+    recs2 = resumable_write(shards[:2], out, transform=None)
+    assert len(recs2) == 2
+    assert os.path.isdir(os.path.join(out, recs2[0]["dir"]))

@@ -1,0 +1,89 @@
+"""Windowed aggregates vs duckdb oracles (tumbling, sliding, session)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.01/events.parquet'")
+    return ds, con
+
+
+def test_tumbling_window_vs_oracle(events):
+    from bloomjoin_ray.pipelines.windows import tumbling_window
+
+    ds, con = events
+    got = tumbling_window(ds, "ts", 3600, key="event_type",
+                          sum_cols={"value": "sum_value"}).to_pandas()
+    want = con.sql("""
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               sum(value) AS sum_value, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """).df()
+    key = ["event_type", "window_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_series_equal(g["n"], w["n"], check_dtype=False)
+    np.testing.assert_allclose(g["sum_value"], w["sum_value"], rtol=1e-9)
+
+
+def test_sliding_window_counts(events):
+    from bloomjoin_ray.pipelines.windows import sliding_window, tumbling_window
+
+    ds, con = events
+    got = sliding_window(ds, "ts", size_s=7200, slide_s=3600).to_pandas()
+    # oracle: every event counts toward the two 2h windows covering it
+    want = con.sql("""
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR FROM events)
+        SELECT w AS window_start, count(*) AS n FROM starts GROUP BY 1
+    """).df()
+    g = got.sort_values("window_start").reset_index(drop=True)
+    w = want.sort_values("window_start").reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_series_equal(g["n"], w["n"], check_dtype=False)
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window(ds, "ts", size_s=5000, slide_s=3600)
+
+
+def test_sessionize_vs_oracle(events):
+    from bloomjoin_ray.pipelines.windows import sessionize
+
+    ds, con = events
+    got = sessionize(ds, "user_id", "ts", gap_s=86_400).to_pandas()
+    want = con.sql("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 86400 SECONDS OR
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM flagged)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """).df()
+    key = ["user_id", "session_start"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(
+        g[["user_id", "session_start", "session_end", "n_events"]],
+        w[["user_id", "session_start", "session_end", "n_events"]],
+        check_dtype=False)
