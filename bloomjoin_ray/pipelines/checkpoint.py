@@ -97,7 +97,8 @@ def _build_partition(source: str, partition: int, job_dir: str,
 def checkpointed_sketch_aggregate(sources: list[str], job_dir: str,
                                   make_sketch, update, *,
                                   columns: list[str] | None = None,
-                                  max_in_flight: int = 16):
+                                  max_in_flight: int = 16,
+                                  from_bytes=None):
     """Build one merged sketch over ``sources`` (Parquet files), one
     checkpointed partition per file. Safe to re-invoke after a crash:
     finished partitions are skipped via the manifest.
@@ -147,6 +148,7 @@ def checkpointed_sketch_aggregate(sources: list[str], job_dir: str,
         with open(os.path.join(job_dir, rec["blob"]), "rb") as f:
             return f.read()
 
-    merged = merge_all(sketch_from_bytes(_read_blob(records[i]))
+    decode = from_bytes or sketch_from_bytes
+    merged = merge_all(decode(_read_blob(records[i]))
                        for i in sorted(records))
     return merged, [records[i] for i in sorted(records)]
