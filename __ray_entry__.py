@@ -321,6 +321,15 @@ def _q_asof_last_purchase(sf_dir: str):
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 
+def _q_reservoir_sample(sf_dir: str):
+    """Deterministic 100-row uniform sample of events (bottom-k priority
+    sampling — same sample under any partitioning; rows-only check, the
+    uniformity/invariance properties are pinned in tests)."""
+    from bloomjoin_ray.pipelines.aggregate import reservoir_sample
+
+    return reservoir_sample(_read(sf_dir, "events"), 100, "event_id")
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the events stream
     (24h inactivity gap); oracle = SQL gaps-and-islands."""
@@ -385,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": _q_ann_topk,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "transcript_sketches": _q_transcript_sketches,
+        "reservoir_sample_events": _q_reservoir_sample,
         "bloom_params_grid": _q_bloom_params,
     }
 

@@ -260,6 +260,20 @@ def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
 # exact distributed aggregates (pre-aggregated shuffles)
 # --------------------------------------------------------------------------
 
+def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
+                     seed: int = 0x5A5A) -> pa.Table | None:
+    """Deterministic uniform sample of k whole rows — bottom-k priority
+    sampling as a mergeable UDAF (same sample for any partitioning).
+    ``id_cols`` must uniquely identify rows (the priority key)."""
+    from ..state.reservoir import ReservoirSample
+
+    id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    make = lambda: ReservoirSample(k, seed)
+    update = lambda s, t: s.update_batch(hash_keys64(t, id_cols), t)
+    sk = sketch_aggregate_global(ds, make, update)
+    return None if sk is None else sk.sample_table()
+
+
 def distinct_exact(ds, cols: str | Sequence[str]) -> int:
     """Exact COUNT(DISTINCT cols): per-block dedupe (map_batches) → shuffle
     only the block-distinct rows → global dedupe → count."""

@@ -1,0 +1,83 @@
+"""Reservoir sample: partition-invariance, uniformity, distributed run."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bloomjoin_ray.functions.keys import hash_keys64
+from bloomjoin_ray.state.reservoir import ReservoirSample
+
+
+def _table(ids):
+    return pa.table({"id": pa.array(ids, type=pa.int64()),
+                     "v": pa.array([float(i) for i in ids])})
+
+
+def _run(ids, k, n_parts, order=None):
+    t = _table(ids)
+    chunks = np.array_split(np.arange(len(ids)), n_parts)
+    if order is not None:
+        chunks = [chunks[i] for i in order]
+    merged = None
+    for c in chunks:
+        s = ReservoirSample(k)
+        sub = t.take(pa.array(c))
+        s.update_batch(hash_keys64(sub, ["id"]), sub)
+        merged = s if merged is None else merged.merge(s)
+    return merged
+
+
+def test_partition_and_order_invariant():
+    ids = list(range(5000))
+    a = _run(ids, 50, 1)
+    b = _run(ids, 50, 7)
+    c = _run(ids, 50, 7, order=[3, 0, 6, 1, 5, 2, 4])
+    sa = sorted(a.sample_table().column("id").to_pylist())
+    sb = sorted(b.sample_table().column("id").to_pylist())
+    sc = sorted(c.sample_table().column("id").to_pylist())
+    assert sa == sb == sc
+    assert len(sa) == 50
+    assert a.n_seen == 5000
+
+
+def test_uniformity():
+    """Each of B buckets of ids should land in the sample ≈ equally."""
+    ids = list(range(100_000))
+    s = _run(ids, 2000, 4)
+    sample = np.array(s.sample_table().column("id").to_pylist())
+    buckets = sample // 25_000
+    counts = np.bincount(buckets, minlength=4)
+    assert (np.abs(counts - 500) < 120).all()  # ~5σ of binomial(2000, .25)
+
+
+def test_small_input_keeps_everything():
+    s = _run(list(range(10)), 50, 2)
+    assert sorted(s.sample_table().column("id").to_pylist()) == list(range(10))
+
+
+def test_roundtrip_and_errors():
+    s = _run(list(range(100)), 10, 2)
+    from bloomjoin_ray.state.base import sketch_from_bytes
+
+    g = sketch_from_bytes(s.to_bytes())
+    assert sorted(g.sample_table().column("id").to_pylist()) == \
+        sorted(s.sample_table().column("id").to_pylist())
+    assert g.n_seen == 100
+    with pytest.raises(ValueError):
+        ReservoirSample(10).merge(ReservoirSample(20))
+
+
+def test_distributed_pipeline(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import reservoir_sample
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet").repartition(6)
+    t = reservoir_sample(ds, 100, "event_id")
+    assert t.num_rows == 100
+    assert len(set(t.column("event_id").to_pylist())) == 100
+    # deterministic across runs
+    t2 = reservoir_sample(ds, 100, "event_id")
+    assert sorted(t.column("event_id").to_pylist()) == \
+        sorted(t2.column("event_id").to_pylist())
