@@ -219,11 +219,15 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
+    from bloomjoin_ray.functions.text import word_ngram_hashes
     from bloomjoin_ray.pipelines.dedup import ngram_jaccard_pairs
 
+    # word 3-grams: the synthetic docs draw from a tiny vocabulary, so
+    # char shingles are all df-pruned; word n-grams discriminate
     return ngram_jaccard_pairs(_read(sf_dir, "documents",
                                      columns=["doc_id", "text"]),
-                               threshold=0.8, max_df=64)
+                               threshold=0.5, max_df=64,
+                               shingle_fn=word_ngram_hashes)
 
 
 def _q_doc_stats(sf_dir: str):
@@ -260,8 +264,8 @@ def _q_ann_topk(sf_dir: str):
 def _q_embedding_dedup(sf_dir: str):
     from bloomjoin_ray.pipelines.ann import embedding_dedup_pairs
 
-    return embedding_dedup_pairs(_read(sf_dir, "embeddings"), threshold=0.95,
-                                 n_bits=4)
+    return embedding_dedup_pairs(_read(sf_dir, "embeddings"), threshold=0.45,
+                                 n_bits=3)
 
 
 def _transcript_convs_for(sf_dir: str) -> int:

@@ -142,6 +142,26 @@ def fingerprint64(texts, window: int = 4) -> np.ndarray:
     return out
 
 
+def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
+    """Word n-gram hash set (uint64) of one document — the right shingle
+    granularity for small-vocabulary corpora where every character
+    k-shingle is document-frequency-pruned away."""
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    toks = _WS_RE.split(text.strip().lower())
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    hs = np.array([np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
+                   for w in toks], dtype=np.uint64)
+    m = len(hs) - n + 1
+    with np.errstate(over="ignore"):
+        acc = hs[:m].copy()
+        prime = np.uint64(1099511628211)
+        for j in range(1, n):
+            acc = acc * prime ^ hs[j : m + j]
+    return np.unique(acc)
+
+
 def shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:
     """Character k-shingle hash set (uint64) of one document — the input
     universe for MinHash / exact Jaccard."""

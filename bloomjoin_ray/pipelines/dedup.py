@@ -68,17 +68,22 @@ class _MinHashStage:
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.minhash import minhash_signatures_batch
+
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
+        sigs = minhash_signatures_batch(
+            [shingle_hashes(t, self.k) for t in texts], self.num_perm)
         band_col, bhash_col, id_col, sig_col = [], [], [], []
-        for i, t in enumerate(texts):
-            sig = minhash_signature(shingle_hashes(t, self.k), self.num_perm)
+        for i in range(len(texts)):
+            sig = sigs[i]
             bh = band_hashes(sig, self.bands)
+            blob = sig.tobytes()
             for b in range(self.bands):
                 band_col.append(b)
                 bhash_col.append(int(bh[b].view(np.int64)))
                 id_col.append(ids[i])
-                sig_col.append(sig.tobytes())
+                sig_col.append(blob)
         return pa.table({
             "band": pa.array(band_col, type=pa.int32()),
             "bhash": pa.array(bhash_col, type=pa.int64()),
@@ -245,22 +250,26 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                         shingle_k: int = 5, threshold: float = 0.5,
-                        max_df: int = 256):
+                        max_df: int = 256, shingle_fn=None):
     """Exact Jaccard ≥ threshold pairs via a shingle inverted index.
 
     Per-batch explode (shingle, id); shingles occurring in > ``max_df``
     docs are dropped (df-pruning — a shingle shared by everything carries
     no near-dup signal but would blow the bucket up quadratically).
+    ``shingle_fn(text) -> uint64 set`` overrides the default char
+    k-shingling (e.g. ``word_ngram_hashes`` for small-vocab corpora).
     Returns Dataset[id_a, id_b, jaccard].
     """
     import ray
+
+    mk = shingle_fn or (lambda t: shingle_hashes(t, shingle_k))
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
         sh_col, id_out, size_col = [], [], []
         for i, t in enumerate(texts):
-            sh = shingle_hashes(t, shingle_k)
+            sh = mk(t)
             sh_col.append(sh.view(np.int64))
             id_out.extend([ids[i]] * len(sh))
             size_col.append(len(sh))
@@ -275,8 +284,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
         ids = batch.column(id_col).to_pylist()
         return pa.table({
             id_col: pa.array(ids),
-            "size": pa.array([len(shingle_hashes(t, shingle_k)) for t in texts],
-                             type=pa.int64()),
+            "size": pa.array([len(mk(t)) for t in texts], type=pa.int64()),
         })
 
     size_rows = ds.select_columns([id_col, text_col]).map_batches(

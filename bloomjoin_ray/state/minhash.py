@@ -24,13 +24,31 @@ U64 = np.uint64
 def minhash_signature(shingles: np.ndarray, num_perm: int = 128,
                       seed: int = 0x5EED) -> np.ndarray:
     """(num_perm,) uint64 signature of a shingle-hash set."""
-    if shingles.size == 0:
-        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-    s = shingles.astype(np.uint64, copy=False)
-    sig = np.empty(num_perm, dtype=np.uint64)
-    for j in range(num_perm):
-        sig[j] = splitmix64(s ^ U64((seed + j * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)).min()
-    return sig
+    return minhash_signatures_batch([shingles], num_perm, seed)[0]
+
+
+def minhash_signatures_batch(shingle_sets: list[np.ndarray],
+                             num_perm: int = 128,
+                             seed: int = 0x5EED) -> np.ndarray:
+    """(n_docs, num_perm) signatures, vectorized across the whole batch:
+    one mixing pass per permutation over the concatenation of every doc's
+    shingles, per-doc minima via ``np.minimum.reduceat`` — no per-doc
+    Python loop (the map_batches hot path for MinHash dedup)."""
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sizes = np.array([s.size for s in shingle_sets], dtype=np.int64)
+    nonempty = np.nonzero(sizes > 0)[0]
+    if nonempty.size == 0:
+        return out
+    concat = np.concatenate([shingle_sets[i].astype(np.uint64, copy=False)
+                             for i in nonempty])
+    bounds = np.concatenate([[0], np.cumsum(sizes[nonempty])[:-1]])
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            mixed = splitmix64(concat ^ U64((seed + j * 0x9E3779B97F4A7C15)
+                                            & 0xFFFFFFFFFFFFFFFF))
+            out[nonempty, j] = np.minimum.reduceat(mixed, bounds)
+    return out
 
 
 def signature_jaccard(a: np.ndarray, b: np.ndarray) -> float:

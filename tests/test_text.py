@@ -71,6 +71,20 @@ def test_content_hash_and_fingerprint():
     assert fpa[0] == fpa[1]
 
 
+def test_word_ngrams():
+    from bloomjoin_ray.functions.text import word_ngram_hashes
+
+    a = word_ngram_hashes("one two three four five", 3)
+    b = word_ngram_hashes("one two three four five", 3)
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == 3  # 5 words → 3 trigrams
+    c = word_ngram_hashes("zero one two three four five", 3)
+    # shifted text shares 3 of its 4 trigrams with `a`
+    assert len(np.intersect1d(a, c)) == 3
+    assert word_ngram_hashes(None).size == 0
+    assert word_ngram_hashes("one", 3).size == 1  # padded
+
+
 def test_shingles():
     s1 = shingle_hashes("abcdefgh", 5)
     s2 = shingle_hashes("abcdefgh", 5)
