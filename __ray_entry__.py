@@ -73,8 +73,9 @@ def _q_join_full(sf_dir: str):
 def _q_join_semi(sf_dir: str):
     from bloomjoin_ray.pipelines.join import bloom_join
 
-    building = _read(sf_dir, "customer").filter(
-        lambda r: r["c_mktsegment"] == "BUILDING")
+    building = _read(sf_dir, "customer").map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
     ds, _ = bloom_join(_read(sf_dir, "orders"), building,
                        {"o_custkey": "c_custkey"}, "semi")
     return ds
@@ -294,8 +295,9 @@ def _q_transcript_sketches(sf_dir: str):
     with_cols = ds.map_batches(with_len, batch_format="pyarrow")
     per_conv = hll_distinct(ds, "turn_idx", key="conv_id", salt=4)
     n_convs_seen = per_conv.count()
-    tools = cms_heavy_hitters(
-        ds.filter(lambda r: r["tool"] is not None), "tool", topk=5)
+    with_tool = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow")
+    tools = cms_heavy_hitters(with_tool, "tool", topk=5)
     qs = approx_quantiles(with_cols, "text_len", [0.5, 0.95], method="tdigest")
     return pa.table({
         "n_convs": pa.array([n_convs_seen], type=pa.int64()),
