@@ -327,6 +327,14 @@ def _q_asof_last_purchase(sf_dir: str):
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 
+def _q_topk_types_per_user(sf_dir: str):
+    """Top-2 event types per user with ranks (exact grouped top-k)."""
+    from bloomjoin_ray.pipelines.aggregate import topk_per_key
+
+    return topk_per_key(_read(sf_dir, "events", columns=["user_id", "event_type"]),
+                        "user_id", "event_type", 2)
+
+
 def _q_reservoir_sample(sf_dir: str):
     """Deterministic 100-row uniform sample of events (bottom-k priority
     sampling — same sample under any partitioning; rows-only check, the
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered": _q_events_filtered,
         "events_hourly": _q_events_hourly,
         "topk_event_types": _q_topk_event_types,
+        "topk_types_per_user": _q_topk_types_per_user,
         "distinct_users_exact": _q_distinct_users,
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
@@ -465,6 +474,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_event_types": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC LIMIT 5
+        """,
+        "topk_types_per_user": """
+            SELECT user_id, event_type, n, rank FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type) AS rank
+                FROM events GROUP BY user_id, event_type)
+            WHERE rank <= 2
         """,
         "distinct_users_exact": """
             SELECT count(DISTINCT user_id) AS n_distinct FROM events

@@ -260,6 +260,49 @@ def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
 # exact distributed aggregates (pre-aggregated shuffles)
 # --------------------------------------------------------------------------
 
+def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
+                 k: int, *, count_col: str = "n", rank_col: str = "rank"):
+    """Exact top-k values by frequency within each key group (e.g. top
+    tools per conversation). Per-block pre-counts → one grouped sum →
+    per-key top-k inside a bucketed reduce. Deterministic tie-break:
+    count desc, then value asc — matching SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY n DESC, value)``."""
+    from ray.data.aggregate import Sum
+
+    key = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    all_cols = key + cols
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        out = batch.select(all_cols).group_by(all_cols).aggregate([([], "count_all")])
+        return out.rename_columns(all_cols + ["__pn"])
+
+    summed = (ds.select_columns(all_cols)
+                .map_batches(partial_counts, batch_format="pyarrow")
+                .groupby(all_cols)
+                .aggregate(Sum("__pn", alias_name=count_col)))
+
+    def per_key_topk(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        df = df.sort_values([*key, count_col, *cols],
+                            ascending=[True] * len(key) + [False] + [True] * len(cols),
+                            kind="stable")
+        df[rank_col] = df.groupby(key, sort=False).cumcount() + 1
+        df = df[df[rank_col] <= k].drop(columns="__gbucket")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash_keys64(batch, key)
+        b = (h % np.uint64(64)).astype(np.int32)
+        return batch.append_column("__gbucket", pa.array(b))
+
+    return (summed.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__gbucket")
+            .map_groups(per_key_topk, batch_format="pyarrow"))
+
+
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
                      seed: int = 0x5A5A) -> pa.Table | None:
     """Deterministic uniform sample of k whole rows — bottom-k priority

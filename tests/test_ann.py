@@ -73,6 +73,29 @@ def test_lsh_ann_recall(emb):
     assert hit / tot > 0.3
 
 
+def test_ivf_ann_recall_and_self_hits(emb):
+    from bloomjoin_ray.pipelines.ann import ann_topk, ivf_ann_topk
+
+    ds, V, ids = emb
+    Q = V[30:40]
+    exact = ann_topk(ds, Q, k=5).to_pandas()
+    approx = ivf_ann_topk(ds, Q, k=5, n_centroids=8, n_probe=3).to_pandas()
+    for qi in range(10):
+        a = approx[approx["query_id"] == qi]["vec_id"].tolist()
+        assert ids[30 + qi] in a  # self vector lives in its own probed cell
+    hit = tot = 0
+    for qi in range(10):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hit += len(e & a)
+        tot += len(e)
+    assert hit / tot > 0.4  # n_probe=3/8 cells probed
+
+    # determinism: same seed → same result
+    again = ivf_ann_topk(ds, Q, k=5, n_centroids=8, n_probe=3).to_pandas()
+    assert approx.equals(again)
+
+
 def test_embeddings_to_matrix_fixed_and_var(ray_session):
     from bloomjoin_ray.stages.ann_stages import embeddings_to_matrix
 
