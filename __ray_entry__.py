@@ -327,6 +327,28 @@ def _q_asof_last_purchase(sf_dir: str):
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 
+def _q_theta_custkey_overlap(sf_dir: str):
+    """Theta-sketch set algebra: distinct custkey overlap between orders
+    and customer from two independent single-pass sketches (1,500
+    distincts < k=4096 → sketches below capacity → estimates EXACT, so
+    a SQL oracle applies)."""
+    from bloomjoin_ray.pipelines.aggregate import theta_set_estimates
+
+    rename = lambda name: (lambda t: t.rename_columns([name]))  # noqa: E731
+    ests = theta_set_estimates(
+        _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+            rename("key"), batch_format="pyarrow"),
+        _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+            rename("key"), batch_format="pyarrow"),
+        "key")
+    return pa.table({
+        "distinct_orders": pa.array([int(ests["distinct_a"])], type=pa.int64()),
+        "distinct_customers": pa.array([int(ests["distinct_b"])], type=pa.int64()),
+        "n_union": pa.array([int(ests["union"])], type=pa.int64()),
+        "n_intersection": pa.array([int(ests["intersection"])], type=pa.int64()),
+    })
+
+
 def _q_topk_types_per_user(sf_dir: str):
     """Top-2 event types per user with ranks (exact grouped top-k)."""
     from bloomjoin_ray.pipelines.aggregate import topk_per_key
@@ -390,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "topk_event_types": _q_topk_event_types,
         "topk_types_per_user": _q_topk_types_per_user,
+        "theta_custkey_overlap": _q_theta_custkey_overlap,
         "distinct_users_exact": _q_distinct_users,
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
@@ -474,6 +497,17 @@ def oracle_sql() -> dict[str, str]:
         "topk_event_types": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC LIMIT 5
+        """,
+        "theta_custkey_overlap": """
+            SELECT
+              (SELECT count(DISTINCT o_custkey) FROM orders) AS distinct_orders,
+              (SELECT count(DISTINCT c_custkey) FROM customer) AS distinct_customers,
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 UNION SELECT DISTINCT c_custkey FROM customer)) AS n_union,
+              (SELECT count(*) FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS n_intersection
         """,
         "topk_types_per_user": """
             SELECT user_id, event_type, n, rank FROM (

@@ -260,6 +260,35 @@ def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
 # exact distributed aggregates (pre-aggregated shuffles)
 # --------------------------------------------------------------------------
 
+def theta_sketch(ds, cols: str | Sequence[str], *, k: int = 4096):
+    """Global theta (KMV) sketch over the key columns — distinct counting
+    with set-operation estimates across independently built sketches."""
+    from ..state.theta import ThetaSketch
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    sk = sketch_aggregate_global(
+        ds, lambda: ThetaSketch(k),
+        lambda s, t: s.update_batch(hash_keys64(t, cols)),
+        input_cols=cols)
+    return sk or ThetaSketch(k)
+
+
+def theta_set_estimates(ds_a, ds_b, cols: str | Sequence[str], *,
+                        k: int = 4096) -> dict[str, float]:
+    """Distinct |A|, |B|, |A∪B|, |A∩B|, |A∖B|, Jaccard — from two
+    independent single-pass sketches (no join, no shuffle)."""
+    a = theta_sketch(ds_a, cols, k=k)
+    b = theta_sketch(ds_b, cols, k=k)
+    return {
+        "distinct_a": a.estimate(),
+        "distinct_b": b.estimate(),
+        "union": a.union_estimate(b),
+        "intersection": a.intersection_estimate(b),
+        "difference_a_minus_b": a.difference_estimate(b),
+        "jaccard": a.jaccard_estimate(b),
+    }
+
+
 def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
                  k: int, *, count_col: str = "n", rank_col: str = "rank"):
     """Exact top-k values by frequency within each key group (e.g. top
