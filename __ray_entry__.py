@@ -327,6 +327,15 @@ def _q_asof_last_purchase(sf_dir: str):
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 
+def _q_mg_top_event_types(sf_dir: str):
+    """Misra-Gries heavy hitters (deterministic lower-bound counts; exact
+    here because 8 distinct types never overflow k=64)."""
+    from bloomjoin_ray.pipelines.aggregate import mg_heavy_hitters
+
+    return mg_heavy_hitters(_read(sf_dir, "events", columns=["event_type"]),
+                            "event_type", topk=5, k=64)
+
+
 def _q_theta_custkey_overlap(sf_dir: str):
     """Theta-sketch set algebra: distinct custkey overlap between orders
     and customer from two independent single-pass sketches (1,500
@@ -413,6 +422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_event_types": _q_topk_event_types,
         "topk_types_per_user": _q_topk_types_per_user,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
+        "mg_top_event_types": _q_mg_top_event_types,
         "distinct_users_exact": _q_distinct_users,
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
@@ -497,6 +507,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_event_types": """
             SELECT event_type, count(*) AS n FROM events
             GROUP BY event_type ORDER BY n DESC LIMIT 5
+        """,
+        "mg_top_event_types": """
+            SELECT event_type, count(*) AS est_count FROM events
+            GROUP BY event_type ORDER BY est_count DESC, event_type LIMIT 5
         """,
         "theta_custkey_overlap": """
             SELECT

@@ -260,6 +260,24 @@ def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
 # exact distributed aggregates (pre-aggregated shuffles)
 # --------------------------------------------------------------------------
 
+def mg_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
+                     k: int = 256, count_col: str = "est_count"):
+    """Deterministic heavy hitters via Misra-Gries partials: lower-bound
+    counts (true - N/(k+1) <= est <= true), guaranteed to include every
+    item with frequency > N/(k+1). The randomized counterpart is
+    cms_heavy_hitters (upper bounds); running both brackets the truth."""
+    from ..state.misra_gries import MisraGries
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    make = lambda: MisraGries(k)
+    update = lambda s, t: s.update_batch(hash_keys64(t, cols), t.select(cols))
+    sk = sketch_aggregate_global(ds, make, update, input_cols=cols)
+    if sk is None:
+        return None
+    t = sk.items_table(count_col)
+    return t.slice(0, topk) if t is not None else None
+
+
 def theta_sketch(ds, cols: str | Sequence[str], *, k: int = 4096):
     """Global theta (KMV) sketch over the key columns — distinct counting
     with set-operation estimates across independently built sketches."""

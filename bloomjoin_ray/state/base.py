@@ -83,8 +83,9 @@ def register_sketch(name: str):
 def _ensure_registry() -> None:
     # populate lazily: a Ray worker may deserialize a blob having imported
     # only this module, not the concrete sketch modules
-    if len(_REGISTRY) < 8:
-        from . import bloom, cms, hll, kll, reservoir, tdigest, theta  # noqa: F401
+    if len(_REGISTRY) < 9:
+        from . import (  # noqa: F401
+            bloom, cms, hll, kll, misra_gries, reservoir, tdigest, theta)
 
 
 def sketch_from_bytes(blob: bytes):

@@ -62,6 +62,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "topk_event_types", "distinct_users_exact", "cms_top_event_types",
     "dedup_exact_docs", "doc_text_stats", "asof_last_purchase",
     "sessionize_users", "topk_types_per_user", "theta_custkey_overlap",
+    "mg_top_event_types",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     got = _canon(_to_df(entrymod.queries()[name](SF)))
