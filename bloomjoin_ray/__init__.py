@@ -1,24 +1,83 @@
 """bloomjoin_ray — a Ray-Data-native distributed sketch / approximate-
 aggregation engine built from scratch around the ideas of gojiplus/bloomjoin
 (Bloom-filter pre-filtered joins), generalized to a mergeable-UDAF family
-(Bloom, HyperLogLog, count-min, t-digest, KLL) plus the operators a
-large-scale training-data pipeline needs (dedup, similarity search, text
-analysis) over Parquet tables streamed through ``ray.data.Dataset``.
+(Bloom, HyperLogLog, count-min, t-digest, KLL, theta, Misra–Gries,
+reservoir) plus the operators a large-scale training-data pipeline needs
+(dedup, similarity search, text analysis, windows, as-of joins) over
+Parquet tables streamed through ``ray.data.Dataset``.
 
 Nothing in this package calls ``ray.init`` — sessions are owned by the
-caller (tests' conftest fixture, ``bench.py``, or the driver).
+caller (tests' conftest fixture, ``bench.py``, ``jobs/``, or the driver).
 """
 
-from .params import BloomParams, bloom_params, bloom_sizing, bloom_achieved_fpr
 from .functions.keys import hash_keys32, hash_keys64
+from .params import BloomParams, bloom_achieved_fpr, bloom_params, bloom_sizing
+from .report import JoinReport
 from .state.bloom import BloomSketch
+from .state.cms import CountMinSketch
+from .state.hll import HllSketch, SparseHll
+from .state.kll import KllSketch
+from .state.misra_gries import MisraGries
+from .state.reservoir import ReservoirSample
+from .state.tdigest import TDigest
+from .state.theta import ThetaSketch
 
 __all__ = [
-    "BloomParams",
-    "bloom_params",
-    "bloom_sizing",
-    "bloom_achieved_fpr",
-    "hash_keys32",
-    "hash_keys64",
-    "BloomSketch",
+    # kernels / params
+    "hash_keys32", "hash_keys64",
+    "BloomParams", "bloom_params", "bloom_sizing", "bloom_achieved_fpr",
+    "JoinReport",
+    # sketches
+    "BloomSketch", "HllSketch", "SparseHll", "CountMinSketch", "TDigest",
+    "KllSketch", "ThetaSketch", "MisraGries", "ReservoirSample",
 ]
+
+
+def __getattr__(name):
+    """Lazy pipeline exports (they import ray.data, which is heavy):
+    bloom_join, hash_join, asof_join, sketch/aggregation helpers,
+    dedup/ANN/text/window pipelines."""
+    from importlib import import_module
+
+    lazy = {
+        "bloom_join": "bloomjoin_ray.pipelines.join",
+        "hash_join": "bloomjoin_ray.pipelines.join",
+        "asof_join": "bloomjoin_ray.pipelines.asof",
+        "hll_distinct": "bloomjoin_ray.pipelines.aggregate",
+        "approx_quantiles": "bloomjoin_ray.pipelines.aggregate",
+        "cms_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
+        "mg_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
+        "theta_sketch": "bloomjoin_ray.pipelines.aggregate",
+        "theta_set_estimates": "bloomjoin_ray.pipelines.aggregate",
+        "distinct_exact": "bloomjoin_ray.pipelines.aggregate",
+        "topk_exact": "bloomjoin_ray.pipelines.aggregate",
+        "topk_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "grouped_sums": "bloomjoin_ray.pipelines.aggregate",
+        "reservoir_sample": "bloomjoin_ray.pipelines.aggregate",
+        "sketch_aggregate_global": "bloomjoin_ray.pipelines.aggregate",
+        "sketch_aggregate_grouped": "bloomjoin_ray.pipelines.aggregate",
+        "exact_dedup": "bloomjoin_ray.pipelines.dedup",
+        "minhash_dedup": "bloomjoin_ray.pipelines.dedup",
+        "minhash_lsh_pairs": "bloomjoin_ray.pipelines.dedup",
+        "simhash_dedup": "bloomjoin_ray.pipelines.dedup",
+        "simhash_pairs": "bloomjoin_ray.pipelines.dedup",
+        "ngram_jaccard_pairs": "bloomjoin_ray.pipelines.dedup",
+        "ann_topk": "bloomjoin_ray.pipelines.ann",
+        "lsh_ann_topk": "bloomjoin_ray.pipelines.ann",
+        "ivf_ann_topk": "bloomjoin_ray.pipelines.ann",
+        "embedding_dedup_pairs": "bloomjoin_ray.pipelines.ann",
+        "text_stats": "bloomjoin_ray.pipelines.text",
+        "language_id": "bloomjoin_ray.pipelines.text",
+        "fingerprints": "bloomjoin_ray.pipelines.text",
+        "filter_by_quality": "bloomjoin_ray.pipelines.text",
+        "tumbling_window": "bloomjoin_ray.pipelines.windows",
+        "sliding_window": "bloomjoin_ray.pipelines.windows",
+        "sessionize": "bloomjoin_ray.pipelines.windows",
+        "checkpointed_sketch_aggregate": "bloomjoin_ray.pipelines.checkpoint",
+        "resumable_write": "bloomjoin_ray.pipelines.materialize",
+        "transcripts_dataset": "bloomjoin_ray.sources.transcripts",
+        "write_transcripts": "bloomjoin_ray.sources.transcripts",
+    }
+    if name in lazy:
+        return getattr(import_module(lazy[name]), name)
+    raise AttributeError(f"module 'bloomjoin_ray' has no attribute {name!r}")
