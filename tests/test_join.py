@@ -208,3 +208,34 @@ def test_tiny_and_single_row(rd):
     out = hash_join(_from_pandas(rd, x, 1), _from_pandas(rd, y, 1), "id", "inner")
     df = out.to_pandas()
     assert len(df) == 1 and df["vy"][0] == 1.0
+
+
+def test_wide_table_join(rd):
+    """F2 wide-frame fixture: 50 payload columns through the join."""
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    cols = {"id": np.arange(n)}
+    cols.update({f"c{i:02d}": rng.normal(size=n) for i in range(50)})
+    x = pd.DataFrame(cols)
+    y = pd.DataFrame({"id": np.arange(0, 200), "vy": np.ones(200)})
+    ds, report = bloom_join(_from_pandas(rd, x, 4), _from_pandas(rd, y, 1),
+                            "id", "inner")
+    df = ds.to_pandas()
+    assert len(df) == 200 and len(df.columns) == 52
+    assert_same(ds, oracle("SELECT x.*, y.vy FROM x JOIN y USING (id)", x=x, y=y))
+
+
+def test_special_string_keys_join(rd):
+    """F2 special/unicode/collision-bait keys through both join paths."""
+    from bloomjoin_ray.pipelines.join import hash_join
+
+    keys = ["hello world", "test@email.com", "file/path.txt", "unicode-ñäöü",
+            "123-456-7890", "", " ", "a", "aa", "aaa", "b" * 100, "日本語キー"]
+    x = pd.DataFrame({"k": keys * 3, "vx": np.arange(len(keys) * 3, dtype=float)})
+    y = pd.DataFrame({"k": keys[::2], "vy": np.arange(len(keys[::2]), dtype=float)})
+    for blimit in BOTH_PATHS:
+        out = hash_join(_from_pandas(rd, x), _from_pandas(rd, y), "k", "inner",
+                        broadcast_limit_rows=blimit)
+        assert_same(out, oracle("SELECT x.*, y.vy FROM x JOIN y USING (k)", x=x, y=y))
