@@ -46,11 +46,11 @@ N_CONVS = int(os.environ.get("GRAFT_NCONVS", 0)) or \
     {"0.001": 200, "0.01": 2000, "0.1": 20_000, "1": 200_000}.get(SF, 2000)
 # --scaling uses a larger transcript input so per-CPU work dominates fixed
 # stage overheads (the sandbox stand-in for a multi-node data volume)
-# ×16 at sf0.1 → ~15M turns ≈ 3.6GB decompressed: large enough that
-# per-CPU compute dominates fixed stage costs, small enough that the
-# materialized input + shuffles stay inside the object store (spilling
-# would re-couple the measurement to the non-scaling shared disk)
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 16
+# ×32 at sf0.1 → ~29M turns ≈ 7GB decompressed: large enough that
+# per-CPU compute dominates the fixed per-pipeline floors, and — now that
+# the grouped reduce ships packed partials without the sort-shuffle —
+# small enough that the materialized input stays inside the object store
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 32
 ONLY_TRANSCRIPTS = os.environ.get("GRAFT_BENCH_ONLY", "") == "transcripts"
 # this sandbox is a noisy shared host (significant CPU steal): report the
 # best of N repeats per query so neighbor load doesn't dominate the numbers

@@ -101,6 +101,70 @@ def sketch_aggregate_grouped(ds, key: str | Sequence[str], make: Callable,
     return _bucketed_group_reduce(partials, key_cols, final)
 
 
+def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
+                          bucket_lo: int, bucket_hi: int,
+                          *blocks: pa.Table):
+    """Runs inside a Ray task: gather this bucket range's packs from every
+    map block (zero-copy from the object store), unpack, reduce per key."""
+    packs = []
+    for blk in blocks:
+        if blk.num_rows == 0:
+            continue
+        gb = np.asarray(blk.column("__gbucket"))
+        sel = (gb >= bucket_lo) & (gb < bucket_hi)
+        if sel.any():
+            packs.extend(bytes(b) for b in
+                         blk.filter(pa.array(sel)).column("pack").to_pylist())
+    if not packs:
+        return 0, None
+    tables = [pa.ipc.open_stream(pa.BufferReader(b)).read_all() for b in packs]
+    t = pa.concat_tables(tables).combine_chunks()
+    n = t.num_rows
+    h = hash_keys64(t, key_cols)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    bounds = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1, [n]])
+    states_sorted = t.column("state").combine_chunks().take(pa.array(order))
+    first_rows = order[bounds[:-1]]
+    out_cols: dict[str, list] = {}
+    for i in range(len(bounds) - 1):
+        states = states_sorted.slice(bounds[i], bounds[i + 1] - bounds[i]).to_pylist()
+        for name, value in per_key(states).items():
+            out_cols.setdefault(name, []).append(value)
+    out = t.take(pa.array(first_rows)).select(key_cols)
+    for name, values in out_cols.items():
+        out = out.append_column(name, pa.array(values))
+    return out.num_rows, out
+
+
+def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
+                         num_buckets: int = 64, num_tasks: int = 32):
+    """Reduce PACKED partials without Ray's sort-shuffle operator: the
+    ≤ blocks × buckets packed rows stay where the map stage put them;
+    each reduce task reads every map block from the object store
+    (zero-copy locally; the same all-to-all volume a shuffle would move
+    on a cluster) and keeps only its bucket range. Measured here: the
+    sort-shuffle operator costs ~2-3 s to launch regardless of row count
+    — this path replaces it with plain tasks."""
+    import ray
+    import ray.data as rd
+
+    refs = packed.to_arrow_refs()
+    if not refs:
+        return packed.drop_columns(["pack"])  # empty in, empty out
+    task = ray.remote(num_returns=2)(_reduce_packed_blocks)
+    step = max(1, num_buckets // num_tasks)
+    pairs = [task.remote(key_cols, per_key, lo, min(lo + step, num_buckets),
+                         *refs)
+             for lo in range(0, num_buckets, step)]
+    # fetch only the tiny row counts; result tables stay in the object store
+    counts = ray.get([n_ref for n_ref, _ in pairs])
+    done = [t_ref for (_, t_ref), n in zip(pairs, counts) if n > 0]
+    if not done:
+        return packed.drop_columns(["pack"])
+    return rd.from_arrow_refs(done)
+
+
 def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,
                            *, num_buckets: int = 64, state_type=None):
     """Reduce per-key partial-sketch rows without per-key task overhead:
@@ -154,9 +218,19 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
         sk = sketch_aggregate_global(ds, make, update, input_cols=cols)
         return 0.0 if sk is None else sk.estimate()
     key_cols = [key] if isinstance(key, str) else list(key)
+    finalize = lambda s: {out_col: float(s.estimate())}
+    if not salt:
+        # packed fast path: one shuffled row per (block, bucket) instead of
+        # one per (key, block) — the exchange is row-count-bound in Ray
+        in_cols = list(dict.fromkeys(key_cols + cols))
+        packed = ds.select_columns(in_cols).map_batches(
+            GroupedHllPartial(key_cols, cols, p=p, pack_buckets=64),
+            batch_format="pyarrow")
+        final = lambda states: finalize(
+            merge_all(sketch_from_bytes(bytes(b)) for b in states))
+        return _packed_group_reduce(packed, key_cols, final)
     return sketch_aggregate_grouped(
-        ds, key, make, update,
-        lambda s: {out_col: float(s.estimate())},
+        ds, key, make, update, finalize,
         input_cols=cols, salt=salt,
         partial_stage=GroupedHllPartial(key_cols, cols, p=p))
 

@@ -83,24 +83,28 @@ class GroupedHllPartial:
     then slice per-group unique value hashes into SparseHll partials
     (raw hashes while small, dense registers for hot groups). Python
     touches each *group* once for serialization only — never each row.
+
+    With ``pack_buckets=B`` the block's per-key partial rows are packed
+    into ONE Arrow-IPC blob per hash bucket — the shuffle then moves at
+    most ``blocks × B`` rows instead of one row per (key, block). Ray's
+    sort shuffle costs ~10µs PER ROW regardless of size (measured: a
+    shuffle of 320k tiny rows cost the same with and without any reduce
+    work), so packing collapses the exchange cost.
     """
 
     def __init__(self, key_cols: list[str], val_cols: list[str],
-                 p: int = 14, cap: int = 4096):
+                 p: int = 14, cap: int = 4096,
+                 pack_buckets: int | None = None):
         self.key_cols = list(key_cols)
         self.val_cols = list(val_cols)
         self.p = p
         self.cap = cap
+        self.pack_buckets = pack_buckets
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _partial_rows(self, batch: pa.Table) -> pa.Table:
         from ..state.hll import SparseHll
 
         n = batch.num_rows
-        if n == 0:
-            return pa.table(
-                {c: batch.column(c) for c in self.key_cols}
-                | {"state": pa.array([], type=pa.large_binary())}
-            )
         g = hash_keys64(batch, self.key_cols)
         v = hash_keys64(batch, self.val_cols)
         order = np.lexsort((v, g))
@@ -121,3 +125,28 @@ class GroupedHllPartial:
                                                 self.p, self.cap).to_bytes())
         out = batch.take(pa.array(first_rows)).select(self.key_cols)
         return out.append_column("state", pa.array(states, type=pa.large_binary()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            if self.pack_buckets:
+                return pa.table({"__gbucket": pa.array([], type=pa.int32()),
+                                 "pack": pa.array([], type=pa.large_binary())})
+            return pa.table(
+                {c: batch.column(c) for c in self.key_cols}
+                | {"state": pa.array([], type=pa.large_binary())}
+            )
+        rows = self._partial_rows(batch)
+        if not self.pack_buckets:
+            return rows
+        B = int(self.pack_buckets)
+        kb = (hash_keys64(rows, self.key_cols) % np.uint64(B)).astype(np.int32)
+        buckets, packs = [], []
+        for b in np.unique(kb):
+            sub = rows.filter(pa.array(kb == b))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            buckets.append(int(b))
+            packs.append(sink.getvalue().to_pybytes())
+        return pa.table({"__gbucket": pa.array(buckets, type=pa.int32()),
+                         "pack": pa.array(packs, type=pa.large_binary())})
