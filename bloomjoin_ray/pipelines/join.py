@@ -7,11 +7,13 @@ Two physical join strategies, chosen automatically:
   once, ``ray.put`` into the object store, and every ``map_batches`` task
   joins its Arrow block against it zero-copy. No shuffle. Used for
   inner/left/semi/anti when the right side fits the broadcast budget.
-* **Partitioned** (both sides large): both sides are tagged and bucketed by
-  the canonical 32-bit key hash (``bucket = uint32(hash_keys32(keys)) % B``),
-  union'ed, hash-shuffled with ``groupby("__bucket")``, and each bucket is
-  joined with ``pyarrow.Table.join`` (Acero) inside ``map_groups``. One
-  all-to-all exchange, co-partitioning both sides in a single shuffle.
+* **Partitioned** (both sides large): both sides are bucketed by the
+  canonical 32-bit key hash (``bucket = uint32(hash_keys32(keys)) % B``);
+  each map block emits one Arrow-IPC pack per bucket, and reduce tasks
+  read every map block from the object store to join their bucket range
+  with ``pyarrow.Table.join`` (Acero). One all-to-all exchange carrying
+  the same volume a shuffle would, without the sort-shuffle operator's
+  row-count-independent launch cost (measured ~2-3 s in Ray local mode).
   Supports all six join types natively.
 
 Semantics follow the reference (= dplyr):
