@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -277,8 +278,15 @@ def run_scaling(lo: int, hi: int) -> dict:
                    GRAFT_BENCH_ONLY="transcripts",
                    GRAFT_BENCH_REPEATS=os.environ.get(
                        "GRAFT_SCALING_REPEATS", "3"))
-        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             env=env, capture_output=True, text=True, check=True)
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if shutil.which("taskset"):
+            # pin the whole process tree to exactly ncpu cores: otherwise
+            # the low level's worker background threads borrow the host's
+            # idle cores and flatter it (a real ncpu-node cluster has no
+            # such spare capacity)
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     _ensure_transcripts_subproc(SCALING_CONVS)
