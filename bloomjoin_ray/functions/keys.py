@@ -35,6 +35,12 @@ import pyarrow as pa
 U64 = np.uint64
 
 SEED = U64(0x726F626F746F726F)
+# Independent accumulator seed for the grouping collision guard: group
+# reduces sort/split on the (SEED, ALT_SEED) hash PAIR, so two distinct
+# keys merge only if both 64-bit hashes collide (~2^-128 per pair —
+# negligible even at 10^12 keys, vs the birthday-expected collisions a
+# single 64-bit hash has at ~10^9+ distinct keys).
+ALT_SEED = U64(0xA076_1D64_78BD_642F)
 TAG_NUM = U64(0x9AE16A3B2F90404F)
 TAG_CHR = U64(0x8A5CD789635D2DFF)
 NA_SENTINEL = U64(0xD1B54A32D192ED03)
@@ -190,14 +196,17 @@ def _is_stringish(t: pa.DataType) -> bool:
     )
 
 
-def hash_keys64(table: pa.Table | pa.RecordBatch, by: list[str]) -> np.ndarray:
-    """64-bit composite key hash, one uint64 per row; column order matters."""
+def hash_keys64(table: pa.Table | pa.RecordBatch, by: list[str],
+                seed: np.uint64 = SEED) -> np.ndarray:
+    """64-bit composite key hash, one uint64 per row; column order matters.
+    ``seed=ALT_SEED`` gives an independent second hash of the same keys
+    (the grouping collision guard)."""
     if isinstance(by, str):
         by = [by]
     if not by:
         raise ValueError("`by` must contain at least one column.")
     n = table.num_rows
-    acc = np.full(n, SEED, dtype=np.uint64)
+    acc = np.full(n, seed, dtype=np.uint64)
     for name in by:
         if name not in table.schema.names:
             raise KeyError(f"Join column not found: {name}")

@@ -22,7 +22,7 @@ from typing import Callable, Sequence
 import numpy as np
 import pyarrow as pa
 
-from ..functions.keys import hash_keys64
+from ..functions.keys import ALT_SEED, hash_keys64
 from ..state.base import merge_all, sketch_from_bytes
 from ..state.cms import CountMinSketch
 from ..state.hll import HllSketch
@@ -101,6 +101,20 @@ def sketch_aggregate_grouped(ds, key: str | Sequence[str], make: Callable,
     return _bucketed_group_reduce(partials, key_cols, final)
 
 
+def _key_group_bounds(t: pa.Table, key_cols: list[str]):
+    """(order, bounds) splitting rows into equal-key groups. Keys are
+    identified by the (SEED, ALT_SEED) 64-bit hash PAIR — two distinct
+    keys merge only if both hashes collide (~2^-128/pair), closing the
+    silent single-hash birthday merge at 10^9+ distinct keys."""
+    n = t.num_rows
+    h1 = hash_keys64(t, key_cols)
+    h2 = hash_keys64(t, key_cols, seed=ALT_SEED)
+    order = np.lexsort((h2, h1))
+    d = (np.diff(h1[order]) != 0) | (np.diff(h2[order]) != 0)
+    bounds = np.concatenate([[0], np.nonzero(d)[0] + 1, [n]])
+    return order, bounds
+
+
 def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
                           bucket_lo: int, bucket_hi: int,
                           *blocks: pa.Table):
@@ -119,11 +133,7 @@ def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
         return 0, None
     tables = [pa.ipc.open_stream(pa.BufferReader(b)).read_all() for b in packs]
     t = pa.concat_tables(tables).combine_chunks()
-    n = t.num_rows
-    h = hash_keys64(t, key_cols)
-    order = np.argsort(h, kind="stable")
-    hs = h[order]
-    bounds = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1, [n]])
+    order, bounds = _key_group_bounds(t, key_cols)
     states_sorted = t.column("state").combine_chunks().take(pa.array(order))
     first_rows = order[bounds[:-1]]
     out_cols: dict[str, list] = {}
@@ -138,30 +148,43 @@ def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
 
 
 def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
-                         num_buckets: int = 64, num_tasks: int = 32):
-    """Reduce PACKED partials without Ray's sort-shuffle operator: the
-    ≤ blocks × buckets packed rows stay where the map stage put them;
-    each reduce task reads every map block from the object store
-    (zero-copy locally; the same all-to-all volume a shuffle would move
-    on a cluster) and keeps only its bucket range. Measured here: the
-    sort-shuffle operator costs ~2-3 s to launch regardless of row count
-    — this path replaces it with plain tasks."""
+                         num_buckets: int = 64, num_tasks: int = 32,
+                         empty_schema: pa.Schema | None = None):
+    """Reduce PACKED partials without Ray's sort-shuffle operator (whose
+    launch cost, ~2-3 s measured, is independent of row count): the map
+    stage's packed blocks are split by per-block tasks into one object
+    per reducer group (``split_refs_by_group``), and each reduce task's
+    arguments reference ONLY its bucket range — true-shuffle network
+    volume on a cluster, plain-task latency locally.
+
+    ``empty_schema`` is the output schema to use when no group produced
+    rows (key columns + the per_key output columns); a zero-arg callable
+    is evaluated only on the empty path (it may cost a partial
+    execution for derived inputs)."""
     import ray
     import ray.data as rd
+    from .exchange import split_refs_by_group
+
+    def empty():
+        if empty_schema is not None:
+            schema = empty_schema() if callable(empty_schema) else empty_schema
+            return rd.from_arrow(schema.empty_table())
+        return packed.drop_columns(["pack", "__gbucket"])
 
     refs = packed.to_arrow_refs()
     if not refs:
-        return packed.drop_columns(["pack"])  # empty in, empty out
-    task = ray.remote(num_returns=2)(_reduce_packed_blocks)
+        return empty()
     step = max(1, num_buckets // num_tasks)
+    parts = split_refs_by_group(refs, "__gbucket", num_buckets, step)
+    task = ray.remote(num_returns=2)(_reduce_packed_blocks)
     pairs = [task.remote(key_cols, per_key, lo, min(lo + step, num_buckets),
-                         *refs)
-             for lo in range(0, num_buckets, step)]
+                         *parts[g])
+             for g, lo in enumerate(range(0, num_buckets, step))]
     # fetch only the tiny row counts; result tables stay in the object store
     counts = ray.get([n_ref for n_ref, _ in pairs])
     done = [t_ref for (_, t_ref), n in zip(pairs, counts) if n > 0]
     if not done:
-        return packed.drop_columns(["pack"])
+        return empty()
     return rd.from_arrow_refs(done)
 
 
@@ -179,11 +202,7 @@ def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,
         return batch.append_column("__gbucket", pa.array(b))
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        h = hash_keys64(group, key_cols)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        bounds = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1, [n]])
+        order, bounds = _key_group_bounds(group, key_cols)
         states_sorted = group.column("state").combine_chunks().take(pa.array(order))
         first_rows = order[bounds[:-1]]
         out_cols: dict[str, list] = {}
@@ -223,12 +242,21 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
         # packed fast path: one shuffled row per (block, bucket) instead of
         # one per (key, block) — the exchange is row-count-bound in Ray
         in_cols = list(dict.fromkeys(key_cols + cols))
-        packed = ds.select_columns(in_cols).map_batches(
+        ds = ds.select_columns(in_cols)
+        packed = ds.map_batches(
             GroupedHllPartial(key_cols, cols, p=p, pack_buckets=64),
             batch_format="pyarrow")
         final = lambda states: finalize(
             merge_all(sketch_from_bytes(bytes(b)) for b in states))
-        return _packed_group_reduce(packed, key_cols, final)
+
+        def empty_schema():
+            from .join import _to_arrow_schema
+            in_schema = _to_arrow_schema(ds.schema())
+            return pa.schema([in_schema.field(c) for c in key_cols]
+                             + [pa.field(out_col, pa.float64())])
+
+        return _packed_group_reduce(packed, key_cols, final,
+                                    empty_schema=empty_schema)
     return sketch_aggregate_grouped(
         ds, key, make, update, finalize,
         input_cols=cols, salt=salt,

@@ -1,0 +1,65 @@
+"""Pack-exchange plumbing shared by the partitioned join and the grouped
+sketch reduce.
+
+The map stage of a packed exchange emits, per input block, a tiny table
+of ``{bucket_col: int32, pack: large_binary}`` rows (one Arrow-IPC blob
+per key-hash bucket). Reducers must each receive the packs of their
+bucket range only. A naive formulation hands every reducer every map
+block and filters inside the task — zero-copy in single-node shared
+memory, but on a cluster each map block would be fetched by every
+reducer node (G× the network volume of a true shuffle).
+
+``split_refs_by_group`` restores shuffle-volume semantics: one cheap
+task per map block (scheduled next to the block by locality) slices the
+packed table into one object **per reducer group** via
+``num_returns=G``; reducer ``g`` then references only slice ``g`` of
+each block — the same per-link volume a hash shuffle would move, with
+none of Ray local's sort-shuffle operator launch cost (~2-3 s measured,
+independent of row count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _split_block_by_group(bucket_col: str, step: int, num_groups: int, blk):
+    """Slice one packed map block into per-reducer-group sub-tables.
+
+    Group of a bucket is ``bucket // step`` — the same mapping the
+    reducers use for their ``[g*step, (g+1)*step)`` ranges.
+    """
+    if not isinstance(blk, pa.Table):
+        blk = pa.Table.from_pandas(blk)
+    if blk.num_rows == 0:
+        parts = [blk] * num_groups
+    else:
+        gb = np.asarray(blk.column(bucket_col)) // step
+        parts = [blk.filter(pa.array(gb == g)) for g in range(num_groups)]
+    return parts[0] if num_groups == 1 else tuple(parts)
+
+
+def split_refs_by_group(refs, bucket_col: str, num_buckets: int,
+                        step: int) -> list[list]:
+    """refs of packed map blocks → ``parts[g]`` = per-block refs holding
+    ONLY group ``g``'s bucket range ``[g*step, (g+1)*step)``.
+
+    Returns a list of ``ceil(num_buckets / step)`` ref lists. Each split
+    task reads its map block zero-copy and emits ``num_groups`` objects,
+    so a reducer's task arguments reference nothing outside its range.
+    """
+    import ray
+
+    num_groups = (num_buckets + step - 1) // step
+    task = ray.remote(_split_block_by_group)
+    parts: list[list] = [[] for _ in range(num_groups)]
+    for r in refs:
+        if num_groups == 1:
+            parts[0].append(task.remote(bucket_col, step, 1, r))
+        else:
+            out = task.options(num_returns=num_groups).remote(
+                bucket_col, step, num_groups, r)
+            for g in range(num_groups):
+                parts[g].append(out[g])
+    return parts

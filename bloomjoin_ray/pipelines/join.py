@@ -319,14 +319,16 @@ def _pack_by_bucket(table: pa.Table) -> pa.Table:
 def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
                       num_buckets: int):
     """Both sides large: each side's map stage emits ONE packed Arrow-IPC
-    blob per (block, bucket); reduce tasks read every map block from the
-    object store (the same all-to-all volume a shuffle would move on a
-    cluster) and join their bucket range with pyarrow. This sidesteps
-    Ray local's sort-shuffle operator, whose launch cost (~2-3 s) is
-    independent of row count, and removes the union/null-padding the
-    shuffle formulation needed."""
+    blob per (block, bucket); per-block split tasks slice the packed
+    blocks into one object per reducer group, so each reduce task's
+    arguments reference ONLY its bucket range — true-shuffle network
+    volume on a cluster. This sidesteps Ray local's sort-shuffle
+    operator, whose launch cost (~2-3 s) is independent of row count,
+    and removes the union/null-padding the shuffle formulation needed."""
     import ray
     import ray.data as rd
+
+    from .exchange import split_refs_by_group
 
     def prep_x(batch: pa.Table) -> pa.Table:
         return _pack_by_bucket(layout.x_table(batch, na_matches, num_buckets))
@@ -343,12 +345,16 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     ser_x = schema_x.serialize().to_pybytes()
     ser_y = schema_y.serialize().to_pybytes()
 
-    task = ray.remote(num_returns=2)(_reduce_join_buckets)
     num_tasks = min(num_buckets, 32)
     step = max(1, num_buckets // num_tasks)
-    pairs = [task.remote(layout, lo, min(lo + step, num_buckets),
-                         ser_x, ser_y, len(x_refs), *x_refs, *y_refs)
-             for lo in range(0, num_buckets, step)]
+    x_parts = split_refs_by_group(x_refs, "__bucket", num_buckets, step)
+    y_parts = split_refs_by_group(y_refs, "__bucket", num_buckets, step)
+
+    task = ray.remote(num_returns=2)(_reduce_join_buckets)
+    layout_ref = ray.put(layout)
+    pairs = [task.remote(layout_ref, lo, min(lo + step, num_buckets),
+                         ser_x, ser_y, len(x_refs), *x_parts[g], *y_parts[g])
+             for g, lo in enumerate(range(0, num_buckets, step))]
     counts = ray.get([n for n, _ in pairs])
     done = [t for (_, t), n in zip(pairs, counts) if n > 0]
     if not done:

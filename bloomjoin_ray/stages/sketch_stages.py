@@ -15,8 +15,21 @@ from typing import Callable
 import numpy as np
 import pyarrow as pa
 
-from ..functions.keys import hash_keys64
+from ..functions.keys import ALT_SEED, hash_keys64
 from ..state.base import merge_all, sketch_from_bytes
+
+
+def _group_order_bounds(batch: pa.Table, key_cols: list[str]):
+    """(order, group-start bounds) over the (SEED, ALT_SEED) hash pair —
+    the same collision guard the reduces use: distinct keys end up in one
+    partial only if BOTH 64-bit hashes collide (~2^-128 per pair)."""
+    h1 = hash_keys64(batch, key_cols)
+    h2 = hash_keys64(batch, key_cols, seed=ALT_SEED)
+    order = np.lexsort((h2, h1))
+    hs1, hs2 = h1[order], h2[order]
+    d = (hs1[1:] != hs1[:-1]) | (hs2[1:] != hs2[:-1])
+    bounds = np.concatenate([[0], np.nonzero(d)[0] + 1])
+    return order, bounds
 
 
 class GlobalSketchPartial:
@@ -53,12 +66,7 @@ class GroupedSketchPartial:
                 {c: batch.column(c) for c in self.key_cols}
                 | {"state": pa.array([], type=pa.large_binary())}
             )
-        h = hash_keys64(batch, self.key_cols)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        # NB: uint64 + python int promotes to float64 and can round away a
-        # prepend sentinel — build boundaries explicitly instead
-        bounds = np.concatenate([[0], np.nonzero(np.diff(hs))[0] + 1])
+        order, bounds = _group_order_bounds(batch, self.key_cols)
         first_rows = order[bounds]
         states = []
         for gi, start in enumerate(bounds):
@@ -106,12 +114,13 @@ class GroupedHllPartial:
 
         n = batch.num_rows
         g = hash_keys64(batch, self.key_cols)
+        g2 = hash_keys64(batch, self.key_cols, seed=ALT_SEED)  # collision guard
         v = hash_keys64(batch, self.val_cols)
-        order = np.lexsort((v, g))
-        gs, vs = g[order], v[order]
+        order = np.lexsort((v, g2, g))
+        gs, g2s, vs = g[order], g2[order], v[order]
         new_group = np.empty(n, dtype=bool)
         new_group[0] = True
-        np.not_equal(gs[1:], gs[:-1], out=new_group[1:])
+        new_group[1:] = (gs[1:] != gs[:-1]) | (g2s[1:] != g2s[:-1])
         new_pair = new_group | np.concatenate([[True], vs[1:] != vs[:-1]])
         first_rows = order[new_group]
         dv = vs[new_pair]                       # unique value hashes, grouped

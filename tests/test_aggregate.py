@@ -124,3 +124,48 @@ def test_empty_dataset(ray_session):
                                     "v": pa.array([], type=pa.float64())}))
     assert hll_distinct(empty, "k") == 0.0
     assert np.isnan(approx_quantiles(empty, "v", [0.5])).all()
+
+
+def test_split_refs_by_group_slices_only_own_buckets(ray_session):
+    """Per-bucket exchange contract: a reducer's task arguments reference
+    ONLY objects holding its bucket range — the split stage must route
+    each packed row to exactly one group slice."""
+    import ray
+
+    from bloomjoin_ray.pipelines.exchange import split_refs_by_group
+
+    num_buckets, step = 64, 2  # 32 reducer groups
+    rng = np.random.default_rng(7)
+    blocks = []
+    for _ in range(3):
+        buckets = rng.integers(0, num_buckets, size=40).astype(np.int32)
+        blocks.append(pa.table({
+            "__gbucket": pa.array(buckets),
+            "pack": pa.array([bytes([b]) for b in buckets],
+                             type=pa.large_binary()),
+        }))
+    refs = [ray.put(b) for b in blocks]
+    parts = split_refs_by_group(refs, "__gbucket", num_buckets, step)
+    assert len(parts) == num_buckets // step
+    total = 0
+    for g, group_refs in enumerate(parts):
+        assert len(group_refs) == len(blocks)  # one slice per map block
+        for sl in ray.get(list(group_refs)):
+            gb = np.asarray(sl.column("__gbucket"))
+            assert ((gb >= g * step) & (gb < (g + 1) * step)).all()
+            total += sl.num_rows
+    assert total == sum(b.num_rows for b in blocks)  # nothing dropped/duped
+
+
+def test_hll_grouped_empty_schema(ray_session):
+    """Empty input → empty Dataset with the proper [key, out_col] schema
+    (not the internal packed columns)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                    "v": pa.array([], type=pa.string())}))
+    out = hll_distinct(empty, "v", key="k")
+    assert out.schema().names == ["k", "distinct_est"]
+    assert out.count() == 0
