@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .keys import fnv1a64_strings, splitmix64
+
 _WS_RE = re.compile(r"\s+")
 _PUNCT_SET = ".,;:!?"
 
@@ -112,32 +114,110 @@ def content_hash64(texts) -> np.ndarray:
     """Stable 64-bit content hash (first 8 bytes of sha1 over UTF-8) —
     the exact-dedup key. hashlib is C-speed per string; for long document
     text this beats a position-wise vectorized hash."""
-    out = np.empty(len(texts), dtype=np.uint64)
+    return content_hash128(texts)[0]
+
+
+def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) 64-bit halves of the sha1 content hash — one digest pass,
+    two independent 64-bit views. Dedup groups on the PAIR, so two
+    distinct documents merge only if 128 hash bits collide (~2^-128 per
+    pair), closing the single-hash birthday merge at 10^9+ docs."""
+    lo = np.empty(len(texts), dtype=np.uint64)
+    hi = np.empty(len(texts), dtype=np.uint64)
     for i, t in enumerate(_strings_to_list(texts)):
         b = b"\x00" if t is None else t.encode("utf-8", "surrogatepass")
-        out[i] = np.frombuffer(hashlib.sha1(b).digest()[:8], dtype=np.uint64)[0]
+        d = hashlib.sha1(b).digest()
+        pair = np.frombuffer(d[:16], dtype=np.uint64)
+        lo[i], hi[i] = pair[0], pair[1]
+    return lo, hi
+
+
+def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a whole batch and hash every token — fully
+    vectorized: one Arrow lower+split pass, then the position-wise FNV-1a
+    kernel over the flattened token array (O(total bytes), no per-token
+    Python), finished with splitmix64 for uniform bits.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
+    are doc *i*'s token hashes (empty tokens dropped, matching
+    ``str.split()``; null text ⇒ zero tokens).
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(texts, "")),
+                                  r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    doc_offs = np.asarray(toks.offsets).astype(np.int64)
+    doc_offs = doc_offs - doc_offs[0]
+    flat = toks.flatten()
+    h = splitmix64(fnv1a64_strings(flat))
+    # regex split keeps empty pieces at the edges — drop them like
+    # str.split() does, remapping the per-doc offsets
+    keep = np.asarray(pc.binary_length(flat)) > 0
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    return h[keep], kept_cum[doc_offs]
+
+
+def simhash64_batch(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """SimHash fingerprint of every doc in one vectorized pass: unpack
+    the flat token-hash array to a (tokens, 64) bit matrix, per-doc
+    segment-sum via ``np.add.reduceat``, then set bit *b* where
+    ``votes_b = 2·count_b − n_tokens > 0``. No per-doc or per-bit
+    Python-level passes. Empty docs fingerprint to 0."""
+    ntok = np.diff(offsets)
+    nd = len(ntok)
+    if len(hashes) == 0 or nd == 0:
+        return np.zeros(nd, dtype=np.uint64)
+    bits = np.unpackbits(hashes[:, None].view(np.uint8), axis=1,
+                         bitorder="little")          # (tokens, 64)
+    starts = np.minimum(offsets[:-1], len(hashes) - 1).astype(np.int64)
+    cnt = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    pos = 2 * cnt > ntok[:, None]
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out = (pos.astype(np.uint64) * powers).sum(axis=1, dtype=np.uint64)
+    out[ntok == 0] = 0  # reduceat yields a stray row for empty segments
     return out
+
+
+_EMPTY_TOKEN_HASH = splitmix64(np.uint64(1469598103934665603))  # FNV basis
+
+
+def _rolling_ngram_hashes(hs: np.ndarray, n: int) -> np.ndarray:
+    """Rolling word-n-gram hashes of one doc's token-hash sequence,
+    padded with the empty-token hash when shorter than ``n``."""
+    if len(hs) < n:
+        hs = np.concatenate([hs, np.full(n - len(hs), _EMPTY_TOKEN_HASH,
+                                         dtype=np.uint64)])
+    m = len(hs) - n + 1
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        acc = hs[:m].copy()
+        for j in range(1, n):
+            acc = acc * prime ^ hs[j : m + j]
+    return acc
 
 
 def fingerprint64(texts, window: int = 4) -> np.ndarray:
     """Order-sensitive document fingerprint: min-of-rolling-hash over word
     ``window``-grams (a winnowing-style signature). Equal fingerprints ⇒
-    likely shared passages; used as a cheap near-dup pre-cluster key."""
-    prime = np.uint64(1099511628211)
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(_strings_to_list(texts)):
-        if not t:
+    likely shared passages; used as a cheap near-dup pre-cluster key.
+
+    Token hashing is the batch-vectorized FNV kernel (one pass over the
+    whole batch's bytes); only the tiny per-doc rolling-min remains a
+    Python-level loop."""
+    th, offs = batch_token_hashes(texts)
+    is_empty = np.asarray(pc.binary_length(
+        pc.fill_null(texts if isinstance(texts, (pa.Array, pa.ChunkedArray))
+                     else pa.array(_strings_to_list(texts), type=pa.string()),
+                     ""))) == 0
+    out = np.empty(len(offs) - 1, dtype=np.uint64)
+    for i in range(len(out)):
+        if is_empty[i]:
             out[i] = 0
             continue
-        toks = _WS_RE.split(t.strip().lower())
-        if len(toks) < window:
-            toks = toks + [""] * (window - len(toks))
-        hs = np.array([np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
-                       for w in toks], dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            acc = hs[: len(hs) - window + 1].copy()
-            for j in range(1, window):
-                acc = acc * prime ^ hs[j : len(hs) - window + 1 + j]
+        acc = _rolling_ngram_hashes(th[offs[i]:offs[i + 1]], window)
         out[i] = acc.min() if acc.size else 0
     return out
 
@@ -145,21 +225,12 @@ def fingerprint64(texts, window: int = 4) -> np.ndarray:
 def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
     """Word n-gram hash set (uint64) of one document — the right shingle
     granularity for small-vocabulary corpora where every character
-    k-shingle is document-frequency-pruned away."""
+    k-shingle is document-frequency-pruned away. Token hashing uses the
+    vectorized FNV kernel (no per-token Python hashing)."""
     if not text:
         return np.empty(0, dtype=np.uint64)
-    toks = _WS_RE.split(text.strip().lower())
-    if len(toks) < n:
-        toks = toks + [""] * (n - len(toks))
-    hs = np.array([np.uint64(int(hashlib.blake2b(w.encode(), digest_size=8).hexdigest(), 16))
-                   for w in toks], dtype=np.uint64)
-    m = len(hs) - n + 1
-    with np.errstate(over="ignore"):
-        acc = hs[:m].copy()
-        prime = np.uint64(1099511628211)
-        for j in range(1, n):
-            acc = acc * prime ^ hs[j : m + j]
-    return np.unique(acc)
+    hs, _ = batch_token_hashes(pa.array([text], type=pa.string()))
+    return np.unique(_rolling_ngram_hashes(hs, n))
 
 
 def shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:

@@ -1,9 +1,9 @@
 """Deduplication pipelines for training-data curation.
 
-* ``exact_dedup`` — hash-partition on a 64-bit content hash, keep the
-  first row (min order column) per identical content. The shuffle carries
-  only one hash column extra; groups verify actual content so a hash
-  collision can never merge two distinct documents.
+* ``exact_dedup`` — hash-partition on the 128-bit sha1 content-hash
+  pair, one vectorized keep-first (min order column) per bucket. Two
+  distinct documents merge only if both 64-bit halves collide
+  (~2^-128 per pair).
 * ``minhash_lsh_pairs`` / ``minhash_dedup`` — shingle → MinHash signature
   → LSH band explosion → ``groupby(band, band_hash)`` bucket join →
   candidate pairs with signature-estimated Jaccard → threshold →
@@ -21,39 +21,53 @@ shingles are explicitly df-pruned.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.text import content_hash64, shingle_hashes
-from ..state.minhash import (
-    band_hashes,
-    hamming64,
-    minhash_signature,
-    signature_jaccard,
-    simhash64,
-)
+from ..state.minhash import hamming64, signature_jaccard
 
 
 # ------------------------------------------------------------- exact ----
 
-def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id"):
-    """Keep one row (min ``order_col``) per distinct ``text_col`` value."""
+def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
+                num_buckets: int = 64):
+    """Keep one row (min ``order_col``) per distinct ``text_col`` value.
+
+    Scale shape: content hashes route into ``num_buckets`` buckets, ONE
+    vectorized keep-first per bucket (pyarrow sort + boundary mask) —
+    Python never touches individual documents. Documents are identified
+    by the 128-bit sha1 hash pair, so two distinct texts merge only if
+    both 64-bit halves collide (~2^-128 per pair). (The earlier
+    ``groupby(content_hash)`` formulation paid one pandas call per
+    distinct document.)
+    """
+    from ..functions.text import content_hash128
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = content_hash64(batch.column(text_col))
-        return batch.append_column("__chash", pa.array(h.view(np.int64)))
+        lo, hi = content_hash128(batch.column(text_col))
+        b = (lo % np.uint64(num_buckets)).astype(np.int32)
+        return (batch.append_column("__ch1", pa.array(lo.view(np.int64)))
+                     .append_column("__ch2", pa.array(hi.view(np.int64)))
+                     .append_column("__gbucket", pa.array(b)))
 
     def keep_first(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        idx = df.groupby(text_col, sort=False)[order_col].idxmin()
-        out = df.loc[sorted(idx)].drop(columns="__chash")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        drop = ["__ch1", "__ch2", "__gbucket"]
+        if group.num_rows == 0:
+            return group.drop_columns(drop)
+        idx = np.asarray(pc.sort_indices(group, sort_keys=[
+            ("__ch1", "ascending"), ("__ch2", "ascending"),
+            (order_col, "ascending")]))
+        h1 = np.asarray(group.column("__ch1"))[idx]
+        h2 = np.asarray(group.column("__ch2"))[idx]
+        first = np.empty(len(idx), dtype=bool)
+        first[0] = True
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        return group.take(pa.array(idx[first])).drop_columns(drop)
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("__chash")
+              .groupby("__gbucket")
               .map_groups(keep_first, batch_format="pyarrow"))
 
 
@@ -68,27 +82,22 @@ class _MinHashStage:
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..state.minhash import minhash_signatures_batch
+        from ..state.minhash import band_hashes_batch, minhash_signatures_batch
 
         texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
+        n = len(texts)
         sigs = minhash_signatures_batch(
             [shingle_hashes(t, self.k) for t in texts], self.num_perm)
-        band_col, bhash_col, id_col, sig_col = [], [], [], []
-        for i in range(len(texts)):
-            sig = sigs[i]
-            bh = band_hashes(sig, self.bands)
-            blob = sig.tobytes()
-            for b in range(self.bands):
-                band_col.append(b)
-                bhash_col.append(int(bh[b].view(np.int64)))
-                id_col.append(ids[i])
-                sig_col.append(blob)
+        bh = band_hashes_batch(sigs, self.bands)      # (n, bands), vectorized
+        blobs = [s.tobytes() for s in sigs]
+        idx = np.repeat(np.arange(n), self.bands)
+        ids = batch.column(self.id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
         return pa.table({
-            "band": pa.array(band_col, type=pa.int32()),
-            "bhash": pa.array(bhash_col, type=pa.int64()),
-            self.id_col: pa.array(id_col),
-            "sig": pa.array(sig_col, type=pa.large_binary()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "bhash": pa.array(bh.reshape(-1).view(np.int64)),
+            self.id_col: ids.take(pa.array(idx)),
+            "sig": pa.array([blobs[i] for i in idx], type=pa.large_binary()),
         })
 
 
@@ -115,7 +124,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                     a_col.append(uids[i])
                     b_col.append(uids[j])
                     j_col.append(est)
-        return pa.table({"id_a": a_col, "id_b": b_col,
+        id_type = group.column(id_col).type
+        return pa.table({"id_a": pa.array(a_col, type=id_type),
+                         "id_b": pa.array(b_col, type=id_type),
                          "est_jaccard": pa.array(j_col, type=pa.float64())})
 
     def first_per_pair(group: pa.Table) -> pa.Table:
@@ -157,12 +168,13 @@ def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id"):
     pair_rows = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
     cluster = _union_find_clusters([(r["id_a"], r["id_b"]) for r in pair_rows])
     drop = {x for x, root in cluster.items() if root != x}
-    drop_ref = ray.put(drop)
+    if not drop:
+        return ds
+    drop_ref = ray.put(pa.array(sorted(drop)))
 
     def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in d for i in ids])
+        d = ray.get(drop_ref)  # zero-copy Arrow array from the store
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -181,31 +193,31 @@ def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 # ----------------------------------------------------------- simhash ----
 
 class _SimHashStage:
-    """Per-batch: 64-bit SimHash per doc → 4 rows (16-bit band buckets)."""
+    """Per-batch: 64-bit SimHash per doc → 4 rows (16-bit band buckets).
+
+    Fully vectorized: one Arrow tokenize+FNV pass over the whole batch
+    (``batch_token_hashes``) and a 64-cumsum SimHash
+    (``simhash64_batch``) — no per-doc or per-token Python hashing."""
 
     def __init__(self, text_col, id_col):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        ids = batch.column(self.id_col).to_pylist()
-        band_col, bucket_col, id_col, fp_col = [], [], [], []
-        for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
-            th = np.array([np.frombuffer(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                dtype=np.uint64)[0] for w in toks], dtype=np.uint64)
-            fp = simhash64(th)
-            for b in range(4):
-                band_col.append(b)
-                bucket_col.append(int((int(fp) >> (16 * b)) & 0xFFFF))
-                id_col.append(ids[i])
-                fp_col.append(int(np.uint64(fp).view(np.int64)))
+        from ..functions.text import batch_token_hashes, simhash64_batch
+
+        th, offs = batch_token_hashes(batch.column(self.text_col))
+        fps = simhash64_batch(th, offs)
+        n = len(fps)
+        fp_rep = np.repeat(fps, 4)
+        shift = np.tile((np.arange(4) * 16).astype(np.uint64), n)
+        bucket = ((fp_rep >> shift) & np.uint64(0xFFFF)).astype(np.int32)
+        ids = batch.column(self.id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
         return pa.table({
-            "band": pa.array(band_col, type=pa.int32()),
-            "bucket": pa.array(bucket_col, type=pa.int32()),
-            self.id_col: pa.array(id_col),
-            "fp": pa.array(fp_col, type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "bucket": pa.array(bucket),
+            self.id_col: ids.take(pa.array(np.repeat(np.arange(n), 4))),
+            "fp": pa.array(fp_rep.view(np.int64)),
         })
 
 
@@ -229,7 +241,9 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                     a_col.append(uids[i])
                     b_col.append(uids[j])
                     h_col.append(hd)
-        return pa.table({"id_a": a_col, "id_b": b_col,
+        id_type = group.column(id_col).type
+        return pa.table({"id_a": pa.array(a_col, type=id_type),
+                         "id_b": pa.array(b_col, type=id_type),
                          "hamming": pa.array(h_col, type=pa.int32())})
 
     pairs = (ds.select_columns([id_col, text_col])
@@ -251,78 +265,96 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                         shingle_k: int = 5, threshold: float = 0.5,
                         max_df: int = 256, shingle_fn=None):
-    """Exact Jaccard ≥ threshold pairs via a shingle inverted index.
+    """Exact-Jaccard ≥ threshold pairs over the **df-pruned shingle
+    universe** via an inverted index.
 
     Per-batch explode (shingle, id); shingles occurring in > ``max_df``
     docs are dropped (df-pruning — a shingle shared by everything carries
-    no near-dup signal but would blow the bucket up quadratically).
+    no near-dup signal but would blow the bucket up quadratically). Both
+    the co-count AND the per-doc set sizes are computed over the same
+    pruned universe, so the reported Jaccard is exact for that universe
+    (a pair sharing ONLY pruned shingles is not reported, by design).
+
+    Scale shape: one ``groupby(shingle)`` pass emits, per surviving
+    shingle, its candidate pairs plus one (id, id) self-pair per posting;
+    a single pair-count aggregate then yields co-counts for real pairs
+    and pruned-universe sizes from the self-pairs — no driver-side
+    materialization of any per-doc structure. Sizes join back onto the
+    candidate pairs with the engine's own hash join (broadcast when
+    small).
+
     ``shingle_fn(text) -> uint64 set`` overrides the default char
     k-shingling (e.g. ``word_ngram_hashes`` for small-vocab corpora).
     Returns Dataset[id_a, id_b, jaccard].
     """
-    import ray
-
     mk = shingle_fn or (lambda t: shingle_hashes(t, shingle_k))
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        sh_col, id_out, size_col = [], [], []
+        sh_col, id_out = [], []
         for i, t in enumerate(texts):
             sh = mk(t)
             sh_col.append(sh.view(np.int64))
             id_out.extend([ids[i]] * len(sh))
-            size_col.append(len(sh))
         return pa.table({
             "shingle": pa.array(np.concatenate(sh_col) if sh_col else [], type=pa.int64()),
             id_col: pa.array(id_out),
         })
 
-    # per-doc set sizes, broadcast for the final jaccard
-    def sizes(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        return pa.table({
-            id_col: pa.array(ids),
-            "size": pa.array([len(mk(t)) for t in texts], type=pa.int64()),
-        })
-
-    size_rows = ds.select_columns([id_col, text_col]).map_batches(
-        sizes, batch_format="pyarrow").take_all()
-    size_map = {r[id_col]: r["size"] for r in size_rows}
-    size_ref = ray.put(size_map)
-
-    def co_pairs(group: pa.Table) -> pa.Table:
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        """One shingle's postings → its i<j candidate pairs + one (id, id)
+        self-pair per posting (the pruned-universe size contributions)."""
+        id_type = group.column(id_col).type
         ids = sorted(set(group.column(id_col).to_pylist()))
-        if len(ids) > max_df or len(ids) < 2:
-            return pa.table({"id_a": pa.array([], type=group.column(id_col).type),
-                             "id_b": pa.array([], type=group.column(id_col).type)})
-        a_col, b_col = [], []
+        if len(ids) > max_df:
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type)})
+        a_col, b_col = list(ids), list(ids)  # self-pairs: size contributions
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_col.append(ids[i])
                 b_col.append(ids[j])
-        return pa.table({"id_a": a_col, "id_b": b_col})
+        return pa.table({"id_a": pa.array(a_col, type=id_type),
+                         "id_b": pa.array(b_col, type=id_type)})
 
     from ray.data.aggregate import Count
 
-    co = (ds.select_columns([id_col, text_col])
-            .map_batches(explode, batch_format="pyarrow")
-            .groupby("shingle")
-            .map_groups(co_pairs, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="co")))
+    counts = (ds.select_columns([id_col, text_col])
+                .map_batches(explode, batch_format="pyarrow")
+                .groupby("shingle")
+                .map_groups(emit_pairs, batch_format="pyarrow")
+                .groupby(["id_a", "id_b"])
+                .aggregate(Count(alias_name="co"))
+                .materialize())  # candidate pairs + one size row per doc
+
+    def split_pairs(batch: pa.Table) -> pa.Table:
+        self_m = pc.equal(batch.column("id_a"), batch.column("id_b"))
+        return batch.filter(pc.invert(self_m))
+
+    def split_sizes(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            self_m = pc.equal(batch.column("id_a"), batch.column("id_b"))
+            sub = batch.filter(self_m)
+            return pa.table({name: sub.column("id_a"),
+                             f"s_{name}": sub.column("co")})
+        return fn
+
+    from .join import hash_join
+
+    pairs = counts.map_batches(split_pairs, batch_format="pyarrow")
+    sizes_a = counts.map_batches(split_sizes("id_a"), batch_format="pyarrow")
+    sizes_b = counts.map_batches(split_sizes("id_b"), batch_format="pyarrow")
+    joined = hash_join(hash_join(pairs, sizes_a, on="id_a", how="inner"),
+                       sizes_b, on="id_b", how="inner")
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sm = ray.get(size_ref)
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
         co_n = np.asarray(batch.column("co"), dtype=np.float64)
-        sa = np.array([sm[x] for x in a], dtype=np.float64)
-        sb = np.array([sm[x] for x in b], dtype=np.float64)
+        sa = np.asarray(batch.column("s_id_a"), dtype=np.float64)
+        sb = np.asarray(batch.column("s_id_b"), dtype=np.float64)
         jac = co_n / (sa + sb - co_n)
-        keep = jac >= threshold
         out = batch.append_column("jaccard", pa.array(jac))
-        return out.filter(pa.array(keep)).drop_columns(["co"])
+        return (out.filter(pa.array(jac >= threshold))
+                   .drop_columns(["co", "s_id_a", "s_id_b"]))
 
-    return co.map_batches(finalize, batch_format="pyarrow")
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -84,31 +84,68 @@ def sliding_window(ds, ts_col: str, size_s: int, slide_s: int, *, key=None,
 def sessionize(ds, key, ts_col: str, gap_s: int, *,
                session_col: str = "session_start",
                count_col: str = "n_events",
-               end_col: str = "session_end"):
+               end_col: str = "session_end",
+               num_buckets: int = 64):
     """Gap-based session windows per key: a new session starts whenever
     the gap to the previous event of the same key exceeds ``gap_s``.
     Returns Dataset[key…, session_start, session_end, n_events].
 
     Exactly the SQL gaps-and-islands construction, so DuckDB window
     functions serve as the correctness oracle.
+
+    Scale shape: keys hash into ``num_buckets`` buckets, ONE vectorized
+    reduce per bucket — inside it, every key's rows are sessionized at
+    once via a single lexsort by (key-hash pair, ts) + boundary masks;
+    Python never touches individual keys or rows. (The earlier
+    ``groupby(keys).map_groups`` formulation paid one pandas call per
+    distinct key — millions of Python dispatches at scale.)
     """
+    from ..functions.keys import ALT_SEED, hash_keys64
+
     keys = [key] if isinstance(key, str) else list(key)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col, kind="stable")
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds() if str(ts.dtype).startswith("datetime") \
-            else ts.diff()
-        new_session = (gap.isna()) | (gap > gap_s)
-        sid = new_session.cumsum()
-        agg = g.groupby(sid).agg(
-            **{session_col: (ts_col, "min"),
-               end_col: (ts_col, "max"),
-               count_col: (ts_col, "size")})
-        for i, c in enumerate(keys):
-            agg.insert(i, c, g[c].iloc[0])
-        return agg.reset_index(drop=True)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (hash_keys64(batch, keys) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("__gbucket", pa.array(b))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.drop_columns(["__gbucket"])
+        ts = group.column(ts_col)
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        if pa.types.is_timestamp(ts.type):
+            scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts.type.unit]
+            tv = np.asarray(ts.cast(pa.int64()))
+            gap_units = gap_s * scale
+        else:
+            tv = np.asarray(ts.cast(pa.float64()))
+            gap_units = float(gap_s)
+        # distinct keys split on the 128-bit hash pair (collision guard)
+        h1 = hash_keys64(group, keys)
+        h2 = hash_keys64(group, keys, seed=ALT_SEED)
+        order = np.lexsort((tv, h2, h1))
+        hs1, hs2, tvs = h1[order], h2[order], tv[order]
+        new_session = np.empty(n, dtype=bool)
+        new_session[0] = True
+        new_session[1:] = ((hs1[1:] != hs1[:-1]) | (hs2[1:] != hs2[:-1])
+                           | (tvs[1:] - tvs[:-1] > gap_units))
+        starts = np.nonzero(new_session)[0]
+        bounds = np.concatenate([starts, [n]])
+        out = group.take(pa.array(order[starts])).select(keys)
+        start_vals, end_vals = tvs[starts], tvs[bounds[1:] - 1]
+        if pa.types.is_timestamp(ts.type):
+            s_arr = pa.array(start_vals).cast(pa.int64()).cast(ts.type)
+            e_arr = pa.array(end_vals).cast(pa.int64()).cast(ts.type)
+        else:
+            s_arr = pa.array(start_vals).cast(ts.type)
+            e_arr = pa.array(end_vals).cast(ts.type)
+        out = out.append_column(session_col, s_arr)
+        out = out.append_column(end_col, e_arr)
+        return out.append_column(count_col,
+                                 pa.array(np.diff(bounds).astype(np.int64)))
 
     return (ds.select_columns(keys + [ts_col])
-              .groupby(keys)
-              .map_groups(per_key, batch_format="pandas"))
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__gbucket")
+              .map_groups(per_bucket, batch_format="pyarrow"))

@@ -58,12 +58,19 @@ def signature_jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     """(bands,) uint64: one hash per contiguous signature band."""
-    rows = len(sig) // bands
-    view = sig[: bands * rows].reshape(bands, rows)
+    return band_hashes_batch(sig[None, :], bands)[0]
+
+
+def band_hashes_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) band hashes for a whole signature matrix — one
+    FNV fold pass per band row, vectorized across every doc."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    view = sigs[:, : bands * rows].reshape(n, bands, rows)
     with np.errstate(over="ignore"):
-        h = np.full(bands, U64(1469598103934665603))
+        h = np.full((n, bands), U64(1469598103934665603))
         for r in range(rows):
-            h = (h ^ view[:, r]) * U64(1099511628211)
+            h = (h ^ view[:, :, r]) * U64(1099511628211)
         h = splitmix64(h)
     return h
 
