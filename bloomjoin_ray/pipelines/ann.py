@@ -20,6 +20,36 @@ import pyarrow as pa
 from ..stages.ann_stages import BruteForceTopK, LshBucketStage, _normalize, embeddings_to_matrix
 
 
+def _topk_per_query_idx(qids: np.ndarray, ids: np.ndarray,
+                        scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of each query's top-k rows (score desc, id asc), fully
+    vectorized: one lexsort + a cumcount mask — no per-query loop."""
+    n = len(qids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((ids, -scores, qids))
+    qs = qids[order]
+    new_q = np.empty(n, dtype=bool)
+    new_q[0] = True
+    new_q[1:] = qs[1:] != qs[:-1]
+    starts = np.nonzero(new_q)[0]
+    rank = np.arange(n) - np.repeat(starts, np.diff(np.append(starts, n)))
+    return order[rank < k]
+
+
+def _candidates_topk(cand_rows: list[dict], k: int, id_col: str) -> pa.Table:
+    """Driver-side final reduce over the (bounded) candidate rows."""
+    if not cand_rows:
+        return pa.table({"query_id": [], id_col: [], "score": []})
+    qids = np.array([r["query_id"] for r in cand_rows])
+    ids = np.array([r[id_col] for r in cand_rows])
+    scores = np.array([r["score"] for r in cand_rows], dtype=np.float32)
+    keep = _topk_per_query_idx(qids, ids, scores, k)
+    return pa.table({"query_id": pa.array(qids[keep].astype(np.int32)),
+                     id_col: pa.array(ids[keep]),
+                     "score": pa.array(scores[keep], type=pa.float32())})
+
+
 def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
              vec_col: str = "embedding") -> pa.Table:
     """Exact cosine top-k for each query row. Returns
@@ -32,22 +62,7 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
         batch_format="pyarrow",
     )
     cand = local.take_all()  # blocks × k × nq rows — small
-    if not cand:
-        return pa.table({"query_id": [], id_col: [], "score": []})
-    qids = np.array([r["query_id"] for r in cand])
-    ids = np.array([r[id_col] for r in cand])
-    scores = np.array([r["score"] for r in cand], dtype=np.float32)
-    out_q, out_i, out_s = [], [], []
-    for q in np.unique(qids):
-        m = qids == q
-        # deterministic order: score desc, id asc
-        order = np.lexsort((ids[m], -scores[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_i.extend(ids[m][order].tolist())
-        out_s.extend(scores[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                     id_col: pa.array(out_i),
-                     "score": pa.array(out_s, type=pa.float32())})
+    return _candidates_topk(cand, k, id_col)
 
 
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
@@ -89,31 +104,26 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                 continue
             sims = V[m] @ qm[qis].T
             for col, qi in enumerate(qis):
-                out_q.extend([qi] * int(m.sum()))
-                out_i.extend(ids[m].tolist())
-                out_s.extend(sims[:, col].tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                         id_col: pa.array(out_i),
-                         "score": pa.array(np.asarray(out_s, dtype=np.float32))})
+                out_q.append(np.full(int(m.sum()), qi, dtype=np.int64))
+                out_i.append(ids[m])
+                out_s.append(sims[:, col])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: batch.column(id_col).slice(0, 0),
+                             "score": pa.array([], type=pa.float32())})
+        qarr = np.concatenate(out_q)
+        iarr = np.concatenate(out_i)
+        sarr = np.concatenate(out_s).astype(np.float32)
+        # per-block local top-k: candidate volume leaving each block is
+        # bounded by k × nq regardless of bucket occupancy
+        keep = _topk_per_query_idx(qarr, iarr, sarr, k)
+        return pa.table({"query_id": pa.array(qarr[keep].astype(np.int32)),
+                         id_col: pa.array(iarr[keep]),
+                         "score": pa.array(sarr[keep], type=pa.float32())})
 
     scored = ds.map_batches(stage, batch_format="pyarrow").map_batches(
         score_bucket, batch_format="pyarrow")
-    rows = scored.take_all()
-    if not rows:
-        return pa.table({"query_id": [], id_col: [], "score": []})
-    qids = np.array([r["query_id"] for r in rows])
-    ids = np.array([r[id_col] for r in rows])
-    scores = np.array([r["score"] for r in rows], dtype=np.float32)
-    out_q, out_i, out_s = [], [], []
-    for q in np.unique(qids):
-        m = qids == q
-        order = np.lexsort((ids[m], -scores[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_i.extend(ids[m][order].tolist())
-        out_s.extend(scores[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                     id_col: pa.array(out_i),
-                     "score": pa.array(out_s, type=pa.float32())})
+    return _candidates_topk(scored.take_all(), k, id_col)
 
 
 def _minibatch_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
@@ -174,30 +184,23 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                 continue
             sims = V[m] @ qm[qis].T
             for col, qi in enumerate(qis):
-                out_q.extend([qi] * int(m.sum()))
-                out_i.extend(ids[m].tolist())
-                out_s.extend(sims[:, col].tolist())
-        return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                         id_col: pa.array(np.asarray(out_i, dtype=ids.dtype)
-                                          if out_i else np.asarray([], dtype=ids.dtype)),
-                         "score": pa.array(np.asarray(out_s, dtype=np.float32))})
+                out_q.append(np.full(int(m.sum()), qi, dtype=np.int64))
+                out_i.append(ids[m])
+                out_s.append(sims[:, col])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             id_col: batch.column(id_col).slice(0, 0),
+                             "score": pa.array([], type=pa.float32())})
+        qarr = np.concatenate(out_q)
+        iarr = np.concatenate(out_i)
+        sarr = np.concatenate(out_s).astype(np.float32)
+        keep = _topk_per_query_idx(qarr, iarr, sarr, k)  # per-block top-k
+        return pa.table({"query_id": pa.array(qarr[keep].astype(np.int32)),
+                         id_col: pa.array(iarr[keep]),
+                         "score": pa.array(sarr[keep], type=pa.float32())})
 
-    rows = ds.map_batches(score, batch_format="pyarrow").take_all()
-    if not rows:
-        return pa.table({"query_id": [], id_col: [], "score": []})
-    qids = np.array([r["query_id"] for r in rows])
-    ids = np.array([r[id_col] for r in rows])
-    scores = np.array([r["score"] for r in rows], dtype=np.float32)
-    out_q, out_i, out_s = [], [], []
-    for q in np.unique(qids):
-        m = qids == q
-        order = np.lexsort((ids[m], -scores[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_i.extend(ids[m][order].tolist())
-        out_s.extend(scores[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, type=pa.int32()),
-                     id_col: pa.array(out_i),
-                     "score": pa.array(out_s, type=pa.float32())})
+    return _candidates_topk(
+        ds.map_batches(score, batch_format="pyarrow").take_all(), k, id_col)
 
 
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95,

@@ -108,3 +108,23 @@ def test_embeddings_to_matrix_fixed_and_var(ray_session):
     ragged = pa.array([[1.0], [1.0, 2.0]], type=pa.list_(pa.float32()))
     with pytest.raises(ValueError, match="ragged"):
         embeddings_to_matrix(ragged)
+
+
+def test_topk_per_query_idx_matches_naive():
+    """Vectorized per-query top-k == per-query lexsort loop, and the LSH
+    score stage's output is bounded by k × nq per block."""
+    from bloomjoin_ray.pipelines.ann import _topk_per_query_idx
+
+    rng = np.random.default_rng(3)
+    qids = rng.integers(0, 7, size=500)
+    ids = rng.integers(0, 10_000, size=500)
+    scores = rng.random(500).astype(np.float32)
+    k = 5
+    keep = _topk_per_query_idx(qids, ids, scores, k)
+    assert len(keep) <= 7 * k
+    for q in np.unique(qids):
+        m = qids == q
+        want = np.lexsort((ids[m], -scores[m]))[:k]
+        got = keep[qids[keep] == q]
+        np.testing.assert_array_equal(ids[m][want], ids[got])
+        np.testing.assert_array_equal(scores[m][want], scores[got])
