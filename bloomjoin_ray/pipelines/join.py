@@ -56,7 +56,6 @@ from .plan import (
     DISTINCT_SAMPLE_LIMIT,
     JOIN_TYPES,
     OnSpec,
-    estimate_distinct_count,
     normalize_n_hint,
     plan_prefilter,
     resolve_on,
@@ -508,6 +507,51 @@ def _sample_keys(ds, cols, limit=DISTINCT_SAMPLE_LIMIT) -> np.ndarray:
     return hash_keys32(tbl, list(cols))
 
 
+def _plan_stats(ds, cols, *, per_block: int = 4096,
+                sample_cap: int = DISTINCT_SAMPLE_LIMIT, p: int = 14):
+    """ONE streaming pass → (row_count, distinct_estimate, key-hash
+    sample): per block, a row count, an HLL partial over the 64-bit key
+    hashes, and an evenly-spaced in-block sample (proportional to block
+    size). Replaces the separate ``count()`` + head-``limit()`` sample
+    passes — a head sample is badly biased on key-sorted/partitioned
+    inputs (the reference samples evenly spaced, ``R/bloomjoin.R:234``);
+    per-block spacing restores that distribution-agnostic behavior, and
+    the HLL gives an unbiased distinct estimate at any sort order."""
+    from ..functions.keys import hash_keys64
+    from ..state.base import merge_all, sketch_from_bytes
+    from ..state.hll import SparseHll
+
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "state": pa.array([], type=pa.large_binary()),
+                             "sample": pa.array([], type=pa.large_binary())})
+        h64 = hash_keys64(batch, cols)
+        sk = SparseHll.from_hashes(np.unique(h64), p, 4096)
+        step = max(1, n // per_block)
+        h32 = h64 ^ (h64 >> np.uint64(32))
+        samp = h32.astype(np.uint32).view(np.int32)[::step]
+        return pa.table({"n": pa.array([n], type=pa.int64()),
+                         "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
+                         "sample": pa.array([samp.tobytes()], type=pa.large_binary())})
+
+    rows = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return 0, 0, np.empty(0, dtype=np.int32)
+    n_total = int(sum(r["n"] for r in rows))
+    est = merge_all(sketch_from_bytes(bytes(r["state"])) for r in rows).estimate()
+    distinct = min(n_total, max(1, int(round(est)))) if n_total else 0
+    sample = np.concatenate([np.frombuffer(bytes(r["sample"]), dtype=np.int32)
+                             for r in rows])
+    if len(sample) > sample_cap:
+        sample = sample[::int(np.ceil(len(sample) / sample_cap))]
+    return n_total, distinct, sample
+
+
 def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                engine: str = "auto", prefilter_side: str = "auto",
                fpr: float = 0.01, n_hint=None,
@@ -543,23 +587,27 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
     y_schema = _to_arrow_schema(ds_y.schema())
     spec = resolve_on(list(x_schema.names), list(y_schema.names), on)
 
-    n_x, n_y = ds_x.count(), ds_y.count()
     hints = normalize_n_hint(n_hint)
     if skip_estimation:
-        # static planning for known shapes: no driver-side sampling passes
-        # (at scale the planner must not scan in the driver's hot path).
-        # Requires n_hint; selectivity is assumed favorable — the planner's
-        # skip heuristics then rely on the structural rules only.
+        # static planning for known shapes: NO input passes at all (no
+        # count(), no sampling) — at scale the planner must not scan in
+        # the driver's hot path. Requires n_hint; row counts are taken
+        # from the hints too (rows ≈ distinct for planning purposes) and
+        # selectivity is assumed favorable — the planner's skip
+        # heuristics then rely on the structural rules only.
         if hints["x"] is None or hints["y"] is None:
             raise ValueError("skip_estimation=True requires n_hint for both sides")
         sample_x = sample_y = np.empty(0, dtype=np.int32)
-        distinct_x = int(hints["x"])
-        distinct_y = int(hints["y"])
+        distinct_x = n_x = int(hints["x"])
+        distinct_y = n_y = int(hints["y"])
     else:
-        sample_x = _sample_keys(ds_x, spec.x_cols)
-        sample_y = _sample_keys(ds_y, spec.y_cols)
-        distinct_x = estimate_distinct_count(sample_x, n_x, hints["x"])
-        distinct_y = estimate_distinct_count(sample_y, n_y, hints["y"])
+        # one combined stats pass per side: row count + HLL distinct +
+        # evenly-spaced key sample (unbiased on sorted inputs, unlike the
+        # head-limit sample; see _plan_stats)
+        n_x, hll_x, sample_x = _plan_stats(ds_x, spec.x_cols)
+        n_y, hll_y, sample_y = _plan_stats(ds_y, spec.y_cols)
+        distinct_x = int(round(hints["x"])) if hints["x"] is not None else hll_x
+        distinct_y = int(round(hints["y"])) if hints["y"] is not None else hll_y
 
     plan = plan_prefilter(how, engine, prefilter_side, n_x, n_y,
                           distinct_x, distinct_y, fpr, sample_x, sample_y)

@@ -2,6 +2,7 @@
 the reference (tests/testthat/test-edge-cases.R:8-44, R/bloomjoin.R:259-393)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from bloomjoin_ray.pipelines.plan import (
@@ -113,3 +114,26 @@ def test_plan_prefilter_end_to_end():
 
     with pytest.raises(NotImplementedError, match="fuse"):
         plan_prefilter("inner", "fuse", "auto", 10, 10, 5, 5, 0.01, kx, ky)
+
+
+def test_plan_stats_unbiased_on_sorted_input(ray_session):
+    """A key-sorted input must NOT bias the planner's distinct estimate
+    (a head-limit() sample sees one key range and fails this); the
+    per-block HLL + evenly-spaced sample keeps the estimate within 2x of
+    truth and the auto side choice correct."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.join import _plan_stats, bloom_join
+
+    n, n_distinct = 200_000, 50_000
+    keys = np.sort(np.arange(n) % n_distinct)  # sorted: head is keys 0..k
+    ds = rd.from_arrow(pa.table({"id": keys})).repartition(16)
+    n_rows, distinct, sample = _plan_stats(ds, ["id"])
+    assert n_rows == n
+    assert truth_within_2x(distinct, n_distinct)
+    # sample must span the whole key range, not just the head blocks
+    assert len(sample) > 1000
+
+
+def truth_within_2x(est, truth):
+    return truth / 2 <= est <= truth * 2
