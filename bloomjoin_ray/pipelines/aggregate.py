@@ -116,16 +116,17 @@ def _key_group_bounds(t: pa.Table, key_cols: list[str]):
 
 
 def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
-                          bucket_lo: int, bucket_hi: int,
+                          group: int, num_groups: int,
                           *blocks: pa.Table):
-    """Runs inside a Ray task: gather this bucket range's packs from every
-    map block (zero-copy from the object store), unpack, reduce per key."""
+    """Runs inside a Ray task: gather this group's packs
+    (``bucket % num_groups == group``) from every map-block slice
+    (zero-copy from the object store), unpack, reduce per key."""
     packs = []
     for blk in blocks:
         if blk.num_rows == 0:
             continue
         gb = np.asarray(blk.column("__gbucket"))
-        sel = (gb >= bucket_lo) & (gb < bucket_hi)
+        sel = gb % num_groups == group
         if sel.any():
             packs.extend(bytes(b) for b in
                          blk.filter(pa.array(sel)).column("pack").to_pylist())
@@ -174,12 +175,11 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
     refs = packed.to_arrow_refs()
     if not refs:
         return empty()
-    step = max(1, num_buckets // num_tasks)
-    parts = split_refs_by_group(refs, "__gbucket", num_buckets, step)
+    num_groups = min(num_buckets, num_tasks)
+    parts = split_refs_by_group(refs, "__gbucket", num_groups)
     task = ray.remote(num_returns=2)(_reduce_packed_blocks)
-    pairs = [task.remote(key_cols, per_key, lo, min(lo + step, num_buckets),
-                         *parts[g])
-             for g, lo in enumerate(range(0, num_buckets, step))]
+    pairs = [task.remote(key_cols, per_key, g, num_groups, *parts[g])
+             for g in range(num_groups)]
     # fetch only the tiny row counts; result tables stay in the object store
     counts = ray.get([n_ref for n_ref, _ in pairs])
     done = [t_ref for (_, t_ref), n in zip(pairs, counts) if n > 0]

@@ -4,7 +4,7 @@ sketch reduce.
 The map stage of a packed exchange emits, per input block, a tiny table
 of ``{bucket_col: int32, pack: large_binary}`` rows (one Arrow-IPC blob
 per key-hash bucket). Reducers must each receive the packs of their
-bucket range only. A naive formulation hands every reducer every map
+bucket set only. A naive formulation hands every reducer every map
 block and filters inside the task — zero-copy in single-node shared
 memory, but on a cluster each map block would be fetched by every
 reducer node (G× the network volume of a true shuffle).
@@ -16,6 +16,10 @@ packed table into one object **per reducer group** via
 each block — the same per-link volume a hash shuffle would move, with
 none of Ray local's sort-shuffle operator launch cost (~2-3 s measured,
 independent of row count).
+
+Group of a bucket is ``bucket % num_groups`` — round-robin, so that the
+skew-salting scheme's consecutive sub-bucket ids (see ``join.py``
+``SaltSpec``) land on *different* reducers.
 """
 
 from __future__ import annotations
@@ -24,42 +28,37 @@ import numpy as np
 import pyarrow as pa
 
 
-def _split_block_by_group(bucket_col: str, step: int, num_groups: int, blk):
-    """Slice one packed map block into per-reducer-group sub-tables.
-
-    Group of a bucket is ``bucket // step`` — the same mapping the
-    reducers use for their ``[g*step, (g+1)*step)`` ranges.
-    """
+def _split_block_by_group(bucket_col: str, num_groups: int, blk):
+    """Slice one packed map block into per-reducer-group sub-tables
+    (group of a bucket = ``bucket % num_groups``)."""
     if not isinstance(blk, pa.Table):
         blk = pa.Table.from_pandas(blk)
     if blk.num_rows == 0:
         parts = [blk] * num_groups
     else:
-        gb = np.asarray(blk.column(bucket_col)) // step
+        gb = np.asarray(blk.column(bucket_col)) % num_groups
         parts = [blk.filter(pa.array(gb == g)) for g in range(num_groups)]
     return parts[0] if num_groups == 1 else tuple(parts)
 
 
-def split_refs_by_group(refs, bucket_col: str, num_buckets: int,
-                        step: int) -> list[list]:
+def split_refs_by_group(refs, bucket_col: str, num_groups: int) -> list[list]:
     """refs of packed map blocks → ``parts[g]`` = per-block refs holding
-    ONLY group ``g``'s bucket range ``[g*step, (g+1)*step)``.
+    ONLY buckets with ``bucket % num_groups == g``.
 
-    Returns a list of ``ceil(num_buckets / step)`` ref lists. Each split
-    task reads its map block zero-copy and emits ``num_groups`` objects,
-    so a reducer's task arguments reference nothing outside its range.
+    Each split task reads its map block zero-copy and emits
+    ``num_groups`` objects, so a reducer's task arguments reference
+    nothing outside its bucket set.
     """
     import ray
 
-    num_groups = (num_buckets + step - 1) // step
     task = ray.remote(_split_block_by_group)
     parts: list[list] = [[] for _ in range(num_groups)]
     for r in refs:
         if num_groups == 1:
-            parts[0].append(task.remote(bucket_col, step, 1, r))
+            parts[0].append(task.remote(bucket_col, 1, r))
         else:
             out = task.options(num_returns=num_groups).remote(
-                bucket_col, step, num_groups, r)
+                bucket_col, num_groups, r)
             for g in range(num_groups):
                 parts[g].append(out[g])
     return parts

@@ -226,12 +226,16 @@ class _JoinLayout:
             t = t.append_column(name, v)
         return t
 
-    def join_tables(self, x_t: pa.Table, y_t: pa.Table) -> pa.Table:
-        """Per-bucket (or per-batch vs broadcast) exact join."""
+    def join_tables(self, x_t: pa.Table, y_t: pa.Table,
+                    how: str | None = None) -> pa.Table:
+        """Per-bucket (or per-batch vs broadcast) exact join. ``how``
+        overrides the join type for this call — used by skew salting to
+        suppress the replicated side's unmatched rows in salted buckets
+        (where that side's rows appear in every sub-bucket)."""
         joined = x_t.join(
             y_t,
             keys=self.jk + self.jn,
-            join_type=_PA_JOIN_TYPE[self.how],
+            join_type=_PA_JOIN_TYPE[how or self.how],
             use_threads=False,
         )
         if self.need_yk:
@@ -258,23 +262,25 @@ def _broadcast_join(ds_x, y_ref, layout: _JoinLayout, na_matches: str):
     return ds_x.map_batches(fn, batch_format="pyarrow")
 
 
-def _reduce_join_buckets(layout, bucket_lo: int, bucket_hi: int,
+def _reduce_join_buckets(layout, group: int, num_groups: int,
                          x_schema_ser: bytes, y_schema_ser: bytes,
-                         n_x_blocks: int, *blocks):
-    """Runs inside a Ray task: gather both sides' packs for this bucket
-    range from every map block (zero-copy from the object store), join
-    per bucket, return (row_count, table)."""
+                         n_x_blocks: int, how_overrides: dict, *blocks):
+    """Runs inside a Ray task: gather both sides' packs for this group's
+    buckets (``bucket % num_groups == group``) from every map-block
+    slice (zero-copy from the object store), join per bucket, return
+    (row_count, table). ``how_overrides`` maps salted bucket ids to the
+    demoted join type (see ``SaltSpec``)."""
     import pyarrow as pa
 
     x_blocks, y_blocks = blocks[:n_x_blocks], blocks[n_x_blocks:]
 
-    def unpack(side_blocks, schema_ser):
+    def unpack(side_blocks):
         per_bucket: dict[int, list] = {}
         for blk in side_blocks:
             if blk.num_rows == 0:
                 continue
             gb = np.asarray(blk.column("__bucket"))
-            sel = (gb >= bucket_lo) & (gb < bucket_hi)
+            sel = gb % num_groups == group
             if not sel.any():
                 continue
             sub = blk.filter(pa.array(sel))
@@ -286,17 +292,141 @@ def _reduce_join_buckets(layout, bucket_lo: int, bucket_hi: int,
 
     schema_x = pa.ipc.read_schema(pa.BufferReader(x_schema_ser))
     schema_y = pa.ipc.read_schema(pa.BufferReader(y_schema_ser))
-    xs = unpack(x_blocks, None)
-    ys = unpack(y_blocks, None)
+    xs = unpack(x_blocks)
+    ys = unpack(y_blocks)
     outs = []
     for b in sorted(set(xs) | set(ys)):
         x_t = (pa.concat_tables(xs[b]) if b in xs else schema_x.empty_table())
         y_t = (pa.concat_tables(ys[b]) if b in ys else schema_y.empty_table())
-        outs.append(layout.join_tables(x_t, y_t))
+        outs.append(layout.join_tables(x_t, y_t, how_overrides.get(b)))
     if not outs:
         return 0, None
     out = pa.concat_tables(outs)
     return out.num_rows, out
+
+
+# --------------------------------------------------------------------------
+# skew salting
+# --------------------------------------------------------------------------
+
+from dataclasses import dataclass, field as _dc_field
+
+
+@dataclass
+class SaltSpec:
+    """Hot-join-key salting plan for the partitioned join.
+
+    Each hot key (identified by its 64-bit canonical hash) owns a
+    private range of ``factor`` sub-bucket ids starting at its ``base``
+    (all ≥ ``num_buckets`` so they never collide with normal buckets;
+    the modulo reducer grouping spreads consecutive ids across
+    reducers). On the key's **salted side** (where it is duplicate-rich)
+    rows are spread round-robin over the range; the other side's rows
+    with that key are **replicated** into every sub-bucket, so each
+    (x, y) row pair still meets in exactly one bucket — the full
+    many-to-many cartesian, with no reducer receiving more than
+    ~1/factor of the hot key's salted-side rows.
+
+    Join-type demotion inside salted buckets (``how_overrides``): the
+    replicated side's rows appear in every sub-bucket, so its unmatched
+    rows must not be emitted there — and never exist: a key is only
+    salted on a side where the *sample saw actual rows*, hence every
+    replicated-side row of that key has a match. full→left / right→inner
+    when x is salted; full→right / left→inner when y is salted. Keys
+    hot only on y under semi/anti joins are never salted (x replication
+    would break their semantics); the per-block y key dedupe already
+    collapses them.
+    """
+
+    factor: int
+    keys: dict[int, tuple[str, int]] = _dc_field(default_factory=dict)  # h64 -> (side, base)
+
+    def how_overrides(self, how: str) -> dict[int, str]:
+        ov: dict[int, str] = {}
+        for _, (side, base) in self.keys.items():
+            if side == "x":
+                d = {"full": "left", "right": "inner"}.get(how)
+            else:
+                d = {"full": "right", "left": "inner"}.get(how)
+            if d:
+                for s in range(self.factor):
+                    ov[base + s] = d
+        return ov
+
+
+def detect_salt_spec(sample_x: np.ndarray, sample_y: np.ndarray,
+                     n_x: int, n_y: int, how: str, num_buckets: int,
+                     num_groups: int = 32, factor: int | None = None,
+                     max_hot: int = 8, threshold: float = 2.0) -> SaltSpec | None:
+    """Build a SaltSpec from the planner's 64-bit key-hash samples: a key
+    is hot when its estimated row share exceeds ``threshold`` × the
+    balanced per-reducer share (it alone would overload one reducer).
+    The side with more estimated rows of the key is salted; the other is
+    replicated. Returns None when nothing is hot."""
+    factor = factor or num_groups
+    cand: dict[int, tuple[str, float]] = {}
+    for side, sample, n in (("x", sample_x, n_x), ("y", sample_y, n_y)):
+        if len(sample) == 0:
+            continue
+        vals, counts = np.unique(sample, return_counts=True)
+        shares = counts / len(sample)
+        for v, s in zip(vals[shares > threshold / num_groups],
+                        shares[shares > threshold / num_groups]):
+            est_rows = float(s * n)
+            kh = int(v)
+            if side == "y" and how in ("semi", "anti"):
+                continue  # y-side salting unsafe for semi/anti; dedupe handles it
+            cur = cand.get(kh)
+            if cur is None or est_rows > cur[1]:
+                cand[kh] = (side, est_rows)
+    if not cand:
+        return None
+    items = sorted(cand.items(), key=lambda kv: -kv[1][1])[:max_hot]
+    keys = {kh: (side, num_buckets + i * factor)
+            for i, (kh, (side, _)) in enumerate(items)}
+    return SaltSpec(factor, keys)
+
+
+def _apply_salt(prep: pa.Table, h64: np.ndarray, spec: SaltSpec,
+                own_side: str, na_matches: str) -> pa.Table:
+    """Rewrite the prep table's ``__bucket`` per the salt plan: spread
+    rows of keys salted on ``own_side``; replicate rows of keys salted
+    on the other side into every sub-bucket. Null keys are exempt under
+    na_matches='never' (they match nothing; spreading them is pointless
+    and replication+demotion would drop their unmatched output)."""
+    n = prep.num_rows
+    if n == 0:
+        return prep
+    bucket = np.asarray(prep.column("__bucket")).copy()
+    eligible = None
+    if na_matches == "never":
+        eligible = np.ones(n, dtype=bool)
+        for c in prep.schema.names:
+            if c.startswith("__jn"):
+                eligible &= np.asarray(prep.column(c)) == 0
+    bidx = prep.schema.get_field_index("__bucket")
+    drop = np.zeros(n, dtype=bool)
+    replicas = []
+    for kh, (side, base) in spec.keys.items():
+        m = h64 == np.uint64(kh)
+        if eligible is not None:
+            m &= eligible
+        cnt = int(m.sum())
+        if not cnt:
+            continue
+        if side == own_side:
+            bucket[m] = base + np.arange(cnt) % spec.factor
+        else:
+            drop |= m
+            sub = prep.filter(pa.array(m))
+            for s in range(spec.factor):
+                replicas.append(sub.set_column(
+                    bidx, "__bucket",
+                    pa.array(np.full(cnt, base + s, dtype=np.int32))))
+    out = prep.set_column(bidx, "__bucket", pa.array(bucket.astype(np.int32)))
+    if drop.any():
+        out = out.filter(pa.array(~drop))
+    return pa.concat_tables([out] + replicas) if replicas else out
 
 
 def _pack_by_bucket(table: pa.Table) -> pa.Table:
@@ -316,7 +446,7 @@ def _pack_by_bucket(table: pa.Table) -> pa.Table:
 
 
 def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
-                      num_buckets: int):
+                      num_buckets: int, salt: SaltSpec | None = None):
     """Both sides large: each side's map stage emits ONE packed Arrow-IPC
     blob per (block, bucket); per-block split tasks slice the packed
     blocks into one object per reducer group, so each reduce task's
@@ -329,11 +459,25 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
 
     from .exchange import split_refs_by_group
 
+    from ..functions.keys import hash_keys64
+
     def prep_x(batch: pa.Table) -> pa.Table:
-        return _pack_by_bucket(layout.x_table(batch, na_matches, num_buckets))
+        t = layout.x_table(batch, na_matches, num_buckets)
+        if salt:
+            t = _apply_salt(t, hash_keys64(batch, layout.spec.x_cols),
+                            salt, "x", na_matches)
+        return _pack_by_bucket(t)
 
     def prep_y(batch: pa.Table) -> pa.Table:
-        return _pack_by_bucket(layout.y_table(batch, na_matches, num_buckets))
+        t = layout.y_table(batch, na_matches, num_buckets)
+        if salt:
+            t = _apply_salt(t, hash_keys64(batch, layout.spec.y_cols),
+                            salt, "y", na_matches)
+        if layout.how in ("semi", "anti"):
+            # only distinct y keys matter: per-block dedupe collapses a
+            # hot y key to ≤1 row per (block, bucket) — y-side skew gone
+            t = t.group_by(t.schema.names).aggregate([])
+        return _pack_by_bucket(t)
 
     x_refs = ds_x.map_batches(prep_x, batch_format="pyarrow").to_arrow_refs()
     y_refs = ds_y.map_batches(prep_y, batch_format="pyarrow").to_arrow_refs()
@@ -344,16 +488,17 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     ser_x = schema_x.serialize().to_pybytes()
     ser_y = schema_y.serialize().to_pybytes()
 
-    num_tasks = min(num_buckets, 32)
-    step = max(1, num_buckets // num_tasks)
-    x_parts = split_refs_by_group(x_refs, "__bucket", num_buckets, step)
-    y_parts = split_refs_by_group(y_refs, "__bucket", num_buckets, step)
+    num_groups = min(num_buckets, 32)
+    x_parts = split_refs_by_group(x_refs, "__bucket", num_groups)
+    y_parts = split_refs_by_group(y_refs, "__bucket", num_groups)
 
     task = ray.remote(num_returns=2)(_reduce_join_buckets)
     layout_ref = ray.put(layout)
-    pairs = [task.remote(layout_ref, lo, min(lo + step, num_buckets),
-                         ser_x, ser_y, len(x_refs), *x_parts[g], *y_parts[g])
-             for g, lo in enumerate(range(0, num_buckets, step))]
+    how_ov = salt.how_overrides(layout.how) if salt else {}
+    pairs = [task.remote(layout_ref, g, num_groups,
+                         ser_x, ser_y, len(x_refs), how_ov,
+                         *x_parts[g], *y_parts[g])
+             for g in range(num_groups)]
     counts = ray.get([n for n, _ in pairs])
     done = [t for (_, t), n in zip(pairs, counts) if n > 0]
     if not done:
@@ -432,13 +577,17 @@ def hash_join(ds_x, ds_y, on=None, how: str = "inner", *,
               broadcast_limit_rows: int = DEFAULT_BROADCAST_LIMIT_ROWS,
               na_matches: str = "na",
               x_schema: pa.Schema | None = None,
-              y_schema: pa.Schema | None = None):
+              y_schema: pa.Schema | None = None,
+              salt: SaltSpec | None = None):
     """Exact distributed join of two Datasets (all six dplyr join types).
 
     Strategy: broadcast the right side when it fits
     (inner/left/semi/anti), else a single co-partitioning hash shuffle.
     ``x_schema``/``y_schema`` may be supplied to avoid the (partial
-    execution) cost of ``ds.schema()`` on derived datasets.
+    execution) cost of ``ds.schema()`` on derived datasets. ``salt``
+    (a ``SaltSpec``, see ``detect_salt_spec``) spreads hot keys across
+    sub-buckets in the partitioned path; ``bloom_join`` wires it
+    automatically from its planner sample.
     """
     import ray
 
@@ -460,7 +609,8 @@ def hash_join(ds_x, ds_y, on=None, how: str = "inner", *,
         if y_all is not None:
             y_prep = layout.y_table(y_all, na_matches)
             return _broadcast_join(ds_x, ray.put(y_prep), layout, na_matches)
-    return _partitioned_join(ds_x, ds_y, layout, na_matches, num_buckets)
+    return _partitioned_join(ds_x, ds_y, layout, na_matches, num_buckets,
+                             salt=salt)
 
 
 def _to_arrow_schema(schema) -> pa.Schema:
@@ -496,17 +646,6 @@ class BloomJoinResult:
         yield self.report
 
 
-def _sample_keys(ds, cols, limit=DISTINCT_SAMPLE_LIMIT) -> np.ndarray:
-    try:
-        tbl = ds.select_columns(list(cols)).limit(limit).take_batch(
-            limit, batch_format="pyarrow")
-    except ValueError:  # empty dataset
-        return np.empty(0, dtype=np.int32)
-    if tbl.num_rows == 0:
-        return np.empty(0, dtype=np.int32)
-    return hash_keys32(tbl, list(cols))
-
-
 def _plan_stats(ds, cols, *, per_block: int = 4096,
                 sample_cap: int = DISTINCT_SAMPLE_LIMIT, p: int = 14):
     """ONE streaming pass → (row_count, distinct_estimate, key-hash
@@ -532,8 +671,7 @@ def _plan_stats(ds, cols, *, per_block: int = 4096,
         h64 = hash_keys64(batch, cols)
         sk = SparseHll.from_hashes(np.unique(h64), p, 4096)
         step = max(1, n // per_block)
-        h32 = h64 ^ (h64 >> np.uint64(32))
-        samp = h32.astype(np.uint32).view(np.int32)[::step]
+        samp = h64[::step]
         return pa.table({"n": pa.array([n], type=pa.int64()),
                          "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
                          "sample": pa.array([samp.tobytes()], type=pa.large_binary())})
@@ -541,11 +679,11 @@ def _plan_stats(ds, cols, *, per_block: int = 4096,
     rows = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow").take_all()
     if not rows:
-        return 0, 0, np.empty(0, dtype=np.int32)
+        return 0, 0, np.empty(0, dtype=np.uint64)
     n_total = int(sum(r["n"] for r in rows))
     est = merge_all(sketch_from_bytes(bytes(r["state"])) for r in rows).estimate()
     distinct = min(n_total, max(1, int(round(est)))) if n_total else 0
-    sample = np.concatenate([np.frombuffer(bytes(r["sample"]), dtype=np.int32)
+    sample = np.concatenate([np.frombuffer(bytes(r["sample"]), dtype=np.uint64)
                              for r in rows])
     if len(sample) > sample_cap:
         sample = sample[::int(np.ceil(len(sample) / sample_cap))]
@@ -560,6 +698,7 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                na_matches: str = "na",
                max_filter_bits: int = 1 << 33,
                skip_estimation: bool = False,
+               salt_hot="auto",
                verbose: bool = False) -> BloomJoinResult:
     """dplyr-equivalent join with an optional Bloom pre-filter
     (reference top-level API, ``R/bloomjoin.R:62-124``).
@@ -609,6 +748,15 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
         distinct_x = int(round(hints["x"])) if hints["x"] is not None else hll_x
         distinct_y = int(round(hints["y"])) if hints["y"] is not None else hll_y
 
+    if isinstance(salt_hot, SaltSpec):
+        salt = salt_hot
+    elif salt_hot == "auto":
+        # hot-key detection from the same planner samples: a key whose
+        # row share would overload one reducer gets spread/replicated
+        salt = detect_salt_spec(sample_x, sample_y, n_x, n_y, how, num_buckets)
+    else:
+        salt = None
+
     plan = plan_prefilter(how, engine, prefilter_side, n_x, n_y,
                           distinct_x, distinct_y, fpr, sample_x, sample_y)
     report = JoinReport(**{k: v for k, v in plan.metadata.items()
@@ -620,7 +768,7 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
         joined = hash_join(ds_x, ds_y, on, how, num_buckets=num_buckets,
                            broadcast_limit_rows=broadcast_limit_rows,
                            na_matches=na_matches,
-                           x_schema=x_schema, y_schema=y_schema)
+                           x_schema=x_schema, y_schema=y_schema, salt=salt)
         return BloomJoinResult(joined, report)
 
     if not plan.use_prefilter:
@@ -659,10 +807,10 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
         joined = hash_join(pruned, ds_y, on, how, num_buckets=num_buckets,
                            broadcast_limit_rows=broadcast_limit_rows,
                            na_matches=na_matches,
-                           x_schema=x_schema, y_schema=y_schema)
+                           x_schema=x_schema, y_schema=y_schema, salt=salt)
     else:
         joined = hash_join(ds_x, pruned, on, how, num_buckets=num_buckets,
                            broadcast_limit_rows=broadcast_limit_rows,
                            na_matches=na_matches,
-                           x_schema=x_schema, y_schema=y_schema)
+                           x_schema=x_schema, y_schema=y_schema, salt=salt)
     return BloomJoinResult(joined, report)

@@ -134,7 +134,7 @@ def test_split_refs_by_group_slices_only_own_buckets(ray_session):
 
     from bloomjoin_ray.pipelines.exchange import split_refs_by_group
 
-    num_buckets, step = 64, 2  # 32 reducer groups
+    num_buckets, num_groups = 64, 32
     rng = np.random.default_rng(7)
     blocks = []
     for _ in range(3):
@@ -145,14 +145,14 @@ def test_split_refs_by_group_slices_only_own_buckets(ray_session):
                              type=pa.large_binary()),
         }))
     refs = [ray.put(b) for b in blocks]
-    parts = split_refs_by_group(refs, "__gbucket", num_buckets, step)
-    assert len(parts) == num_buckets // step
+    parts = split_refs_by_group(refs, "__gbucket", num_groups)
+    assert len(parts) == num_groups
     total = 0
     for g, group_refs in enumerate(parts):
         assert len(group_refs) == len(blocks)  # one slice per map block
         for sl in ray.get(list(group_refs)):
             gb = np.asarray(sl.column("__gbucket"))
-            assert ((gb >= g * step) & (gb < (g + 1) * step)).all()
+            assert (gb % num_groups == g).all()
             total += sl.num_rows
     assert total == sum(b.num_rows for b in blocks)  # nothing dropped/duped
 
