@@ -384,6 +384,31 @@ def _q_sessionize(sf_dir: str):
                       "user_id", "ts", gap_s=86_400)
 
 
+def _q_write_roundtrip(sf_dir: str):
+    """Streaming sink path end-to-end: read → filter/derive →
+    ``resumable_write`` partitioned Parquet (atomic per-partition commit
+    + manifest) → re-read the written partitions. Oracle-checked, so the
+    sink round trip is value-exact."""
+    import glob
+    import tempfile
+
+    from bloomjoin_ray.pipelines.materialize import resumable_write
+
+    src = f"{sf_dir}/events.parquet"
+    out_dir = tempfile.mkdtemp(prefix="bjr_write_rt_")
+
+    def transform(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["event_type"], "purchase"))
+        sub = sub.select(["event_id", "user_id", "value"])
+        return sub.append_column("value_double",
+                                 pc.multiply(sub["value"], pa.scalar(2.0)))
+
+    resumable_write([src], out_dir, transform=transform,
+                    columns=["event_id", "user_id", "event_type", "value"])
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*", "*.parquet")))
+    return _rd().read_parquet(files)
+
+
 def _q_bloom_params(sf_dir: str):
     """bloom_params report grid — pure sizing, exercised as a query so the
     helper surface is driver-visible (reference R/params.R)."""
@@ -429,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": _q_doc_stats,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
+        "events_write_roundtrip": _q_write_roundtrip,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
@@ -557,6 +583,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
+        """,
+        "events_write_roundtrip": """
+            SELECT event_id, user_id, value, value * 2.0 AS value_double
+            FROM events WHERE event_type = 'purchase'
         """,
         "asof_last_purchase": """
             SELECT e.event_id, e.user_id, e.ts, e.value, p.last_purchase_value

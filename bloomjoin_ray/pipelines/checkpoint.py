@@ -109,7 +109,11 @@ def checkpointed_sketch_aggregate(sources: list[str], job_dir: str,
     import ray
 
     os.makedirs(os.path.join(job_dir, "partials"), exist_ok=True)
-    done = read_manifest(job_dir)
+    # a committed partition is only reusable if it was built from the SAME
+    # source path — a reordered/changed source list re-runs the partition
+    # instead of silently reusing a stale partial
+    done = {i: rec for i, rec in read_manifest(job_dir).items()
+            if i < len(sources) and rec.get("source") == sources[i]}
     pending = [(i, src) for i, src in enumerate(sources) if i not in done]
 
     task = ray.remote(_build_partition)

@@ -191,8 +191,29 @@ class _JoinLayout:
         self.x_rename = {c: c + suffixes[0] for c in x_names
                          if c in overlap and c not in x_key_set}
         self.y_rename = {c: c + suffixes[1] for c in self.keep_y if c in overlap}
-        self.x_out = [self.x_rename.get(c, c) for c in x_names]
-        self.y_out = [self.y_rename.get(c, c) for c in self.keep_y]
+        # a suffixed name can itself collide with an existing column
+        # (x has 'v', y has 'v' and 'v_y'): keep re-applying the suffix
+        # until every output name is unique (dplyr repair behavior)
+        from collections import Counter
+        for _ in range(16):
+            self.x_out = [self.x_rename.get(c, c) for c in x_names]
+            self.y_out = [self.y_rename.get(c, c) for c in self.keep_y]
+            counts = Counter(self.x_out + self.y_out)
+            if all(v == 1 for v in counts.values()):
+                break
+            progressed = False
+            for rename, sfx in ((self.x_rename, suffixes[0]),
+                                (self.y_rename, suffixes[1])):
+                for orig, new in rename.items():
+                    if counts[new] > 1:
+                        rename[orig] = new + sfx
+                        progressed = True
+            if not progressed:
+                dups = [n for n, v in counts.items() if v > 1]
+                raise ValueError(
+                    f"join would produce duplicate output columns: {dups}")
+        else:
+            raise ValueError("could not uniquify join output column names")
         self.x_names, self.y_names = x_names, y_names
         self.targets = [
             promote_key_type(x_schema.field(cx).type, y_schema.field(cy).type)

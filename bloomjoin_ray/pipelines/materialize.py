@@ -90,7 +90,9 @@ def resumable_write(sources: list[str], out_dir: str, *, transform=None,
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    done = read_write_manifest(out_dir)
+    # reuse a committed partition only when built from the same source
+    done = {i: rec for i, rec in read_write_manifest(out_dir).items()
+            if i < len(sources) and rec.get("source") == sources[i]}
     pending = [(i, s) for i, s in enumerate(sources) if i not in done]
     task = ray.remote(_write_partition)
     records: dict[int, dict] = dict(done)

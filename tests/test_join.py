@@ -239,3 +239,43 @@ def test_special_string_keys_join(rd):
         out = hash_join(_from_pandas(rd, x), _from_pandas(rd, y), "k", "inner",
                         broadcast_limit_rows=blimit)
         assert_same(out, oracle("SELECT x.*, y.vy FROM x JOIN y USING (k)", x=x, y=y))
+
+
+def test_suffix_collision_repair(ray_session):
+    """x has 'v', y has 'v' and 'v_y': the suffixed rename of y.v must
+    not collide with y's existing 'v_y' — the suffix re-applies until
+    unique, and every column's values survive."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.join import hash_join
+
+    x = rd.from_arrow(pa.table({"id": [1, 2], "v": [10, 20]}))
+    y = rd.from_arrow(pa.table({"id": [1, 2], "v": [1.5, 2.5],
+                                "v_y": ["a", "b"]}))
+    out = hash_join(x, y, on="id", how="inner").to_pandas().sort_values("id")
+    assert sorted(out.columns) == ["id", "v_x", "v_y", "v_y_y"]
+    assert out["v_x"].tolist() == [10, 20]        # renamed x.v
+    assert out["v_y"].tolist() == ["a", "b"]      # y's own v_y untouched
+    assert out["v_y_y"].tolist() == [1.5, 2.5]    # renamed y.v, re-suffixed
+
+
+def test_checkpoint_resume_validates_source(ray_session, tmp_path):
+    """A manifest entry is only reused when its source path matches —
+    reordering the source list re-runs the moved partitions."""
+    import pyarrow.parquet as pq
+
+    from bloomjoin_ray.pipelines.materialize import resumable_write
+
+    srcs = []
+    for i in range(2):
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(pa.table({"a": [i * 10, i * 10 + 1]}), p)
+        srcs.append(p)
+    out = str(tmp_path / "out")
+    rec1 = resumable_write(srcs, out)
+    assert [r["rows_out"] for r in rec1] == [2, 2]
+    # swapped order: both partitions must be REBUILT from the new sources
+    rec2 = resumable_write(list(reversed(srcs)), out)
+    assert [r["source"] for r in rec2] == list(reversed(srcs))
+    t0 = pq.read_table(str(tmp_path / "out" / "part-00000" / "data.parquet"))
+    assert t0.column("a").to_pylist() == [10, 11]  # now from in1.parquet
