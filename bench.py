@@ -51,7 +51,11 @@ N_CONVS = int(os.environ.get("GRAFT_NCONVS", 0)) or \
 # per-CPU compute dominates the fixed per-pipeline floors, and — now that
 # the grouped reduce ships packed partials without the sort-shuffle —
 # small enough that the materialized input stays inside the object store
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 32
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 64
+# the 59M-turn scaling input needs more plasma headroom than Ray's 40GB
+# default (materialized input + repartition intermediate + packed stage
+# outputs previously re-coupled the 32-CPU level to spilling)
+OBJ_STORE_GB = int(os.environ.get("GRAFT_OBJ_STORE_GB", "64"))
 ONLY_TRANSCRIPTS = os.environ.get("GRAFT_BENCH_ONLY", "") == "transcripts"
 # this sandbox is a noisy shared host (significant CPU steal): report the
 # best of N repeats per query so neighbor load doesn't dominate the numbers
@@ -99,7 +103,8 @@ def run_suite() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=OBJ_STORE_GB << 30)
     import logging
 
     import ray.data as rd

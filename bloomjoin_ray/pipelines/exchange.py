@@ -41,16 +41,42 @@ def _split_block_by_group(bucket_col: str, num_groups: int, blk):
     return parts[0] if num_groups == 1 else tuple(parts)
 
 
+def should_split(default_env: str = "BLOOMJOIN_EXCHANGE_SPLIT") -> bool:
+    """Split per reducer only when it buys anything: on a multi-node
+    cluster it cuts each reducer's fetch volume to a true shuffle's; on
+    a single node every read is zero-copy shared memory and the split
+    wave only adds ~blocks × groups tiny plasma objects (measured ~2 s
+    of store overhead at 128×32 — pure loss locally). Env override:
+    ``BLOOMJOIN_EXCHANGE_SPLIT=always|never``."""
+    import os
+
+    mode = os.environ.get(default_env, "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    try:
+        import ray
+
+        return sum(1 for n in ray.nodes() if n.get("Alive", False)) > 1
+    except Exception:
+        return True
+
+
 def split_refs_by_group(refs, bucket_col: str, num_groups: int) -> list[list]:
     """refs of packed map blocks → ``parts[g]`` = per-block refs holding
     ONLY buckets with ``bucket % num_groups == g``.
 
     Each split task reads its map block zero-copy and emits
     ``num_groups`` objects, so a reducer's task arguments reference
-    nothing outside its bucket set.
+    nothing outside its bucket set. Callers gate on ``should_split()``:
+    on a single node reducers instead read every map block zero-copy
+    and filter their modulo class themselves.
     """
     import ray
 
+    if not should_split():
+        return [list(refs) for _ in range(num_groups)]
     task = ray.remote(_split_block_by_group)
     parts: list[list] = [[] for _ in range(num_groups)]
     for r in refs:

@@ -126,13 +126,15 @@ def test_empty_dataset(ray_session):
     assert np.isnan(approx_quantiles(empty, "v", [0.5])).all()
 
 
-def test_split_refs_by_group_slices_only_own_buckets(ray_session):
-    """Per-bucket exchange contract: a reducer's task arguments reference
-    ONLY objects holding its bucket range — the split stage must route
-    each packed row to exactly one group slice."""
+def test_split_refs_by_group_slices_only_own_buckets(ray_session, monkeypatch):
+    """Per-bucket exchange contract (cluster mode): a reducer's task
+    arguments reference ONLY objects holding its bucket set — the split
+    stage must route each packed row to exactly one group slice."""
     import ray
 
     from bloomjoin_ray.pipelines.exchange import split_refs_by_group
+
+    monkeypatch.setenv("BLOOMJOIN_EXCHANGE_SPLIT", "always")
 
     num_buckets, num_groups = 64, 32
     rng = np.random.default_rng(7)
@@ -169,3 +171,17 @@ def test_hll_grouped_empty_schema(ray_session):
     out = hll_distinct(empty, "v", key="k")
     assert out.schema().names == ["k", "distinct_est"]
     assert out.count() == 0
+
+
+def test_cluster_split_mode_parity(events_ds, con, monkeypatch):
+    """Forced cluster-mode split (per-reducer objects) produces the same
+    grouped results as the local zero-copy path."""
+    from bloomjoin_ray.pipelines.aggregate import hll_distinct
+
+    local = hll_distinct(events_ds, "event_type", key="user_id").to_pandas()
+    monkeypatch.setenv("BLOOMJOIN_EXCHANGE_SPLIT", "always")
+    split = hll_distinct(events_ds, "event_type", key="user_id").to_pandas()
+    key = "user_id"
+    pd.testing.assert_frame_equal(
+        local.sort_values(key).reset_index(drop=True),
+        split.sort_values(key).reset_index(drop=True))
