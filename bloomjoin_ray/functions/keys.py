@@ -214,6 +214,28 @@ def hash_keys64(table: pa.Table | pa.RecordBatch, by: list[str],
     return splitmix64(acc)
 
 
+def hash_keys64_pair(table: pa.Table | pa.RecordBatch,
+                     by: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(SEED, ALT_SEED) hash pair in ONE pass over the key bytes: the
+    per-column component hashes are seed-independent, so the expensive
+    part (position-wise FNV over string columns) runs once and only the
+    cheap accumulator fold differs between the two outputs."""
+    if isinstance(by, str):
+        by = [by]
+    if not by:
+        raise ValueError("`by` must contain at least one column.")
+    n = table.num_rows
+    acc1 = np.full(n, SEED, dtype=np.uint64)
+    acc2 = np.full(n, ALT_SEED, dtype=np.uint64)
+    for name in by:
+        if name not in table.schema.names:
+            raise KeyError(f"Join column not found: {name}")
+        comp = _component_hash(table.column(name))
+        acc1 = mix_in(acc1, comp)
+        acc2 = mix_in(acc2, comp)
+    return splitmix64(acc1), splitmix64(acc2)
+
+
 def hash_keys32(table: pa.Table | pa.RecordBatch, by: list[str]) -> np.ndarray:
     """32-bit composite key hash (int32), xor-fold of the 64-bit finalizer —
     the reference's public hasher (src/hash_keys.cpp:247-252)."""

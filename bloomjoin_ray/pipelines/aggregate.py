@@ -106,9 +106,10 @@ def _key_group_bounds(t: pa.Table, key_cols: list[str]):
     identified by the (SEED, ALT_SEED) 64-bit hash PAIR — two distinct
     keys merge only if both hashes collide (~2^-128/pair), closing the
     silent single-hash birthday merge at 10^9+ distinct keys."""
+    from ..functions.keys import hash_keys64_pair
+
     n = t.num_rows
-    h1 = hash_keys64(t, key_cols)
-    h2 = hash_keys64(t, key_cols, seed=ALT_SEED)
+    h1, h2 = hash_keys64_pair(t, key_cols)
     order = np.lexsort((h2, h1))
     d = (np.diff(h1[order]) != 0) | (np.diff(h2[order]) != 0)
     bounds = np.concatenate([[0], np.nonzero(d)[0] + 1, [n]])
@@ -121,19 +122,9 @@ def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
     """Runs inside a Ray task: gather this group's packs
     (``bucket % num_groups == group``) from every map-block slice
     (zero-copy from the object store), unpack, reduce per key."""
-    packs = []
-    for blk in blocks:
-        if blk.num_rows == 0:
-            continue
-        gb = np.asarray(blk.column("__gbucket"))
-        sel = gb % num_groups == group
-        if sel.any():
-            packs.extend(bytes(b) for b in
-                         blk.filter(pa.array(sel)).column("pack").to_pylist())
-    if not packs:
+    t = _gather_bucket_packs(group, num_groups, blocks)
+    if t is None:
         return 0, None
-    tables = [pa.ipc.open_stream(pa.BufferReader(b)).read_all() for b in packs]
-    t = pa.concat_tables(tables).combine_chunks()
     order, bounds = _key_group_bounds(t, key_cols)
     states_sorted = t.column("state").combine_chunks().take(pa.array(order))
     first_rows = order[bounds[:-1]]
@@ -148,9 +139,88 @@ def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
     return out.num_rows, out
 
 
+def _run_reducer(reducer: Callable, group: int, num_groups: int, *blocks):
+    """Ray-task trampoline: reducer is a picklable partial of a module
+    function (``ray.remote`` itself only wraps plain functions)."""
+    return reducer(group, num_groups, *blocks)
+
+
+def _gather_bucket_packs(group: int, num_groups: int, blocks) -> pa.Table | None:
+    """Concat this modulo-group's packs from every map-block slice."""
+    packs = []
+    for blk in blocks:
+        if blk.num_rows == 0:
+            continue
+        gb = np.asarray(blk.column("__gbucket"))
+        sel = gb % num_groups == group
+        if sel.any():
+            packs.extend(bytes(b) for b in
+                         blk.filter(pa.array(sel)).column("pack").to_pylist())
+    if not packs:
+        return None
+    tables = [pa.ipc.open_stream(pa.BufferReader(b)).read_all() for b in packs]
+    return pa.concat_tables(tables).combine_chunks()
+
+
+def _reduce_packed_hll(key_cols: list[str], out_col: str, p: int, cap: int,
+                       group: int, num_groups: int, *blocks: pa.Table):
+    """Vectorized grouped-distinct reduce over RAW-hash-list partials
+    (``GroupedHllPartial._partial_rows_raw``): one lexsort dedupes every
+    key's hashes at once — Python touches only the rare keys that carry
+    a dense per-block HLL blob or overflow ``cap`` in aggregate (those
+    get the dense sketch's 1.04/√m estimate; the rest are exact counts,
+    same as SparseHll's sparse mode)."""
+    from ..state.hll import HllSketch, SparseHll
+    from ..state.base import sketch_from_bytes
+
+    t = _gather_bucket_packs(group, num_groups, blocks)
+    if t is None:
+        return 0, None
+    order, bounds = _key_group_bounds(t, key_cols)
+    n_keys = len(bounds) - 1
+    order_arr = pa.array(order)
+    hl = t.column("hashes").take(order_arr)
+    hl = hl.combine_chunks() if isinstance(hl, pa.ChunkedArray) else hl
+    import pyarrow.compute as pc
+    lens = np.asarray(pc.fill_null(pc.list_value_length(hl), 0), dtype=np.int64)
+    flat = np.asarray(hl.flatten(), dtype=np.uint64)
+    key_of_row = np.repeat(np.arange(n_keys), np.diff(bounds))
+    key_of_hash = np.repeat(key_of_row, lens)
+    est = np.zeros(n_keys, dtype=np.float64)
+    if len(flat):
+        o2 = np.lexsort((flat, key_of_hash))
+        kf, vf = key_of_hash[o2], flat[o2]
+        uniq = np.empty(len(kf), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = (kf[1:] != kf[:-1]) | (vf[1:] != vf[:-1])
+        est = np.bincount(kf[uniq], minlength=n_keys).astype(np.float64)
+    # slow path only for keys with dense blobs or cap overflow
+    states = t.column("state").take(order_arr)
+    states = states.combine_chunks() if isinstance(states, pa.ChunkedArray) else states
+    has_state = np.asarray(pc.is_valid(states))
+    special = np.unique(np.concatenate([
+        key_of_row[has_state], np.nonzero(est > cap)[0]]))
+    if special.size:
+        starts = bounds[:-1]
+        hash_offs = np.concatenate([[0], np.cumsum(lens)])
+        for k in special:
+            sk = SparseHll(p, cap)
+            for r in range(starts[k], bounds[k + 1]):
+                if has_state[r]:
+                    sk.merge(sketch_from_bytes(bytes(states[r].as_py())))
+                lo, hi = hash_offs[r], hash_offs[r + 1]
+                if hi > lo:
+                    sk.update_batch(flat[lo:hi])
+            est[k] = sk.estimate()
+    out = t.take(pa.array(order[bounds[:-1]])).select(key_cols)
+    out = out.append_column(out_col, pa.array(est))
+    return out.num_rows, out
+
+
 def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
                          num_buckets: int = 64, num_tasks: int = 32,
-                         empty_schema: pa.Schema | None = None):
+                         empty_schema: pa.Schema | None = None,
+                         reducer: Callable | None = None):
     """Reduce PACKED partials without Ray's sort-shuffle operator (whose
     launch cost, ~2-3 s measured, is independent of row count): the map
     stage's packed blocks are split by per-block tasks into one object
@@ -177,8 +247,11 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
         return empty()
     num_groups = min(num_buckets, num_tasks)
     parts = split_refs_by_group(refs, "__gbucket", num_groups)
-    task = ray.remote(num_returns=2)(_reduce_packed_blocks)
-    pairs = [task.remote(key_cols, per_key, g, num_groups, *parts[g])
+    if reducer is None:
+        from functools import partial
+        reducer = partial(_reduce_packed_blocks, key_cols, per_key)
+    task = ray.remote(num_returns=2)(_run_reducer)
+    pairs = [task.remote(reducer, g, num_groups, *parts[g])
              for g in range(num_groups)]
     # fetch only the tiny row counts; result tables stay in the object store
     counts = ray.get([n_ref for n_ref, _ in pairs])
@@ -241,13 +314,14 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
     if not salt:
         # packed fast path: one shuffled row per (block, bucket) instead of
         # one per (key, block) — the exchange is row-count-bound in Ray
+        from functools import partial
+
         in_cols = list(dict.fromkeys(key_cols + cols))
         ds = ds.select_columns(in_cols)
         packed = ds.map_batches(
             GroupedHllPartial(key_cols, cols, p=p, pack_buckets=64),
             batch_format="pyarrow")
-        final = lambda states: finalize(
-            merge_all(sketch_from_bytes(bytes(b)) for b in states))
+        reducer = partial(_reduce_packed_hll, key_cols, out_col, p, 4096)
 
         def empty_schema():
             from .join import _to_arrow_schema
@@ -255,8 +329,9 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
             return pa.schema([in_schema.field(c) for c in key_cols]
                              + [pa.field(out_col, pa.float64())])
 
-        return _packed_group_reduce(packed, key_cols, final,
-                                    empty_schema=empty_schema)
+        return _packed_group_reduce(packed, key_cols, None,
+                                    empty_schema=empty_schema,
+                                    reducer=reducer)
     return sketch_aggregate_grouped(
         ds, key, make, update, finalize,
         input_cols=cols, salt=salt,

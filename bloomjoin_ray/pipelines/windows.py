@@ -100,7 +100,7 @@ def sessionize(ds, key, ts_col: str, gap_s: int, *,
     ``groupby(keys).map_groups`` formulation paid one pandas call per
     distinct key — millions of Python dispatches at scale.)
     """
-    from ..functions.keys import ALT_SEED, hash_keys64
+    from ..functions.keys import hash_keys64, hash_keys64_pair
 
     keys = [key] if isinstance(key, str) else list(key)
 
@@ -122,8 +122,7 @@ def sessionize(ds, key, ts_col: str, gap_s: int, *,
             tv = np.asarray(ts.cast(pa.float64()))
             gap_units = float(gap_s)
         # distinct keys split on the 128-bit hash pair (collision guard)
-        h1 = hash_keys64(group, keys)
-        h2 = hash_keys64(group, keys, seed=ALT_SEED)
+        h1, h2 = hash_keys64_pair(group, keys)
         order = np.lexsort((tv, h2, h1))
         hs1, hs2, tvs = h1[order], h2[order], tv[order]
         new_session = np.empty(n, dtype=bool)

@@ -15,7 +15,7 @@ from typing import Callable
 import numpy as np
 import pyarrow as pa
 
-from ..functions.keys import ALT_SEED, hash_keys64
+from ..functions.keys import hash_keys64, hash_keys64_pair
 from ..state.base import merge_all, sketch_from_bytes
 
 
@@ -23,8 +23,7 @@ def _group_order_bounds(batch: pa.Table, key_cols: list[str]):
     """(order, group-start bounds) over the (SEED, ALT_SEED) hash pair —
     the same collision guard the reduces use: distinct keys end up in one
     partial only if BOTH 64-bit hashes collide (~2^-128 per pair)."""
-    h1 = hash_keys64(batch, key_cols)
-    h2 = hash_keys64(batch, key_cols, seed=ALT_SEED)
+    h1, h2 = hash_keys64_pair(batch, key_cols)
     order = np.lexsort((h2, h1))
     hs1, hs2 = h1[order], h2[order]
     d = (hs1[1:] != hs1[:-1]) | (hs2[1:] != hs2[:-1])
@@ -109,12 +108,11 @@ class GroupedHllPartial:
         self.cap = cap
         self.pack_buckets = pack_buckets
 
-    def _partial_rows(self, batch: pa.Table) -> pa.Table:
-        from ..state.hll import SparseHll
-
+    def _group_unique_values(self, batch: pa.Table):
+        """(first_rows, dv, bounds): unique value hashes per key group,
+        fully vectorized (one 3-key lexsort + diff masks)."""
         n = batch.num_rows
-        g = hash_keys64(batch, self.key_cols)
-        g2 = hash_keys64(batch, self.key_cols, seed=ALT_SEED)  # collision guard
+        g, g2 = hash_keys64_pair(batch, self.key_cols)  # collision guard pair
         v = hash_keys64(batch, self.val_cols)
         order = np.lexsort((v, g2, g))
         gs, g2s, vs = g[order], g2[order], v[order]
@@ -128,12 +126,53 @@ class GroupedHllPartial:
         group_of_pair = np.cumsum(new_group)[new_pair] - 1
         bounds = np.concatenate([[0], np.nonzero(np.diff(group_of_pair))[0] + 1,
                                  [len(dv)]])
+        return first_rows, dv, bounds
+
+    def _partial_rows(self, batch: pa.Table) -> pa.Table:
+        from ..state.hll import SparseHll
+
+        first_rows, dv, bounds = self._group_unique_values(batch)
         states = []
         for i in range(len(bounds) - 1):
             states.append(SparseHll.from_hashes(dv[bounds[i]:bounds[i + 1]],
                                                 self.p, self.cap).to_bytes())
         out = batch.take(pa.array(first_rows)).select(self.key_cols)
         return out.append_column("state", pa.array(states, type=pa.large_binary()))
+
+    def _partial_rows_raw(self, batch: pa.Table) -> pa.Table:
+        """Packed-path partials with ZERO per-group Python: each key's
+        unique value hashes become one slot of a LargeListArray (pure
+        offset construction). Only groups whose in-block distinct count
+        exceeds ``cap`` fall back to a dense per-group HLL blob (rare;
+        bounds the pack size for pathological hot keys)."""
+        from ..state.hll import HllSketch
+
+        first_rows, dv, bounds = self._group_unique_values(batch)
+        seg = np.diff(bounds)
+        hot = np.nonzero(seg > self.cap)[0]
+        states = [None] * len(seg)
+        if hot.size:
+            dv = dv.copy()
+            for i in hot:
+                sk = HllSketch(self.p)
+                sk.update_batch(dv[bounds[i]:bounds[i + 1]])
+                states[i] = sk.to_bytes()
+            # zero out hot groups' list slots (state carries them instead)
+            keep = np.ones(len(dv), dtype=bool)
+            for i in hot:
+                keep[bounds[i]:bounds[i + 1]] = False
+            dv = dv[keep]
+            new_bounds = np.concatenate(
+                [[0], np.cumsum(np.where(seg > self.cap, 0, seg))])
+        else:
+            new_bounds = bounds
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_bounds, type=pa.int64()),
+            pa.array(dv, type=pa.uint64()))
+        out = batch.take(pa.array(first_rows)).select(self.key_cols)
+        out = out.append_column("hashes", lists)
+        return out.append_column("state",
+                                 pa.array(states, type=pa.large_binary()))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -144,7 +183,8 @@ class GroupedHllPartial:
                 {c: batch.column(c) for c in self.key_cols}
                 | {"state": pa.array([], type=pa.large_binary())}
             )
-        rows = self._partial_rows(batch)
+        rows = self._partial_rows_raw(batch) if self.pack_buckets \
+            else self._partial_rows(batch)
         if not self.pack_buckets:
             return rows
         B = int(self.pack_buckets)
