@@ -91,23 +91,39 @@ def quality_metrics(texts) -> dict[str, pa.Array]:
 def detect_language(texts) -> pa.Array:
     """Best-scoring stopword profile per document; 'und' (undetermined)
     when no profile matches any token. Deterministic; ties broken by
-    profile order en>de>fr>es>it."""
-    out = []
-    for t in _strings_to_list(texts):
-        if t is None:
-            out.append(None)
-            continue
-        toks = _WS_RE.split(t.lower())
-        if not toks:
-            out.append("und")
-            continue
-        best_lang, best = "und", 0.0
-        for lang, words in _LANG_PROFILES.items():
-            score = sum(1 for w in toks if w in words)
-            if score > best:
-                best, best_lang = score, lang
-        out.append(best_lang)
-    return pa.array(out, type=pa.string())
+    profile order en>de>fr>es>it.
+
+    Vectorized: one Arrow lower+split pass over the batch, then one
+    ``pc.is_in`` membership pass per language over the flat token array
+    with per-doc segment sums — no per-row Python."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(_strings_to_list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    nulls = np.asarray(pc.is_null(texts))
+    toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(texts, "")),
+                                  r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offs = np.asarray(toks.offsets).astype(np.int64)
+    offs = offs - offs[0]
+    flat = toks.flatten()
+    n = len(texts)
+    best = np.zeros(n, dtype=np.int64)
+    lang_idx = np.zeros(n, dtype=np.int64)          # 0 = 'und'
+    langs = list(_LANG_PROFILES)
+    c = np.empty(len(flat) + 1, dtype=np.int64)
+    c[0] = 0
+    for i, lang in enumerate(langs):
+        member = np.asarray(pc.is_in(
+            flat, value_set=pa.array(sorted(_LANG_PROFILES[lang]))))
+        np.cumsum(member, out=c[1:])
+        score = c[offs[1:]] - c[offs[:-1]]
+        win = score > best                           # strict: first lang wins ties
+        best[win] = score[win]
+        lang_idx[win] = i + 1
+    table = np.array(["und"] + langs)
+    out = table[lang_idx]
+    return pa.array(np.where(nulls, None, out), type=pa.string())
 
 
 def content_hash64(texts) -> np.ndarray:
