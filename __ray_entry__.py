@@ -384,6 +384,40 @@ def _q_sessionize(sf_dir: str):
                       "user_id", "ts", gap_s=86_400)
 
 
+def _q_events_tumbling(sf_dir: str):
+    """Tumbling 6-hour COUNT windows (per-block pre-aggregation; shuffle
+    carries partials only)."""
+    from bloomjoin_ray.pipelines.windows import tumbling_window
+
+    return tumbling_window(_read(sf_dir, "events", columns=["ts"]),
+                           "ts", 21_600)
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding COUNT windows, 12h size / 6h slide: each row explodes into
+    the 2 windows containing it, then the tumbling machinery aggregates."""
+    from bloomjoin_ray.pipelines.windows import sliding_window
+
+    return sliding_window(_read(sf_dir, "events", columns=["ts"]),
+                          "ts", 43_200, 21_600)
+
+
+def _q_session_assign(sf_dir: str):
+    """Range join: assign every event to its session window (sessionize →
+    interval-containment join on [session_start, session_end] per user).
+    Oracle = the same gaps-and-islands construction in SQL window
+    functions, joined back to events."""
+    from bloomjoin_ray.pipelines.range_join import range_join
+    from bloomjoin_ray.pipelines.windows import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    sess = sessionize(_read(sf_dir, "events", columns=["user_id", "ts"]),
+                      "user_id", "ts", gap_s=86_400)
+    sess = sess.select_columns(["user_id", "session_start", "session_end"])
+    return range_join(ev, sess, on="ts", start="session_start",
+                      end="session_end", by="user_id")
+
+
 def _q_write_roundtrip(sf_dir: str):
     """Streaming sink path end-to-end: read → filter/derive →
     ``resumable_write`` partitioned Parquet (atomic per-partition commit
@@ -454,6 +488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": _q_doc_stats,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_session_assign": _q_session_assign,
         "events_write_roundtrip": _q_write_roundtrip,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
@@ -587,6 +624,43 @@ def oracle_sql() -> dict[str, str]:
         "events_write_roundtrip": """
             SELECT event_id, user_id, value, value * 2.0 AS value_double
             FROM events WHERE event_type = 'purchase'
+        """,
+        "events_tumbling": """
+            SELECT time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01')
+                       AS window_start,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_sliding": """
+            SELECT w AS window_start, count(*) AS n FROM (
+                SELECT time_bucket(INTERVAL '6 hours', ts,
+                                   TIMESTAMP '1970-01-01') AS w FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '6 hours', ts,
+                                   TIMESTAMP '1970-01-01')
+                       - INTERVAL '6 hours' FROM events
+            ) GROUP BY w
+        """,
+        "events_session_assign": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 86400 SECONDS OR
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM flagged),
+            bounds AS (
+              SELECT user_id, sid, min(ts) AS session_start,
+                     max(ts) AS session_end
+              FROM sess GROUP BY user_id, sid)
+            SELECT e.event_id, e.user_id, e.ts, b.session_start, b.session_end
+            FROM events e JOIN bounds b
+              ON e.user_id = b.user_id
+             AND e.ts >= b.session_start AND e.ts <= b.session_end
         """,
         "asof_last_purchase": """
             SELECT e.event_id, e.user_id, e.ts, e.value, p.last_purchase_value

@@ -43,6 +43,7 @@ def __getattr__(name):
         "bloom_join": "bloomjoin_ray.pipelines.join",
         "hash_join": "bloomjoin_ray.pipelines.join",
         "asof_join": "bloomjoin_ray.pipelines.asof",
+        "range_join": "bloomjoin_ray.pipelines.range_join",
         "hll_distinct": "bloomjoin_ray.pipelines.aggregate",
         "approx_quantiles": "bloomjoin_ray.pipelines.aggregate",
         "cms_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",

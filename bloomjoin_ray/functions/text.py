@@ -251,17 +251,74 @@ def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
 
 def shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:
     """Character k-shingle hash set (uint64) of one document — the input
-    universe for MinHash / exact Jaccard."""
+    universe for MinHash / exact Jaccard. Single-doc view of
+    ``shingle_hashes_batch`` (identical hashes by construction)."""
     if not text:
         return np.empty(0, dtype=np.uint64)
-    b = text.lower().encode("utf-8", "surrogatepass")
-    if len(b) < k:
-        b = b + b"\x00" * (k - len(b))
-    arr = np.frombuffer(b, dtype=np.uint8)
-    n = len(arr) - k + 1
+    flat, _ = shingle_hashes_batch(pa.array([text], type=pa.string()), k)
+    return flat
+
+
+def shingle_hashes_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc char-k-shingle hash sets for a WHOLE batch, fully
+    vectorized: one Arrow lowercase pass, one scatter of every doc's
+    bytes into a zero-padded flat buffer (k−1 pad bytes between docs so
+    windows never cross documents and short docs match the per-doc
+    zero-padding), k rolling-FNV passes over that single buffer, then
+    one lexsort for per-doc sorted-unique sets — no per-doc Python.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
+    is doc *i*'s sorted unique shingle set; empty/null docs get zero
+    shingles; docs shorter than ``k`` get exactly one zero-padded
+    shingle (matching ``shingle_hashes``).
+    """
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(_strings_to_list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    nulls = np.asarray(pc.is_null(texts))
+    low = pc.utf8_lower(pc.fill_null(texts, "")).cast(pa.large_binary())
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    offs = np.frombuffer(low.buffers()[1], dtype=np.int64)[
+        low.offset : low.offset + n + 1]
+    data_buf = low.buffers()[2]
+    flat = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, dtype=np.uint8))
+    lens = np.diff(offs)
+    lens[nulls] = 0  # null ⇒ no shingles (fill_null made them "")
+    pad = k - 1
+    p = np.concatenate([[0], np.cumsum(lens + pad)])
+    total = int(p[-1])
+    padded = np.zeros(total, dtype=np.uint8)
+    nbytes = int(lens.sum())
+    if nbytes:
+        local = np.arange(nbytes) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
+        padded[np.repeat(p[:-1], lens) + local] = \
+            flat[np.repeat(offs[:-1], lens) + local]
+    # one rolling-hash window count per doc: len−k+1, min 1 (padded), 0 if empty
+    m = np.where(lens > 0, np.maximum(lens - k + 1, 1), 0)
+    W = int(m.sum())
+    if W == 0 or total < k:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
     with np.errstate(over="ignore"):
-        h = np.full(n, np.uint64(1469598103934665603))
+        h = np.full(total - k + 1, np.uint64(1469598103934665603))
         prime = np.uint64(1099511628211)
         for j in range(k):
-            h = (h ^ arr[j : j + n].astype(np.uint64)) * prime
-    return np.unique(h)
+            h = (h ^ padded[j : j + total - k + 1].astype(np.uint64)) * prime
+    wlocal = np.arange(W) - np.repeat(np.concatenate([[0], np.cumsum(m)])[:-1], m)
+    starts = np.repeat(p[:-1], m) + wlocal
+    hashes = h[starts]
+    wseg = np.repeat(np.arange(n), m)
+    order = np.lexsort((hashes, wseg))
+    hs, ws = hashes[order], wseg[order]
+    uniq = np.empty(W, dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1])
+    out = hs[uniq]
+    counts = np.bincount(ws[uniq], minlength=n)
+    return out, np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)

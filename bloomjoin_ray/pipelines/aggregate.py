@@ -543,15 +543,26 @@ def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
 
 def distinct_exact(ds, cols: str | Sequence[str]) -> int:
     """Exact COUNT(DISTINCT cols): per-block dedupe (map_batches) → shuffle
-    only the block-distinct rows → global dedupe → count."""
+    only the block-distinct rows, hash-bucketed → ONE pyarrow hash
+    aggregate per bucket (C++ group-by over the real values — no
+    per-distinct-value Python dispatch, no hash-collision caveat) →
+    sum of per-bucket distinct counts."""
+    from .buckets import with_hash_bucket
+
     cols = [cols] if isinstance(cols, str) else list(cols)
 
     def dedupe(batch: pa.Table) -> pa.Table:
         return batch.group_by(cols).aggregate([])
 
+    def count_bucket(group: pa.Table) -> pa.Table:
+        n = group.drop_columns(["__gbucket"]).group_by(cols).aggregate([]).num_rows
+        return pa.table({"__n": pa.array([n], type=pa.int64())})
+
     deduped = ds.select_columns(cols).map_batches(dedupe, batch_format="pyarrow")
-    return deduped.groupby(cols).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow").count()
+    counts = (with_hash_bucket(deduped, cols)
+              .groupby("__gbucket")
+              .map_groups(count_bucket, batch_format="pyarrow"))
+    return int(counts.sum("__n") or 0)
 
 
 def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,

@@ -214,29 +214,56 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
         dim = embeddings_to_matrix(first.column(vec_col)).shape[1]
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
 
+    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+
     def verify(group: pa.Table) -> pa.Table:
-        V = _normalize(embeddings_to_matrix(group.column(vec_col)).astype(np.float32))
-        ids = group.column(id_col).to_pylist()
-        uniq = {}
-        for i, d in enumerate(ids):
-            uniq.setdefault(d, i)
-        uids = sorted(uniq)
+        """One reduce task per hash bucket of LSH cells (not one Python
+        dispatch per cell — the cell count grows with ``n_bits``); only
+        multi-member cells get an all-pairs cosine check."""
+        id_type = group.column(id_col).type
+
+        def empty():
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "cosine": pa.array([], type=pa.float64())})
+
+        if group.num_rows == 0:
+            return empty()
+        cells = np.asarray(group.column("bucket"), dtype=np.int64)
+        order, bounds = numeric_segments([cells])
+        sizes = np.diff(bounds)
+        multi = np.nonzero(sizes > 1)[0]
+        if not multi.size:
+            return empty()
+        sorted_g = group.take(pa.array(order))
+        V = _normalize(embeddings_to_matrix(
+            sorted_g.column(vec_col)).astype(np.float32))
+        ids = sorted_g.column(id_col).combine_chunks()
         a_col, b_col, c_col = [], [], []
-        if len(uids) >= 2:
+        for s in multi:
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            uniq: dict = {}
+            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
+                uniq.setdefault(d, lo + r)
+            uids = sorted(uniq)
+            if len(uids) < 2:
+                continue
             idx = [uniq[d] for d in uids]
             sims = V[idx] @ V[idx].T
             iu, ju = np.triu_indices(len(uids), 1)
             hits = sims[iu, ju] >= threshold
-            for i, j, s in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
+            for i, j, sc in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
                 a_col.append(uids[i])
                 b_col.append(uids[j])
-                c_col.append(float(s))
-        return pa.table({"id_a": a_col, "id_b": b_col,
+                c_col.append(float(sc))
+        return pa.table({"id_a": pa.array(a_col, type=id_type),
+                         "id_b": pa.array(b_col, type=id_type),
                          "cosine": pa.array(c_col, type=pa.float64())})
 
-    pairs = (ds.select_columns([id_col, vec_col])
-               .map_batches(stage, batch_format="pyarrow")
-               .groupby("bucket")
-               .map_groups(verify, batch_format="pyarrow"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = (with_hash_bucket(
+                ds.select_columns([id_col, vec_col])
+                  .map_batches(stage, batch_format="pyarrow"),
+                ["bucket"])
+             .groupby("__gbucket")
+             .map_groups(verify, batch_format="pyarrow"))
+    return dedupe_pairs(pairs, {"cosine": "min"})

@@ -25,8 +25,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.text import content_hash64, shingle_hashes
-from ..state.minhash import hamming64, signature_jaccard
+from ..state.minhash import hamming64
 
 
 # ------------------------------------------------------------- exact ----
@@ -82,12 +81,12 @@ class _MinHashStage:
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..state.minhash import band_hashes_batch, minhash_signatures_batch
+        from ..functions.text import shingle_hashes_batch
+        from ..state.minhash import band_hashes_batch, minhash_signatures_flat
 
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        sigs = minhash_signatures_batch(
-            [shingle_hashes(t, self.k) for t in texts], self.num_perm)
+        n = batch.num_rows
+        flat, offs = shingle_hashes_batch(batch.column(self.text_col), self.k)
+        sigs = minhash_signatures_flat(flat, offs, self.num_perm)
         bh = band_hashes_batch(sigs, self.bands)      # (n, bands), vectorized
         blobs = [s.tobytes() for s in sigs]
         idx = np.repeat(np.arange(n), self.bands)
@@ -105,41 +104,67 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                       num_perm: int = 128, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.5):
     """Candidate near-dup pairs with signature-estimated Jaccard ≥
-    threshold. Returns Dataset[id_a, id_b, est_jaccard]."""
+    threshold. Returns Dataset[id_a, id_b, est_jaccard].
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sigs = [np.frombuffer(bytes(s), dtype=np.uint64)
-                for s in group.column("sig").to_pylist()]
-        seen = {}
-        for i, d in enumerate(ids):
-            if d not in seen:
-                seen[d] = sigs[i]
-        uids = sorted(seen)
-        a_col, b_col, j_col = [], [], []
-        for i in range(len(uids)):
-            for j in range(i + 1, len(uids)):
-                est = signature_jaccard(seen[uids[i]], seen[uids[j]])
-                if est >= threshold:
-                    a_col.append(uids[i])
-                    b_col.append(uids[j])
-                    j_col.append(est)
+    Scale shape: LSH buckets hash into 64 reduce tasks (one Python
+    dispatch per task, not per bucket — there are ~n·bands buckets);
+    inside a task one lexsort splits rows into equal-(band, bhash)
+    segments and only multi-member segments (actual collisions) are
+    touched, each scored with one vectorized all-pairs signature
+    comparison."""
+    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+
+    def bucket_reduce(group: pa.Table) -> pa.Table:
         id_type = group.column(id_col).type
+
+        def empty():
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "est_jaccard": pa.array([], type=pa.float64())})
+
+        if group.num_rows == 0:
+            return empty()
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bh = np.asarray(group.column("bhash"), dtype=np.int64)
+        order, bounds = numeric_segments([bh, band])
+        sizes = np.diff(bounds)
+        multi = np.nonzero(sizes > 1)[0]
+        if not multi.size:
+            return empty()
+        sorted_g = group.take(pa.array(order))
+        ids = sorted_g.column(id_col).combine_chunks()
+        sig_col = sorted_g.column("sig").combine_chunks()
+        a_col, b_col, j_col = [], [], []
+        for s in multi:
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            seen: dict = {}
+            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
+                seen.setdefault(d, lo + r)
+            uids = sorted(seen)
+            if len(uids) < 2:
+                continue
+            S = np.stack([np.frombuffer(bytes(sig_col[seen[d]].as_py()),
+                                        dtype=np.uint64) for d in uids])
+            iu, ju = np.triu_indices(len(uids), 1)
+            est = (S[iu] == S[ju]).mean(axis=1)
+            hit = est >= threshold
+            for i, j, e in zip(iu[hit], ju[hit], est[hit]):
+                a_col.append(uids[i])
+                b_col.append(uids[j])
+                j_col.append(float(e))
         return pa.table({"id_a": pa.array(a_col, type=id_type),
                          "id_b": pa.array(b_col, type=id_type),
                          "est_jaccard": pa.array(j_col, type=pa.float64())})
 
-    def first_per_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
     stage = _MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
-    pairs = (ds.select_columns([id_col, text_col])
-               .map_batches(stage, batch_format="pyarrow")
-               .groupby(["band", "bhash"])
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
-    # a pair can surface from several bands — dedupe
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_per_pair, batch_format="pyarrow")
+    pairs = (with_hash_bucket(
+                ds.select_columns([id_col, text_col])
+                  .map_batches(stage, batch_format="pyarrow"),
+                ["band", "bhash"])
+             .groupby("__gbucket")
+             .map_groups(bucket_reduce, batch_format="pyarrow"))
+    # a pair can surface from several bands — dedupe (same est each time)
+    return dedupe_pairs(pairs, {"est_jaccard": "min"})
 
 
 def _union_find_clusters(pairs: list[tuple]) -> dict:
@@ -223,35 +248,61 @@ class _SimHashStage:
 
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                   max_hamming: int = 3):
-    """Verified SimHash near-dup pairs: Dataset[id_a, id_b, hamming]."""
+    """Verified SimHash near-dup pairs: Dataset[id_a, id_b, hamming].
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        fps = np.array(group.column("fp").to_pylist(), dtype=np.int64).view(np.uint64)
-        seen = {}
-        for d, f in zip(ids, fps):
-            seen.setdefault(d, f)
-        uids = sorted(seen)
-        a_col, b_col, h_col = [], [], []
-        for i in range(len(uids)):
-            fi = np.array([seen[uids[i]]], dtype=np.uint64)
-            for j in range(i + 1, len(uids)):
-                hd = int(hamming64(fi, np.uint64(seen[uids[j]]))[0])
-                if hd <= max_hamming:
-                    a_col.append(uids[i])
-                    b_col.append(uids[j])
-                    h_col.append(hd)
+    Same 64-task bucketed-segment shape as ``minhash_lsh_pairs`` — one
+    Python dispatch per reduce task, not per (band, bucket) LSH cell."""
+    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+
+    def bucket_reduce(group: pa.Table) -> pa.Table:
         id_type = group.column(id_col).type
+
+        def empty():
+            return pa.table({"id_a": pa.array([], type=id_type),
+                             "id_b": pa.array([], type=id_type),
+                             "hamming": pa.array([], type=pa.int32())})
+
+        if group.num_rows == 0:
+            return empty()
+        band = np.asarray(group.column("band"), dtype=np.int64)
+        bk = np.asarray(group.column("bucket"), dtype=np.int64)
+        order, bounds = numeric_segments([bk, band])
+        sizes = np.diff(bounds)
+        multi = np.nonzero(sizes > 1)[0]
+        if not multi.size:
+            return empty()
+        sorted_g = group.take(pa.array(order))
+        ids = sorted_g.column(id_col).combine_chunks()
+        fps = np.asarray(sorted_g.column("fp"), dtype=np.int64).view(np.uint64)
+        a_col, b_col, h_col = [], [], []
+        for s in multi:
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            seen: dict = {}
+            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
+                seen.setdefault(d, lo + r)
+            uids = sorted(seen)
+            if len(uids) < 2:
+                continue
+            f = np.array([fps[seen[d]] for d in uids], dtype=np.uint64)
+            iu, ju = np.triu_indices(len(uids), 1)
+            hd = hamming64(f[iu], f[ju])
+            hit = hd <= max_hamming
+            for i, j, h in zip(iu[hit], ju[hit], hd[hit]):
+                a_col.append(uids[i])
+                b_col.append(uids[j])
+                h_col.append(int(h))
         return pa.table({"id_a": pa.array(a_col, type=id_type),
                          "id_b": pa.array(b_col, type=id_type),
                          "hamming": pa.array(h_col, type=pa.int32())})
 
-    pairs = (ds.select_columns([id_col, text_col])
-               .map_batches(_SimHashStage(text_col, id_col), batch_format="pyarrow")
-               .groupby(["band", "bucket"])
-               .map_groups(bucket_pairs, batch_format="pyarrow"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = (with_hash_bucket(
+                ds.select_columns([id_col, text_col])
+                  .map_batches(_SimHashStage(text_col, id_col),
+                               batch_format="pyarrow"),
+                ["band", "bucket"])
+             .groupby("__gbucket")
+             .map_groups(bucket_reduce, batch_format="pyarrow"))
+    return dedupe_pairs(pairs, {"hamming": "min"})
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
@@ -287,42 +338,81 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
     k-shingling (e.g. ``word_ngram_hashes`` for small-vocab corpora).
     Returns Dataset[id_a, id_b, jaccard].
     """
-    mk = shingle_fn or (lambda t: shingle_hashes(t, shingle_k))
-
     def explode(batch: pa.Table) -> pa.Table:
+        """(shingle, id) posting rows. Default char shingling runs the
+        batch-vectorized kernel; a custom ``shingle_fn`` falls back to a
+        per-doc loop (its contract is one doc → one uint64 set)."""
+        ids = batch.column(id_col).combine_chunks() \
+            if isinstance(batch.column(id_col), pa.ChunkedArray) \
+            else batch.column(id_col)
+        if shingle_fn is None:
+            from ..functions.text import shingle_hashes_batch
+
+            flat, offs = shingle_hashes_batch(batch.column(text_col), shingle_k)
+            counts = np.diff(offs)
+            idx = np.repeat(np.arange(len(counts)), counts)
+            return pa.table({
+                "shingle": pa.array(flat.view(np.int64)),
+                id_col: ids.take(pa.array(idx)),
+            })
         texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        sh_col, id_out = [], []
+        sh_col, idx_out = [], []
         for i, t in enumerate(texts):
-            sh = mk(t)
+            sh = shingle_fn(t)
             sh_col.append(sh.view(np.int64))
-            id_out.extend([ids[i]] * len(sh))
+            idx_out.append(np.full(len(sh), i, dtype=np.int64))
         return pa.table({
-            "shingle": pa.array(np.concatenate(sh_col) if sh_col else [], type=pa.int64()),
-            id_col: pa.array(id_out),
+            "shingle": pa.array(np.concatenate(sh_col)
+                                if sh_col else np.empty(0, np.int64)),
+            id_col: ids.take(pa.array(np.concatenate(idx_out)
+                                      if idx_out else np.empty(0, np.int64))),
         })
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        """One shingle's postings → its i<j candidate pairs + one (id, id)
-        self-pair per posting (the pruned-universe size contributions)."""
+        """One bucket's postings → every surviving shingle's i<j candidate
+        pairs plus one (id, id) self-pair per surviving posting (the
+        pruned-universe size contributions).
+
+        Scale shape: ONE task per bucket (not per shingle — there are
+        billions of distinct shingles at corpus scale). Inside, one C++
+        sort by (shingle, id) splits postings into per-shingle segments;
+        df-pruning is a vectorized segment-size mask; self-pairs are one
+        vectorized take; Python loops only over segments with ≥ 2
+        postings (``triangle_indices``), each O(df²) real work anyway.
+        Sorting by id within the segment canonicalizes id_a < id_b."""
+        from .buckets import triangle_indices
+
         id_type = group.column(id_col).type
-        ids = sorted(set(group.column(id_col).to_pylist()))
-        if len(ids) > max_df:
+        n = group.num_rows
+        if n == 0:
             return pa.table({"id_a": pa.array([], type=id_type),
                              "id_b": pa.array([], type=id_type)})
-        a_col, b_col = list(ids), list(ids)  # self-pairs: size contributions
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_col.append(ids[i])
-                b_col.append(ids[j])
-        return pa.table({"id_a": pa.array(a_col, type=id_type),
-                         "id_b": pa.array(b_col, type=id_type)})
+        order = np.asarray(pc.sort_indices(group, sort_keys=[
+            ("shingle", "ascending"), (id_col, "ascending")]))
+        sh = np.asarray(group.column("shingle"))[order]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = sh[1:] != sh[:-1]
+        bounds = np.concatenate([np.nonzero(new_seg)[0], [n]])
+        sizes = np.diff(bounds)
+        ok = sizes <= max_df
+        surviving = order[np.repeat(ok, sizes)]
+        ai, bi = triangle_indices(bounds, ok & (sizes > 1))
+        a_idx = np.concatenate([surviving, order[ai]])
+        b_idx = np.concatenate([surviving, order[bi]])
+        ids = group.column(id_col).combine_chunks()
+        return pa.table({"id_a": ids.take(pa.array(a_idx)),
+                         "id_b": ids.take(pa.array(b_idx))})
 
     from ray.data.aggregate import Count
 
-    counts = (ds.select_columns([id_col, text_col])
-                .map_batches(explode, batch_format="pyarrow")
-                .groupby("shingle")
+    from .buckets import with_hash_bucket
+
+    counts = (with_hash_bucket(
+                  ds.select_columns([id_col, text_col])
+                    .map_batches(explode, batch_format="pyarrow"),
+                  ["shingle"])
+                .groupby("__gbucket")
                 .map_groups(emit_pairs, batch_format="pyarrow")
                 .groupby(["id_a", "id_b"])
                 .aggregate(Count(alias_name="co"))

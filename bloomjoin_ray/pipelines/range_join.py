@@ -1,0 +1,169 @@
+"""Range (interval-containment) join — an operator the Dataset API lacks.
+
+For each left row, attach the right row whose interval
+``[start, end]`` (``closed="both"``; ``"left"`` excludes the end)
+contains the left row's ``on`` value, with equality on ``by``.
+
+Scale shape: both sides co-bucket on the ``by`` key hash (all rows of
+one key land in one bucket); inside a bucket ONE lexsort of the merged
+left+right rows by (key-hash pair, time, side) drives a vectorized
+zipper sweep — each right row marks its sorted position,
+``np.maximum.accumulate`` carries the latest interval start at or
+before every left row, and a containment check against that interval's
+end finishes the match. No per-key or per-row Python; the shuffle
+moves each row exactly once.
+
+Partitioning assumption (documented per the survey's custom-operator
+rule): each key's intervals are DISJOINT (session windows, SCD
+validity ranges) — then at most the latest-starting interval can
+contain ``on``, and the sweep is exact. With overlapping intervals
+the sweep still returns the latest-starting containing interval but
+earlier containing intervals are not emitted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.keys import hash_keys64, hash_keys64_pair
+from .asof import _schema_of
+
+
+def _order_key(col, name: str) -> np.ndarray:
+    """int64 order key for a timestamp/integer column (nulls → 0; callers
+    only read positions whose validity is already established)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+        return np.asarray(pc.fill_null(col.cast(pa.int64()), 0))
+    raise TypeError(f"range_join column {name!r} must be timestamp or "
+                    f"integer, got {col.type}")
+
+
+def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
+               by: str | list[str], how: str = "inner",
+               closed: str = "both", num_buckets: int = 64,
+               suffixes=("", "_right")):
+    """Interval join of two Datasets. ``on`` (left) and ``start``/``end``
+    (right) must be timestamp or integer columns of a common scale;
+    ``by`` the equality key(s); ``how`` in {"inner", "left"}. Right
+    intervals must be disjoint per key. Returns a Dataset of left rows
+    + matched right columns (``how="left"``: nulls when no match).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner' or 'left'")
+    if closed not in ("both", "left"):
+        raise ValueError("closed must be 'both' or 'left'")
+    by_cols = [by] if isinstance(by, str) else list(by)
+
+    left_schema = _schema_of(ds_left)
+    right_schema = _schema_of(ds_right)
+    right_keep = [c for c in right_schema.names if c not in by_cols]
+    rename_right = {c: c + suffixes[1] if c in set(left_schema.names) else c
+                    for c in right_keep}
+    out_schema = pa.schema(
+        [left_schema.field(c) for c in left_schema.names]
+        + [pa.field(rename_right[c], right_schema.field(c).type)
+           for c in right_keep])
+
+    unified = pa.schema(
+        [pa.field(f"__l_{c}", left_schema.field(c).type)
+         for c in left_schema.names]
+        + [pa.field(f"__r_{c}", right_schema.field(c).type)
+           for c in right_keep]
+        + [pa.field("__t", pa.int64()), pa.field("__h1", pa.uint64()),
+           pa.field("__h2", pa.uint64()), pa.field("__side", pa.int8()),
+           pa.field("__bucket", pa.int32())])
+
+    def prep(side: int, time_col: str, names: list[str], prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h1, h2 = hash_keys64_pair(batch, by_cols)
+            bucket = (hash_keys64(batch, by_cols)
+                      % np.uint64(num_buckets)).astype(np.int32)
+            tv = _order_key(batch.column(time_col), time_col)
+            arrays = []
+            for f in unified:
+                nm = f.name
+                if nm.startswith(prefix) and nm[len(prefix):] in names:
+                    col = batch.column(nm[len(prefix):])
+                    col = (col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+                    arrays.append(col.cast(f.type))
+                elif nm == "__t":
+                    arrays.append(pa.array(tv, type=pa.int64()))
+                elif nm == "__h1":
+                    arrays.append(pa.array(h1))
+                elif nm == "__h2":
+                    arrays.append(pa.array(h2))
+                elif nm == "__side":
+                    arrays.append(pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)))
+                elif nm == "__bucket":
+                    arrays.append(pa.array(bucket))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, f.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+
+        return fn
+
+    tagged = (ds_left.map_batches(
+                  prep(1, on, list(left_schema.names), "__l_"),
+                  batch_format="pyarrow")
+              .union(ds_right.map_batches(
+                  prep(0, start, right_keep, "__r_"),
+                  batch_format="pyarrow")))
+
+    strict_end = closed == "left"
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        side = np.asarray(group.column("__side"))
+        t = np.asarray(group.column("__t"))
+        h1 = np.asarray(group.column("__h1"))
+        h2 = np.asarray(group.column("__h2"))
+        # rights (side 0) sort before lefts at equal time, so an interval
+        # starting exactly at `on` is containing under both closed modes
+        order = np.lexsort((side, t, h2, h1))
+        side_s = side[order]
+        li = np.nonzero(side_s == 1)[0]          # lefts, sorted positions
+        if li.size == 0:
+            return out_schema.empty_table()
+        marker = np.where(side_s == 0, np.arange(n), -1)
+        last = np.maximum.accumulate(marker)     # latest right ≤ here
+        j = last[li]
+        valid = j >= 0
+        jj = np.where(valid, j, 0)
+        h1_s, h2_s = h1[order], h2[order]
+        valid &= (h1_s[jj] == h1_s[li]) & (h2_s[jj] == h2_s[li])
+        right_orig = order[jj]                   # original matched right row
+        end_v = _order_key(group.column(f"__r_{end}"), end)[right_orig]
+        on_v = t[order][li]
+        valid &= (on_v < end_v) if strict_end else (on_v <= end_v)
+        left_orig = order[li]
+        if how == "inner":
+            left_orig, right_orig = left_orig[valid], right_orig[valid]
+            matched = np.ones(len(left_orig), dtype=bool)
+        else:
+            matched = valid
+        arrays = []
+        lo = pa.array(left_orig)
+        for c in left_schema.names:
+            col = group.column(f"__l_{c}")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            arrays.append(col.take(lo))
+        ro = pa.array(np.where(matched, right_orig, 0))
+        mask = pa.array(matched)
+        for c in right_keep:
+            col = group.column(f"__r_{c}")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            taken = col.take(ro)
+            if not matched.all():
+                taken = pc.if_else(mask, taken, pa.nulls(len(matched), col.type))
+            arrays.append(taken)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return tagged.groupby("__bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")

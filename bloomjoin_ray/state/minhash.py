@@ -30,23 +30,36 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 128,
 def minhash_signatures_batch(shingle_sets: list[np.ndarray],
                              num_perm: int = 128,
                              seed: int = 0x5EED) -> np.ndarray:
-    """(n_docs, num_perm) signatures, vectorized across the whole batch:
-    one mixing pass per permutation over the concatenation of every doc's
-    shingles, per-doc minima via ``np.minimum.reduceat`` — no per-doc
-    Python loop (the map_batches hot path for MinHash dedup)."""
-    n = len(shingle_sets)
-    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    """(n_docs, num_perm) signatures from a list of per-doc shingle-hash
+    arrays — concatenates once and delegates to the flat kernel."""
     sizes = np.array([s.size for s in shingle_sets], dtype=np.int64)
-    nonempty = np.nonzero(sizes > 0)[0]
-    if nonempty.size == 0:
+    flat = (np.concatenate([s.astype(np.uint64, copy=False)
+                            for s in shingle_sets if s.size])
+            if sizes.sum() else np.empty(0, dtype=np.uint64))
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    return minhash_signatures_flat(flat, offsets, num_perm, seed)
+
+
+def minhash_signatures_flat(flat: np.ndarray, offsets: np.ndarray,
+                            num_perm: int = 128,
+                            seed: int = 0x5EED) -> np.ndarray:
+    """(n_docs, num_perm) signatures over a FLAT shingle-hash array with
+    per-doc ``offsets`` (the layout ``shingle_hashes_batch`` emits): one
+    mixing pass per permutation over the whole flat array, per-doc minima
+    via ``np.minimum.reduceat`` — no per-doc Python loop (the map_batches
+    hot path for MinHash dedup). Empty docs get the all-max signature."""
+    n = len(offsets) - 1
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    sizes = np.diff(offsets)
+    nonempty = sizes > 0
+    if not nonempty.any():
         return out
-    concat = np.concatenate([shingle_sets[i].astype(np.uint64, copy=False)
-                             for i in nonempty])
-    bounds = np.concatenate([[0], np.cumsum(sizes[nonempty])[:-1]])
+    bounds = np.asarray(offsets[:-1][nonempty], dtype=np.int64)
+    flat = flat.astype(np.uint64, copy=False)
     with np.errstate(over="ignore"):
         for j in range(num_perm):
-            mixed = splitmix64(concat ^ U64((seed + j * 0x9E3779B97F4A7C15)
-                                            & 0xFFFFFFFFFFFFFFFF))
+            mixed = splitmix64(flat ^ U64((seed + j * 0x9E3779B97F4A7C15)
+                                          & 0xFFFFFFFFFFFFFFFF))
             out[nonempty, j] = np.minimum.reduceat(mixed, bounds)
     return out
 

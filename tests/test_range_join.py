@@ -1,0 +1,133 @@
+"""Range (interval-containment) join vs a DuckDB inequality-join oracle."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames(ray_session):
+    """Left events + per-key DISJOINT intervals (the operator's documented
+    assumption): each key gets consecutive non-overlapping windows with
+    gaps between them, so some events fall outside every interval."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({
+        "event_id": np.arange(3000),
+        "user_id": rng.integers(0, 40, size=3000),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**6, size=3000), unit="s"),
+    })
+    rows = []
+    for u in range(40):
+        t = 0
+        for w in range(rng.integers(2, 6)):
+            t += int(rng.integers(10_000, 100_000))        # gap
+            dur = int(rng.integers(5_000, 120_000))
+            rows.append((u, t, t + dur))
+            t += dur
+    right = pd.DataFrame(rows, columns=["user_id", "s", "e"])
+    right["win_start"] = base + pd.to_timedelta(right.pop("s"), unit="s")
+    right["win_end"] = base + pd.to_timedelta(right.pop("e"), unit="s")
+    right["win_id"] = np.arange(len(right))
+
+    def to_ds(df):
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                             ).repartition(4)
+
+    return left, right, to_ds(left), to_ds(right)
+
+
+def _oracle(left, right, op_end="<="):
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    return con.sql(f"""
+        SELECT l.event_id, l.user_id, l.ts, r.win_start, r.win_end, r.win_id
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND l.ts >= r.win_start AND l.ts {op_end} r.win_end
+    """).df()
+
+
+def _sorted(df):
+    return df.sort_values(["event_id"]).reset_index(drop=True)
+
+
+def test_range_join_inner_vs_duckdb(frames):
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left, right, dsl, dsr = frames
+    got = _sorted(range_join(dsl, dsr, on="ts", start="win_start",
+                             end="win_end", by="user_id").to_pandas())
+    want = _sorted(_oracle(left, right))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "win_id"]],
+        want[["event_id", "user_id", "win_id"]], check_dtype=False)
+
+
+def test_range_join_left_vs_duckdb(frames):
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left, right, dsl, dsr = frames
+    got = _sorted(range_join(dsl, dsr, on="ts", start="win_start",
+                             end="win_end", by="user_id",
+                             how="left").to_pandas())
+    assert len(got) == len(left)          # every left row survives
+    inner = _oracle(left, right)
+    matched = got[got.win_id.notna()]
+    assert len(matched) == len(inner)
+    m = _sorted(matched)
+    w = _sorted(inner)
+    assert (m.win_id.to_numpy().astype(np.int64)
+            == w.win_id.to_numpy().astype(np.int64)).all()
+
+
+def test_range_join_closed_left_excludes_end(frames):
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left, right, dsl, dsr = frames
+    got = _sorted(range_join(dsl, dsr, on="ts", start="win_start",
+                             end="win_end", by="user_id",
+                             closed="left").to_pandas())
+    want = _sorted(_oracle(left, right, op_end="<"))
+    assert len(got) == len(want)
+
+
+def test_range_join_integer_keys(ray_session):
+    """Integer on/start/end columns work (no timestamps required)."""
+    import ray.data as rd
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left = pa.table({"k": [1, 1, 2, 2, 3], "pos": [5, 40, 7, 100, 1]})
+    right = pa.table({"k": [1, 1, 2], "lo": [0, 30, 5], "hi": [10, 50, 8],
+                      "tag": ["a", "b", "c"]})
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="pos", start="lo", end="hi", by="k").to_pandas()
+    out = out.sort_values(["k", "pos"]).reset_index(drop=True)
+    assert list(out["tag"]) == ["a", "b", "c"]      # (1,5)→a (1,40)→b (2,7)→c
+    # boundary inclusivity: pos == hi matches under closed='both'
+    out2 = range_join(rd.from_arrow(pa.table({"k": [1], "pos": [10]})),
+                      rd.from_arrow(right), on="pos", start="lo", end="hi",
+                      by="k").to_pandas()
+    assert list(out2["tag"]) == ["a"]
+
+
+def test_range_join_suffix_and_validation(ray_session):
+    import ray.data as rd
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left = pa.table({"k": [1], "pos": [5], "tag": ["L"]})
+    right = pa.table({"k": [1], "lo": [0], "hi": [9], "tag": ["R"]})
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="pos", start="lo", end="hi", by="k")
+    assert "tag_right" in out.schema().names
+    with pytest.raises(ValueError):
+        range_join(rd.from_arrow(left), rd.from_arrow(right),
+                   on="pos", start="lo", end="hi", by="k", how="outer")
+    with pytest.raises(ValueError):
+        range_join(rd.from_arrow(left), rd.from_arrow(right),
+                   on="pos", start="lo", end="hi", by="k", closed="right")
