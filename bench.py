@@ -47,11 +47,15 @@ N_CONVS = int(os.environ.get("GRAFT_NCONVS", 0)) or \
     {"0.001": 200, "0.01": 2000, "0.1": 20_000, "1": 200_000}.get(SF, 2000)
 # --scaling uses a larger transcript input so per-CPU work dominates fixed
 # stage overheads (the sandbox stand-in for a multi-node data volume)
-# ×32 at sf0.1 → ~29M turns ≈ 7GB decompressed: large enough that
-# per-CPU compute dominates the fixed per-pipeline floors, and — now that
-# the grouped reduce ships packed partials without the sort-shuffle —
-# small enough that the materialized input stays inside the object store
-SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 64
+# ×128 at sf0.1 → ~117M turns ≈ 29GB decompressed: large enough that
+# per-CPU compute dominates the fixed per-pipeline floors, small enough
+# that the materialized input stays inside the 64GB object store
+SCALING_CONVS = int(os.environ.get("GRAFT_SCALING_CONVS", 0)) or N_CONVS * 128
+# block count for the scaling input: block SIZE (not count) is what must
+# stay constant as data grows — the last-wave straggler tail costs ~one
+# task's runtime at BOTH levels, so per-task time must stay small relative
+# to t_hi, while the executor floor grows ~linearly with block count
+SCALING_BLOCKS = int(os.environ.get("GRAFT_SCALING_BLOCKS", "256"))
 # the 59M-turn scaling input needs more plasma headroom than Ray's 40GB
 # default (materialized input + repartition intermediate + packed stage
 # outputs previously re-coupled the 32-CPU level to spilling)
@@ -133,10 +137,9 @@ def run_suite() -> dict:
         # scaling criterion: pin the input in the object store so both
         # parallelism levels measure the ENGINE's scaling — on one shared
         # box the disk is the resource that cannot scale with CPUs, while
-        # on a real cluster the read layer scales with nodes. 128 blocks
-        # (identical at both levels) so a single map wave never quantizes
-        # to the block count.
-        transcripts = transcripts.repartition(128).materialize()
+        # on a real cluster the read layer scales with nodes. Identical
+        # block layout at both levels so task sizes match exactly.
+        transcripts = transcripts.repartition(SCALING_BLOCKS).materialize()
     n_turns = transcripts.count()
 
     timings: dict[str, float] = {}

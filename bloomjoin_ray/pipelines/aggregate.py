@@ -234,7 +234,7 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
     execution for derived inputs)."""
     import ray
     import ray.data as rd
-    from .exchange import split_refs_by_group
+    from .exchange import split_refs_by_group, stream_arrow_refs
 
     def empty():
         if empty_schema is not None:
@@ -242,7 +242,7 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
             return rd.from_arrow(schema.empty_table())
         return packed.drop_columns(["pack", "__gbucket"])
 
-    refs = packed.to_arrow_refs()
+    refs = stream_arrow_refs(packed)
     if not refs:
         return empty()
     num_groups = min(num_buckets, num_tasks)

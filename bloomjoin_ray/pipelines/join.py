@@ -478,7 +478,7 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     import ray
     import ray.data as rd
 
-    from .exchange import split_refs_by_group
+    from .exchange import split_refs_by_group, stream_arrow_refs
 
     from ..functions.keys import hash_keys64
 
@@ -500,8 +500,8 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
             t = t.group_by(t.schema.names).aggregate([])
         return _pack_by_bucket(t)
 
-    x_refs = ds_x.map_batches(prep_x, batch_format="pyarrow").to_arrow_refs()
-    y_refs = ds_y.map_batches(prep_y, batch_format="pyarrow").to_arrow_refs()
+    x_refs = stream_arrow_refs(ds_x.map_batches(prep_x, batch_format="pyarrow"))
+    y_refs = stream_arrow_refs(ds_y.map_batches(prep_y, batch_format="pyarrow"))
 
     # prep-table schemas for empty-side construction inside tasks
     schema_x = layout.x_table(layout.x_schema.empty_table(), na_matches).schema
