@@ -239,6 +239,24 @@ def _q_doc_stats(sf_dir: str):
                                "avg_token_len", "punct_ratio"])
 
 
+def _q_curated_docs(sf_dir: str):
+    """Training-data curation composition: quality stats → threshold
+    filter → exact dedup (keep min doc_id per text), all streaming.
+    SQL-expressible end to end, so the whole chain is oracle-checked."""
+    from bloomjoin_ray.pipelines.dedup import exact_dedup
+    from bloomjoin_ray.pipelines.text import text_stats
+
+    stats = text_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.greater_equal(t["n_tokens"], 20),
+                                pc.less_equal(t["punct_ratio"], 0.05)))
+
+    filtered = stats.map_batches(keep, batch_format="pyarrow")
+    out = exact_dedup(filtered, "text", "doc_id")
+    return out.select_columns(["doc_id", "n_tokens", "punct_ratio"])
+
+
 def _q_lang_id(sf_dir: str):
     from bloomjoin_ray.pipelines.text import language_id
 
@@ -260,6 +278,28 @@ def _q_ann_topk(sf_dir: str):
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
     return ann_topk(_read(sf_dir, "embeddings"), Q, k=10)
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    """LSH-bucketed ANN (approximate: recall < 1 by design; recall bounds
+    pinned in tests/test_ann.py)."""
+    from bloomjoin_ray.pipelines.ann import lsh_ann_topk
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    return lsh_ann_topk(_read(sf_dir, "embeddings"), Q, k=10, n_bits=4)
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF-cell ANN (approximate; deterministic seeded k-means cells)."""
+    from bloomjoin_ray.pipelines.ann import ivf_ann_topk
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    return ivf_ann_topk(_read(sf_dir, "embeddings"), Q, k=10,
+                        n_centroids=8, n_probe=3)
 
 
 def _q_embedding_dedup(sf_dir: str):
@@ -492,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_session_assign": _q_session_assign,
         "events_write_roundtrip": _q_write_roundtrip,
+        "curated_docs": _q_curated_docs,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
@@ -503,6 +544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         "ann_topk_bruteforce": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
@@ -668,6 +711,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, max(value) AS last_purchase_value
                 FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
             ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "curated_docs": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                         AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                               / greatest(length(text), 1)
+                          ELSE 0.0 END AS punct_ratio
+              FROM documents),
+            f AS (SELECT * FROM s WHERE n_tokens >= 20 AND punct_ratio <= 0.05)
+            SELECT doc_id, n_tokens, punct_ratio FROM f
+            WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY text)
         """,
         "doc_text_stats": """
             SELECT doc_id,

@@ -82,7 +82,10 @@ def _ensure_transcripts() -> str:
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
-    write_transcripts(out, N_CONVS, parallelism=max(NUM_CPUS, 16))
+    # one file per ~10k convs so the scaling path can read its target
+    # block layout directly (no repartition → no 2× store transient)
+    write_transcripts(out, N_CONVS,
+                      parallelism=max(NUM_CPUS, 16, N_CONVS // 10_000))
     with open(marker, "w") as f:
         f.write("ok")
     return out
@@ -132,14 +135,20 @@ def run_suite() -> dict:
     _warm_cache([tdir, f"{SF_DIR}/orders.parquet", f"{SF_DIR}/customer.parquet",
                  f"{SF_DIR}/lineitem.parquet"])
 
-    transcripts = rd.read_parquet(tdir)
     if ONLY_TRANSCRIPTS:
         # scaling criterion: pin the input in the object store so both
         # parallelism levels measure the ENGINE's scaling — on one shared
         # box the disk is the resource that cannot scale with CPUs, while
         # on a real cluster the read layer scales with nodes. Identical
-        # block layout at both levels so task sizes match exactly.
-        transcripts = transcripts.repartition(SCALING_BLOCKS).materialize()
+        # block layout at both levels so task sizes match exactly; the
+        # layout comes straight from the generated files (read with
+        # override_num_blocks, NOT repartition — repartition holds input
+        # + output simultaneously, and at 29GB that 2× transient crosses
+        # the spill watermark and couples the measurement to a slow disk)
+        transcripts = rd.read_parquet(
+            tdir, override_num_blocks=SCALING_BLOCKS).materialize()
+    else:
+        transcripts = rd.read_parquet(tdir)
     n_turns = transcripts.count()
 
     timings: dict[str, float] = {}

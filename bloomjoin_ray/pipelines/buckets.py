@@ -34,6 +34,8 @@ def hash_raw64(table: pa.Table, cols: list[str]) -> np.ndarray:
     for name in cols:
         col = table.column(name)
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
         t = col.type
         if (pa.types.is_string(t) or pa.types.is_large_string(t)
                 or pa.types.is_binary(t) or pa.types.is_large_binary(t)):

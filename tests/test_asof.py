@@ -75,6 +75,28 @@ def test_asof_no_by_broadcast(frames):
                                   check_dtype=False, rtol=1e-12)
 
 
+def test_asof_forward_direction(frames):
+    """direction='forward' attaches the EARLIEST right row at-or-after
+    each left ts (pandas merge_asof is the oracle here — DuckDB ASOF
+    only expresses backward)."""
+    import pandas as pd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    got = asof_join(dsl, dsr, on="ts", by="user_id",
+                    direction="forward").to_pandas()
+    want = pd.merge_asof(left.sort_values("ts", kind="stable"),
+                         right.sort_values("ts", kind="stable"),
+                         on="ts", by="user_id", direction="forward")
+    key = ["user_id", "ts", "value"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w) == len(left)
+    pd.testing.assert_frame_equal(g[["score"]].fillna(-9), w[["score"]].fillna(-9),
+                                  check_dtype=False, rtol=1e-12)
+
+
 def test_asof_column_collision_suffix(frames):
     from bloomjoin_ray.pipelines.asof import asof_join
 
