@@ -293,8 +293,12 @@ def run_scaling(lo: int, hi: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_NCONVS=str(SCALING_CONVS),
                    GRAFT_BENCH_ONLY="transcripts",
+                   # this host's hypervisor throttles CPU invisibly (pure
+                   # in-task numpy measured 2.8s vs 20s run-to-run with 0-2%
+                   # reported steal); min-of-N per query estimates the
+                   # uncontended capability the criterion is about
                    GRAFT_BENCH_REPEATS=os.environ.get(
-                       "GRAFT_SCALING_REPEATS", "3"))
+                       "GRAFT_SCALING_REPEATS", "5"))
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
         if shutil.which("taskset"):
             # pin the whole process tree to exactly ncpu cores: otherwise

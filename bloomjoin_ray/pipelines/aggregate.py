@@ -30,7 +30,13 @@ from ..state.kll import KllSketch
 from ..state.tdigest import TDigest
 from ..stages.sketch_stages import GlobalSketchPartial, GroupedSketchPartial
 
-_TREE_MERGE_FANIN = 32
+# Driver-side merge handles up to this many partials before falling back
+# to remote tree merge. Partial blobs are small (16KB HLL / 160KB CMS), so
+# even 1024 merge in ~100ms on the driver — while a remote merge wave in a
+# mixed workload pays cold plain-task worker starts (the Data pool reaps
+# idle plain workers), which costs far more than it saves below ~10^3
+# partials. Cluster-scale runs (10^5+ blocks) still tree-merge.
+_TREE_MERGE_FANIN = 1024
 
 
 # --------------------------------------------------------------------------
@@ -223,10 +229,16 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
                          reducer: Callable | None = None):
     """Reduce PACKED partials without Ray's sort-shuffle operator (whose
     launch cost, ~2-3 s measured, is independent of row count): the map
-    stage's packed blocks are split by per-block tasks into one object
-    per reducer group (``split_refs_by_group``), and each reduce task's
-    arguments reference ONLY its bucket range — true-shuffle network
-    volume on a cluster, plain-task latency locally.
+    stage's packed blocks are split into one object per reducer group
+    (``split_refs_by_group``) and each reduce task reads ONLY its bucket
+    range — true-shuffle network volume on a cluster.
+
+    The reduce wave runs INSIDE Ray Data (``from_items`` of group ids →
+    ``map_batches``), not as plain ``ray.remote`` tasks: plain-task
+    workers get reaped whenever Data stages occupy the worker pool, so in
+    a mixed workload every reduce wave would pay ~num_tasks simultaneous
+    cold worker starts (measured 10-20 s at 32 tasks — 5-10× the actual
+    reduce work). Data tasks reuse the warm Data pool.
 
     ``empty_schema`` is the output schema to use when no group produced
     rows (key columns + the per_key output columns); a zero-arg callable
@@ -250,15 +262,24 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
     if reducer is None:
         from functools import partial
         reducer = partial(_reduce_packed_blocks, key_cols, per_key)
-    task = ray.remote(num_returns=2)(_run_reducer)
-    pairs = [task.remote(reducer, g, num_groups, *parts[g])
-             for g in range(num_groups)]
-    # fetch only the tiny row counts; result tables stay in the object store
-    counts = ray.get([n_ref for n_ref, _ in pairs])
-    done = [t_ref for (_, t_ref), n in zip(pairs, counts) if n > 0]
-    if not done:
+    # one ref to the whole ref-table; workers pull only their group's slice
+    parts_ref = ray.put(parts)
+
+    def run_groups(batch: pa.Table):
+        group_parts = ray.get(parts_ref)
+        for g in batch.column("g").to_pylist():
+            blocks = ray.get(list(group_parts[g]))
+            n, out = reducer(g, num_groups, *blocks)
+            if n > 0:
+                yield out
+
+    out = (rd.from_items([{"g": g} for g in range(num_groups)],
+                         override_num_blocks=num_groups)
+           .map_batches(run_groups, batch_format="pyarrow")
+           .materialize())
+    if out.count() == 0:
         return empty()
-    return rd.from_arrow_refs(done)
+    return out
 
 
 def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,

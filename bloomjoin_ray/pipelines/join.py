@@ -513,19 +513,33 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     x_parts = split_refs_by_group(x_refs, "__bucket", num_groups)
     y_parts = split_refs_by_group(y_refs, "__bucket", num_groups)
 
-    task = ray.remote(num_returns=2)(_reduce_join_buckets)
+    # The reduce wave runs INSIDE Ray Data so it reuses the warm Data
+    # worker pool — plain ray.remote tasks get their workers reaped
+    # whenever Data stages fill the pool, and a mixed workload then pays
+    # ~num_groups cold worker starts per join (measured 10-20 s at 32).
     layout_ref = ray.put(layout)
+    parts_ref = ray.put((x_parts, y_parts))
     how_ov = salt.how_overrides(layout.how) if salt else {}
-    pairs = [task.remote(layout_ref, g, num_groups,
-                         ser_x, ser_y, len(x_refs), how_ov,
-                         *x_parts[g], *y_parts[g])
-             for g in range(num_groups)]
-    counts = ray.get([n for n, _ in pairs])
-    done = [t for (_, t), n in zip(pairs, counts) if n > 0]
-    if not done:
+    n_x_blocks = len(x_refs)
+
+    def run_groups(batch: pa.Table):
+        lay = ray.get(layout_ref)
+        xp, yp = ray.get(parts_ref)
+        for g in batch.column("g").to_pylist():
+            blocks = ray.get(list(xp[g])) + ray.get(list(yp[g]))
+            n, out = _reduce_join_buckets(lay, g, num_groups, ser_x, ser_y,
+                                          n_x_blocks, how_ov, *blocks)
+            if n > 0:
+                yield out
+
+    out = (rd.from_items([{"g": g} for g in range(num_groups)],
+                         override_num_blocks=num_groups)
+           .map_batches(run_groups, batch_format="pyarrow")
+           .materialize())
+    if out.count() == 0:
         return rd.from_arrow(layout.join_tables(
             schema_x.empty_table(), schema_y.empty_table()))
-    return rd.from_arrow_refs(done)
+    return out
 
 
 def _partitioned_join_shuffle(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
@@ -797,13 +811,31 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
             print(f"Skipping Bloom pre-filter: {report.reason or 'heuristic disabled'}")
         return plain()
 
-    m_bits, k = bloom_sizing(plan.expected_elements, fpr)
-    if m_bits > max_filter_bits:
-        report.bloom_filter_used = False
-        report.reason = (f"filter of {m_bits} bits exceeds broadcast budget "
-                         f"({max_filter_bits}); falling back to plain join")
-        return plain()
-    report.bloom_m_bits, report.bloom_k = m_bits, k
+    engine_used = plan.metadata.get("engine", "bloom")
+    if engine_used == "fuse":
+        # xor filters aren't mergeable: the build gathers every distinct
+        # key hash (8 bytes each) in the driver. Budget BOTH that gather
+        # and the resulting table against max_filter_bits; oversized
+        # builds fall back to the mergeable bloom engine.
+        from ..state.xorfuse import fingerprint_bits_for
+
+        fp_bits = fingerprint_bits_for(fpr)
+        fuse_bits = int(plan.expected_elements * 1.23 * fp_bits) + 512
+        gather_bits = plan.expected_elements * 64
+        if max(fuse_bits, gather_bits) > max_filter_bits:
+            engine_used = "bloom"
+            report.extra["fuse_fallback"] = (
+                "build-side distinct keys exceed the fuse gather budget; "
+                "using the mergeable bloom engine")
+
+    if engine_used == "bloom":
+        m_bits, k = bloom_sizing(plan.expected_elements, fpr)
+        if m_bits > max_filter_bits:
+            report.bloom_filter_used = False
+            report.reason = (f"filter of {m_bits} bits exceeds broadcast budget "
+                             f"({max_filter_bits}); falling back to plain join")
+            return plain()
+        report.bloom_m_bits, report.bloom_k = m_bits, k
 
     if plan.target == "x":
         build_ds, build_cols = ds_y, spec.y_cols
@@ -812,17 +844,28 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
         build_ds, build_cols = ds_x, spec.x_cols
         probe_ds, probe_cols = ds_y, spec.y_cols
 
-    bloom = build_bloom_filter(build_ds, list(build_cols), plan.expected_elements,
-                               fpr, m_bits, k)
-    filter_ref = ray.put(bloom)
     counter = make_prune_counter()
     report._counter = counter
-    pruned = probe_ds.map_batches(
-        bloom_probe_fn(filter_ref, list(probe_cols), counter),
-        batch_format="pyarrow",
-    )
-    if verbose:
-        print(f"Bloom prefilter on '{plan.target}' side: m={m_bits} bits, k={k}")
+    if engine_used == "fuse":
+        from ..stages.bloom_stages import build_fuse_filter, fuse_probe_fn
+
+        fuse = build_fuse_filter(build_ds, list(build_cols), fpr)
+        report.bloom_m_bits, report.bloom_k = fuse.size_bits, 3
+        report.extra.update({"fuse_fp_bits": fuse.fingerprint_bits,
+                             "fuse_n_keys": fuse.n_keys})
+        filter_ref = ray.put(fuse)
+        probe = fuse_probe_fn(filter_ref, list(probe_cols), counter)
+        if verbose:
+            print(f"Fuse (xor) prefilter on '{plan.target}' side: "
+                  f"{fuse.size_bits} bits, fp={fuse.fingerprint_bits}")
+    else:
+        bloom = build_bloom_filter(build_ds, list(build_cols),
+                                   plan.expected_elements, fpr, m_bits, k)
+        filter_ref = ray.put(bloom)
+        probe = bloom_probe_fn(filter_ref, list(probe_cols), counter)
+        if verbose:
+            print(f"Bloom prefilter on '{plan.target}' side: m={m_bits} bits, k={k}")
+    pruned = probe_ds.map_batches(probe, batch_format="pyarrow")
 
     if plan.target == "x":
         joined = hash_join(pruned, ds_y, on, how, num_buckets=num_buckets,

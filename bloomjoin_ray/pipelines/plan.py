@@ -187,11 +187,14 @@ def plan_prefilter(join_type: str, engine: str, prefilter_side: str,
                    n_x: int, n_y: int, distinct_x: int, distinct_y: int,
                    fpr: float, sample_keys_x: np.ndarray,
                    sample_keys_y: np.ndarray) -> PrefilterPlan:
-    """The reference's full planning procedure (R/bloomjoin.R:259-324)."""
+    """The reference's full planning procedure (R/bloomjoin.R:259-324).
+
+    Divergence from the reference: it reserves ``engine="fuse"`` and
+    raises (``R/bloomjoin.R:261-264``); here the slot is FILLED — a real
+    xor filter engine (``state/xorfuse.py``), ~20-40% smaller than Bloom
+    at equal FPR. The skip/side heuristics are engine-independent."""
     chosen_engine = "bloom" if engine == "auto" else engine
-    if chosen_engine == "fuse":
-        raise NotImplementedError("engine = 'fuse' is not implemented yet")
-    if chosen_engine != "bloom":
+    if chosen_engine not in ("bloom", "fuse"):
         raise ValueError(f"unknown engine {engine!r}")
 
     md: dict[str, Any] = {

@@ -98,6 +98,52 @@ def build_bloom_filter(ds, key_cols: list[str], expected_elements: int,
                             [r["payload"] for r in partials])
 
 
+def build_fuse_filter(ds, key_cols: list[str], fpr: float):
+    """``engine="fuse"`` build pass: column-pruned read → per-block
+    DISTINCT 64-bit key hashes → driver-side global unique → xor filter
+    construction (xor filters are not mergeable, so all distinct keys
+    meet in one place — the planner budgets this via ``max_filter_bits``
+    before choosing fuse)."""
+    from ..functions.keys import hash_keys64
+    from ..state.xorfuse import XorFuseFilter, fingerprint_bits_for
+
+    import ray
+
+    from ..pipelines.exchange import stream_arrow_refs
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        h = np.unique(hash_keys64(batch, key_cols))
+        return pa.table({"h": pa.array(h.view(np.int64))})
+
+    tabs = ray.get(stream_arrow_refs(
+        ds.select_columns(list(key_cols)).map_batches(
+            per_block, batch_format="pyarrow")))
+    parts = [np.asarray(t.column("h"), dtype=np.int64).view(np.uint64)
+             for t in tabs if t.num_rows]
+    hashes = (np.unique(np.concatenate(parts)) if parts
+              else np.empty(0, dtype=np.uint64))
+    return XorFuseFilter.build(hashes,
+                               fingerprint_bits=fingerprint_bits_for(fpr))
+
+
+def fuse_probe_fn(filter_ref, key_cols: list[str], counter=None):
+    """Probe stage for the xor filter — same contract as
+    ``bloom_probe_fn`` (64-bit canonical key hashes, zero false
+    negatives, prune counter)."""
+    import ray
+
+    def prune(batch: pa.Table) -> pa.Table:
+        from ..functions.keys import hash_keys64
+
+        f = ray.get(filter_ref)
+        keep = f.contains_batch(hash_keys64(batch, key_cols))
+        if counter is not None:
+            counter.add.remote(len(keep), int(keep.sum()))
+        return batch.filter(pa.array(keep))
+
+    return prune
+
+
 def make_prune_counter():
     """Zero-CPU counter actor fed fire-and-forget from probe tasks."""
     import ray

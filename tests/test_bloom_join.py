@@ -114,12 +114,36 @@ def test_small_probe_skips_prefilter(rd):
     assert_same(ds, oracle("SELECT x.*, y.vy FROM x JOIN y USING (id)", x=x, y=y))
 
 
-def test_engine_fuse_not_implemented(rd, sparse_xy):
+def test_engine_fuse_matches_bloom_and_oracle(rd, sparse_xy):
+    """engine='fuse' (the xor-filter engine filling the reference's
+    reserved plugin slot, R/bloomjoin.R:261-264) produces the exact same
+    join result as bloom, with a real prefilter in the report."""
     from bloomjoin_ray.pipelines.join import bloom_join
 
     x, y = sparse_xy
-    with pytest.raises(NotImplementedError, match="fuse"):
-        bloom_join(_ds(rd, x), _ds(rd, y), "id", "inner", engine="fuse")
+    want = oracle("SELECT x.*, y.value_y FROM x JOIN y USING (id)", x=x, y=y)
+    ds, report = bloom_join(_ds(rd, x), _ds(rd, y), "id", "inner",
+                            engine="fuse")
+    assert_same(ds, want)
+    report.finalize()
+    assert report.bloom_filter_used
+    assert report.extra.get("fuse_fp_bits") in (8, 16, 32)
+    assert report.extra.get("fuse_n_keys") == y["id"].nunique()
+    assert report.filtered_rows_x > 0          # the prefilter really pruned
+    assert report.reduction_ratio > 0.5
+
+
+def test_engine_fuse_oversized_build_falls_back_to_bloom(rd, sparse_xy):
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    x, y = sparse_xy
+    # tiny budget: the 64-bit-per-key gather can't fit -> bloom can't
+    # either -> plain join, but the REQUEST was still valid
+    ds, report = bloom_join(_ds(rd, x), _ds(rd, y), "id", "inner",
+                            engine="fuse", max_filter_bits=128)
+    assert "fuse_fallback" in report.extra
+    assert_same(ds, oracle(
+        "SELECT x.*, y.value_y FROM x JOIN y USING (id)", x=x, y=y))
 
 
 def test_invalid_args(rd, sparse_xy):

@@ -112,8 +112,13 @@ def test_plan_prefilter_end_to_end():
     assert md["bloom_filter_used"] and md["chosen_prefilter_side"] == "x"
     assert md["estimated_selectivity"] == pytest.approx(200 / 5000, abs=1e-6)
 
-    with pytest.raises(NotImplementedError, match="fuse"):
-        plan_prefilter("inner", "fuse", "auto", 10, 10, 5, 5, 0.01, kx, ky)
+    # engine="fuse" is a real engine now (the reference reserved the slot
+    # and raised; state/xorfuse.py fills it) — the plan carries it through
+    fuse_plan = plan_prefilter("inner", "fuse", "auto", 10_000, 200,
+                               10_000, 200, 0.01, kx, ky)
+    assert fuse_plan.metadata["engine"] == "fuse"
+    with pytest.raises(ValueError, match="unknown engine"):
+        plan_prefilter("inner", "cuckoo", "auto", 10, 10, 5, 5, 0.01, kx, ky)
 
 
 def test_plan_stats_unbiased_on_sorted_input(ray_session):
