@@ -849,10 +849,28 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
     if engine_used == "fuse":
         from ..stages.bloom_stages import build_fuse_filter, fuse_probe_fn
 
-        fuse = build_fuse_filter(build_ds, list(build_cols), fpr)
-        report.bloom_m_bits, report.bloom_k = fuse.size_bits, 3
-        report.extra.update({"fuse_fp_bits": fuse.fingerprint_bits,
-                             "fuse_n_keys": fuse.n_keys})
+        # re-check the ACTUAL gathered key count against the budget —
+        # plan.expected_elements is a sample estimate and may undercount
+        fuse = build_fuse_filter(build_ds, list(build_cols), fpr,
+                                 max_bits=max_filter_bits)
+        if fuse is None:
+            engine_used = "bloom"
+            report.extra["fuse_fallback"] = (
+                "actual build-side distinct keys exceeded the fuse gather "
+                "budget; using the mergeable bloom engine")
+            m_bits, k = bloom_sizing(plan.expected_elements, fpr)
+            if m_bits > max_filter_bits:
+                report.bloom_filter_used = False
+                report.reason = (f"filter of {m_bits} bits exceeds broadcast "
+                                 f"budget ({max_filter_bits}); "
+                                 "falling back to plain join")
+                return plain()
+            report.bloom_m_bits, report.bloom_k = m_bits, k
+        else:
+            report.bloom_m_bits, report.bloom_k = fuse.size_bits, 3
+            report.extra.update({"fuse_fp_bits": fuse.fingerprint_bits,
+                                 "fuse_n_keys": fuse.n_keys})
+    if engine_used == "fuse":
         filter_ref = ray.put(fuse)
         probe = fuse_probe_fn(filter_ref, list(probe_cols), counter)
         if verbose:

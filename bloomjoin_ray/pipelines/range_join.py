@@ -72,16 +72,23 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
          for c in left_schema.names]
         + [pa.field(f"__r_{c}", right_schema.field(c).type)
            for c in right_keep]
-        + [pa.field("__t", pa.int64()), pa.field("__h1", pa.uint64()),
+        + [pa.field("__t", pa.int64()), pa.field("__tv", pa.bool_()),
+           pa.field("__h1", pa.uint64()),
            pa.field("__h2", pa.uint64()), pa.field("__side", pa.int8()),
            pa.field("__bucket", pa.int32())])
 
-    def prep(side: int, time_col: str, names: list[str], prefix: str):
+    def prep(side: int, time_col: str, names: list[str], prefix: str,
+             also_valid: str | None = None):
         def fn(batch: pa.Table) -> pa.Table:
             h1, h2 = hash_keys64_pair(batch, by_cols)
             bucket = (hash_keys64(batch, by_cols)
                       % np.uint64(num_buckets)).astype(np.int32)
             tv = _order_key(batch.column(time_col), time_col)
+            # null on/start/end never matches (SQL semantics)
+            tvalid = np.asarray(pc.is_valid(batch.column(time_col)))
+            if also_valid is not None:
+                tvalid = tvalid & np.asarray(
+                    pc.is_valid(batch.column(also_valid)))
             arrays = []
             for f in unified:
                 nm = f.name
@@ -92,6 +99,8 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
                     arrays.append(col.cast(f.type))
                 elif nm == "__t":
                     arrays.append(pa.array(tv, type=pa.int64()))
+                elif nm == "__tv":
+                    arrays.append(pa.array(tvalid, type=pa.bool_()))
                 elif nm == "__h1":
                     arrays.append(pa.array(h1))
                 elif nm == "__h2":
@@ -111,7 +120,7 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
                   prep(1, on, list(left_schema.names), "__l_"),
                   batch_format="pyarrow")
               .union(ds_right.map_batches(
-                  prep(0, start, right_keep, "__r_"),
+                  prep(0, start, right_keep, "__r_", also_valid=end),
                   batch_format="pyarrow")))
 
     strict_end = closed == "left"
@@ -122,16 +131,19 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
             return out_schema.empty_table()
         side = np.asarray(group.column("__side"))
         t = np.asarray(group.column("__t"))
+        tv = np.asarray(group.column("__tv"))
         h1 = np.asarray(group.column("__h1"))
         h2 = np.asarray(group.column("__h2"))
         # rights (side 0) sort before lefts at equal time, so an interval
         # starting exactly at `on` is containing under both closed modes
         order = np.lexsort((side, t, h2, h1))
         side_s = side[order]
+        tv_s = tv[order]
         li = np.nonzero(side_s == 1)[0]          # lefts, sorted positions
         if li.size == 0:
             return out_schema.empty_table()
-        marker = np.where(side_s == 0, np.arange(n), -1)
+        # null-timed rights are never interval candidates
+        marker = np.where((side_s == 0) & tv_s, np.arange(n), -1)
         last = np.maximum.accumulate(marker)     # latest right ≤ here
         j = last[li]
         valid = j >= 0
@@ -142,6 +154,7 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
         end_v = _order_key(group.column(f"__r_{end}"), end)[right_orig]
         on_v = t[order][li]
         valid &= (on_v < end_v) if strict_end else (on_v <= end_v)
+        valid &= tv_s[li]                        # null-timed lefts never match
         left_orig = order[li]
         if how == "inner":
             left_orig, right_orig = left_orig[valid], right_orig[valid]

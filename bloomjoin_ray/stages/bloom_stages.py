@@ -98,12 +98,18 @@ def build_bloom_filter(ds, key_cols: list[str], expected_elements: int,
                             [r["payload"] for r in partials])
 
 
-def build_fuse_filter(ds, key_cols: list[str], fpr: float):
+def build_fuse_filter(ds, key_cols: list[str], fpr: float,
+                      max_bits: int | None = None):
     """``engine="fuse"`` build pass: column-pruned read → per-block
     DISTINCT 64-bit key hashes → driver-side global unique → xor filter
     construction (xor filters are not mergeable, so all distinct keys
-    meet in one place — the planner budgets this via ``max_filter_bits``
-    before choosing fuse)."""
+    meet in one place).
+
+    The planner budgets the gather via ``max_filter_bits`` using a
+    sample-based *estimate*; ``max_bits`` re-checks the ACTUAL gathered
+    key count so an undercounting estimate cannot blow driver memory.
+    Returns ``None`` when the real gather overruns the budget — the
+    caller falls back to the mergeable bloom engine."""
     from ..functions.keys import hash_keys64
     from ..state.xorfuse import XorFuseFilter, fingerprint_bits_for
 
@@ -115,13 +121,27 @@ def build_fuse_filter(ds, key_cols: list[str], fpr: float):
         h = np.unique(hash_keys64(batch, key_cols))
         return pa.table({"h": pa.array(h.view(np.int64))})
 
-    tabs = ray.get(stream_arrow_refs(
+    refs = stream_arrow_refs(
         ds.select_columns(list(key_cols)).map_batches(
-            per_block, batch_format="pyarrow")))
-    parts = [np.asarray(t.column("h"), dtype=np.int64).view(np.uint64)
-             for t in tabs if t.num_rows]
+            per_block, batch_format="pyarrow"))
+    # budget in 64-bit keys; raw (pre-unique) gather may hold per-block
+    # duplicates, so allow 4x headroom on the running total before
+    # bailing — peak driver memory stays O(budget) either way.
+    budget_keys = None if max_bits is None else max(max_bits // 64, 1)
+    parts, total = [], 0
+    for r in refs:
+        t = ray.get(r)
+        if not t.num_rows:
+            continue
+        parts.append(np.asarray(t.column("h"), dtype=np.int64)
+                     .view(np.uint64))
+        total += t.num_rows
+        if budget_keys is not None and total > 4 * budget_keys:
+            return None
     hashes = (np.unique(np.concatenate(parts)) if parts
               else np.empty(0, dtype=np.uint64))
+    if budget_keys is not None and hashes.size > budget_keys:
+        return None
     return XorFuseFilter.build(hashes,
                                fingerprint_bits=fingerprint_bits_for(fpr))
 

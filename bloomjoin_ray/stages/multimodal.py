@@ -165,7 +165,8 @@ class AudioFeatureStage:
         peak = float(np.abs(mono).max()) if n else 0.0
         zcr = float((np.diff(np.signbit(mono)) != 0).mean()) if n > 1 else 0.0
         nbins = self.n - 3
-        spec = np.abs(np.fft.rfft(mono))
+        # zero-frame WAVs are valid; rfft rejects n == 0
+        spec = np.abs(np.fft.rfft(mono)) if n else np.zeros(0)
         if len(spec) >= nbins:
             pooled = spec[: len(spec) // nbins * nbins].reshape(nbins, -1).mean(axis=1)
         else:

@@ -224,3 +224,21 @@ def test_video_stage_ppm_stream(ray_session):
     assert list(out.loc[0, "frame_hashes"]) == want
     assert out.loc[1, "decoder"] == "stub"
     assert len(out.loc[1, "frame_hashes"]) == 3
+
+
+def test_audio_stage_zero_frame_wav(ray_session):
+    """A valid zero-frame PCM WAV must not crash the rfft (ADVICE r2)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.stages.multimodal import AudioFeatureStage
+
+    t = pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "data": pa.array([_wav_bytes(dur_s=0.0)], type=pa.large_binary()),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(AudioFeatureStage(8), batch_format="pyarrow")
+           .to_pandas())
+    assert out.loc[0, "decoder"] == "pure-wav"
+    assert out.loc[0, "duration_ms"] == 0.0
+    assert list(out.loc[0, "features"]) == [0.0] * 8

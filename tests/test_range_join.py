@@ -131,3 +131,28 @@ def test_range_join_suffix_and_validation(ray_session):
     with pytest.raises(ValueError):
         range_join(rd.from_arrow(left), rd.from_arrow(right),
                    on="pos", start="lo", end="hi", by="k", closed="right")
+
+
+def test_range_join_null_times_never_match(ray_session):
+    """SQL semantics: a null on/start/end never matches (ADVICE r2)."""
+    import ray.data as rd
+    from bloomjoin_ray.pipelines.range_join import range_join
+
+    left = pa.table({"k": [1, 1], "pos": pa.array([None, 5], type=pa.int64()),
+                     "tag": ["null-on", "ok"]})
+    right = pa.table({"k": [1, 1, 1],
+                      "lo": pa.array([-10, None, 3], type=pa.int64()),
+                      "hi": pa.array([10, 10, None], type=pa.int64()),
+                      "rtag": ["spans-zero", "null-lo", "null-hi"]})
+    inner = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                       on="pos", start="lo", end="hi", by="k").to_pandas()
+    # the only legal match: pos=5 in [-10, 10]; the null-pos left row must
+    # NOT match the epoch-0-containing interval, and null-lo / null-hi
+    # rights must never be candidates
+    assert list(inner["tag"]) == ["ok"]
+    assert list(inner["rtag"]) == ["spans-zero"]
+    outer = (range_join(rd.from_arrow(left), rd.from_arrow(right),
+                        on="pos", start="lo", end="hi", by="k", how="left")
+             .to_pandas().sort_values("tag").reset_index(drop=True))
+    assert len(outer) == 2
+    assert outer.loc[outer["tag"] == "null-on", "rtag"].isna().all()

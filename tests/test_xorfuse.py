@@ -66,3 +66,20 @@ def test_fingerprint_bits_for():
     assert fingerprint_bits_for(2.0 ** -8) == 8
     assert fingerprint_bits_for(1e-3) == 16
     assert fingerprint_bits_for(1e-9) == 32
+
+
+def test_build_fuse_filter_actual_count_budget(ray_session):
+    """The gather re-checks the ACTUAL distinct-key count against
+    max_bits (the planner's estimate can undercount) — ADVICE r2."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.stages.bloom_stages import build_fuse_filter
+
+    t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+    ds = rd.from_arrow(t)
+    # 5000 actual distinct keys; budget for only ~100 → must bail
+    assert build_fuse_filter(ds, ["k"], 0.01, max_bits=100 * 64) is None
+    # ample budget → real filter with zero false negatives
+    f = build_fuse_filter(ds, ["k"], 0.01, max_bits=1 << 30)
+    assert f is not None and f.n_keys == 5000
