@@ -7,8 +7,10 @@
 * ``minhash_lsh_pairs`` / ``minhash_dedup`` — shingle → MinHash signature
   → LSH band explosion → ``groupby(band, band_hash)`` bucket join →
   candidate pairs with signature-estimated Jaccard → threshold →
-  connected components (driver union-find over the pair set, which is
-  orders of magnitude smaller than the corpus; documented assumption).
+  connected components: driver union-find below ``DRIVER_PAIR_LIMIT``
+  pairs, distributed min-label propagation + pointer doubling
+  (``connected_components``) above it — no driver bottleneck on
+  pathological pair volumes.
 * ``simhash_pairs`` / ``simhash_dedup`` — 64-bit SimHash, 4×16-bit band
   buckets (Hamming ≤ 3 ⇒ at least one band equal), verified Hamming.
 * ``ngram_jaccard_pairs`` — exact Jaccard via shingle-inverted-index
@@ -184,25 +186,153 @@ def _union_find_clusters(pairs: list[tuple]) -> dict:
     return {x: find(x) for x in parent}
 
 
-def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id"):
-    """Survivors after clustering candidate pairs: connected components via
-    driver union-find (the pair set ≪ corpus), keep the min-id row of each
-    cluster. Unpaired rows survive unchanged."""
+def connected_components(pairs_ds, *, max_rounds: int = 50):
+    """Distributed connected components over a candidate-pair Dataset
+    (columns ``id_a``, ``id_b``). Returns Dataset[node, label] covering
+    every node that appears in a pair, with ``label`` = the min id of
+    the node's component at fixpoint.
+
+    Built on the engine's own ``hash_join``: each round (1) propagates
+    the current min label across edges and takes a ``groupby(node)``
+    min, then (2) pointer-jumps (``label ← label[label]``) so chains
+    collapse in O(log diameter) rounds instead of O(diameter). Labels
+    are ids of component members and only ever decrease, so at fixpoint
+    both endpoints of every edge agree and the shared label is the
+    component min. Per-round state is the label table — O(pair-graph
+    nodes), never the corpus — and every exchange is a bucketed join
+    or groupby, so pathological pair volumes (bot-spam / boilerplate
+    blocks) no longer funnel through the driver."""
+    from ray.data.aggregate import Min
+
+    from .join import hash_join
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("id_a"), "dst": b.column("id_b")})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("id_b"), "dst": b.column("id_a")})
+
+    edges = (pairs_ds.map_batches(fwd, batch_format="pyarrow")
+             .union(pairs_ds.map_batches(rev, batch_format="pyarrow"))
+             .materialize())
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("src"),
+                         "label": pc.min_element_wise(b.column("src"),
+                                                      b.column("_cc_nmin"))})
+
+    # round 0 for free: label[x] = min(x, neighbors(x))
+    labels = (edges.groupby("src")
+              .aggregate(Min("dst", alias_name="_cc_nmin"))
+              .map_batches(seed, batch_format="pyarrow")
+              .materialize())
+
+    from ray.data.aggregate import Max
+
+    def msg(b: pa.Table) -> pa.Table:
+        # neighbor proposals carry a null old-label; the single own-label
+        # row per node carries the real one, so Max(_cc_old) per group
+        # recovers it without a second join
+        return pa.table({"node": b.column("dst"), "label": b.column("label"),
+                         "_cc_old": pa.nulls(b.num_rows,
+                                             b.column("label").type)})
+
+    def own(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"), "label": b.column("label"),
+                         "_cc_old": b.column("label")})
+
+    def diff(b: pa.Table) -> pa.Table:
+        return b.filter(pc.invert(pc.equal(b.column("label"),
+                                           b.column("_cc_old"))))
+
+    def drop_old(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["_cc_old"])
+
+    def as_parent(b: pa.Table) -> pa.Table:
+        return pa.table({"_cc_p": b.column("node"),
+                         "_cc_plabel": b.column("label")})
+
+    def jump(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": pc.min_element_wise(b.column("label"),
+                                                      b.column("_cc_plabel"))})
+
+    for _ in range(max_rounds):
+        # (1) min over {own label} ∪ {neighbor labels}, old label rides
+        # along through the same groupby
+        new = (hash_join(edges, labels, on={"src": "node"}, how="inner")
+               .map_batches(msg, batch_format="pyarrow")
+               .union(labels.map_batches(own, batch_format="pyarrow"))
+               .groupby("node")
+               .aggregate(Min("label", alias_name="label"),
+                          Max("_cc_old", alias_name="_cc_old"))
+               .materialize())
+        changed = new.map_batches(diff, batch_format="pyarrow").count()
+        if changed == 0:
+            return labels  # propagation is a no-op ⇒ jump would be too
+        # (2) pointer doubling: label ← min(label, label[label]), twice —
+        # every label is itself a node, so the left join always matches;
+        # two jumps quadruple the collapsed chain depth per round
+        cur = new.map_batches(drop_old, batch_format="pyarrow")
+        for _ in range(2):
+            parents = cur.map_batches(as_parent, batch_format="pyarrow")
+            cur = (hash_join(cur, parents, on={"label": "_cc_p"},
+                             how="left")
+                   .map_batches(jump, batch_format="pyarrow")
+                   .materialize())
+        labels = cur
+    raise RuntimeError(f"connected_components did not converge in "
+                       f"{max_rounds} rounds")
+
+
+# pair sets below this use driver union-find; above it, distributed
+# min-label propagation (connected_components) + anti join
+DRIVER_PAIR_LIMIT = 200_000
+
+
+def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id", *,
+                   driver_pair_limit: int = DRIVER_PAIR_LIMIT):
+    """Survivors after clustering candidate pairs: keep the min-id row of
+    each connected component; unpaired rows survive unchanged.
+
+    Small pair sets (≤ ``driver_pair_limit``) cluster via driver
+    union-find with a broadcast drop set — one `ray.put`, zero shuffles.
+    Larger pair sets (bot-spam / boilerplate corpora where pairs are NOT
+    ≪ corpus) run distributed min-label propagation and apply the drop
+    as an anti join, so nothing whole-graph ever reaches the driver."""
     import ray
 
-    pair_rows = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
-    cluster = _union_find_clusters([(r["id_a"], r["id_b"]) for r in pair_rows])
-    drop = {x for x, root in cluster.items() if root != x}
-    if not drop:
+    pairs = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ds
-    drop_ref = ray.put(pa.array(sorted(drop)))
+    if n_pairs <= driver_pair_limit:
+        pair_rows = pairs.take_all()
+        cluster = _union_find_clusters(
+            [(r["id_a"], r["id_b"]) for r in pair_rows])
+        drop = {x for x, root in cluster.items() if root != x}
+        if not drop:
+            return ds
+        drop_ref = ray.put(pa.array(sorted(drop)))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)  # zero-copy Arrow array from the store
-        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
-        return batch.filter(mask)
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)  # zero-copy Arrow array from the store
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+            return batch.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    from .join import hash_join
+
+    labels = connected_components(pairs)
+
+    def non_roots(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.invert(pc.equal(b.column("node"),
+                                          b.column("label"))))
+        return pa.table({"_cc_dropid": sub.column("node")})
+
+    drop_ds = labels.map_batches(non_roots, batch_format="pyarrow")
+    return hash_join(ds, drop_ds, on={id_col: "_cc_dropid"}, how="anti")
 
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,

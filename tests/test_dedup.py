@@ -112,3 +112,94 @@ def test_embedding_dedup_pairs(ray_session):
     hits = sum((i, 100 + i) in found for i in range(5))
     assert hits >= 4  # LSH may miss rarely; near-identical should collide
     assert (pairs["cosine"] >= 0.99).all()
+
+
+# ----------------------------------------- distributed connected components
+
+
+def _cc_oracle(pairs):
+    from bloomjoin_ray.pipelines.dedup import _union_find_clusters
+
+    roots = _union_find_clusters(pairs)
+    return {x for x, r in roots.items() if r != x}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """chains + cliques + bridges: labels == union-find component minima."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    pairs = []
+    # a 100-node chain (diameter 99 — exercises pointer jumping)
+    pairs += [(i, i + 1) for i in range(1000, 1099)]
+    # a 40-clique
+    pairs += [(2000 + i, 2000 + j) for i in range(40) for j in range(i + 1, 40)]
+    # random small components
+    for base in range(3000, 3300, 10):
+        k = int(rng.integers(2, 6))
+        pairs += [(base, base + m) for m in range(1, k)]
+    t = pa.table({"id_a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                  "id_b": pa.array([b for _, b in pairs], type=pa.int64())})
+    labels = (connected_components(rd.from_arrow(t).repartition(4))
+              .to_pandas())
+    got_drop = set(labels.loc[labels["node"] != labels["label"], "node"])
+    assert got_drop == _cc_oracle(pairs)
+    # fixpoint labels ARE component minima (the union-find dict omits
+    # self-rooted minima; fill those in)
+    from bloomjoin_ray.pipelines.dedup import _union_find_clusters
+
+    roots = _union_find_clusters(pairs)
+    nodes = {x for p in pairs for x in p}
+    want = {x: roots.get(x, x) for x in nodes}
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == want
+
+
+def test_dedup_by_pairs_distributed_matches_driver(ray_session):
+    """Force the distributed path (limit=0) and compare with the
+    driver union-find path on the same data."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import dedup_by_pairs
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    docs = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                     "val": pa.array(rng.integers(0, 100, n))})
+    a = rng.integers(0, n, 350)
+    b = rng.integers(0, n, 350)
+    keep = a != b
+    pairs = pa.table({"id_a": pa.array(a[keep], type=pa.int64()),
+                      "id_b": pa.array(b[keep], type=pa.int64())})
+    ds = rd.from_arrow(docs).repartition(4)
+    pds = rd.from_arrow(pairs).repartition(4)
+    drv = sorted(dedup_by_pairs(ds, pds, "doc_id").to_pandas()["doc_id"])
+    dist = sorted(dedup_by_pairs(ds, pds, "doc_id",
+                                 driver_pair_limit=0).to_pandas()["doc_id"])
+    assert drv == dist
+
+
+def test_dedup_by_pairs_planted_clique_over_threshold(ray_session):
+    """A 700-member near-dup clique → ~245k pairs, over the default
+    200k driver limit: the distributed path runs (verdict r2 #1) and
+    keeps exactly the min id."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import DRIVER_PAIR_LIMIT, dedup_by_pairs
+
+    m = 700
+    iu, ju = np.triu_indices(m, 1)
+    assert len(iu) > DRIVER_PAIR_LIMIT
+    base = 10_000
+    pairs = pa.table({"id_a": pa.array(base + iu, type=pa.int64()),
+                      "id_b": pa.array(base + ju, type=pa.int64())})
+    n = 12_000
+    docs = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64())})
+    out = dedup_by_pairs(rd.from_arrow(docs).repartition(8),
+                         rd.from_arrow(pairs).repartition(8),
+                         "doc_id").to_pandas()
+    got = set(out["doc_id"])
+    want = set(range(n)) - set(range(base + 1, base + m))
+    assert got == want
