@@ -483,6 +483,83 @@ def _q_write_roundtrip(sf_dir: str):
     return _rd().read_parquet(files)
 
 
+def _gen_media_batch(b: pa.Table) -> pa.Table:
+    """doc_id → deterministic real PNG + PCM-WAV + PPM-stream payloads
+    (pure-stdlib codecs; the container ships no media libraries, so the
+    media table is synthesized from the documents table's ids)."""
+    import io
+    import wave
+
+    from bloomjoin_ray.functions import codecs
+
+    ids = np.asarray(b.column("doc_id"))
+    imgs, wavs, vids = [], [], []
+    for i in ids:
+        i = int(i)
+        rng = np.random.default_rng(i + 7)
+        arr = rng.integers(0, 256, size=(8 + i % 9, 10 + i % 7, 3),
+                           dtype=np.uint8)
+        imgs.append(codecs.encode_png(arr))
+        rate = 8000
+        tt = np.arange(rate // 10) / rate                 # 100 ms
+        x = (0.4 * np.sin(2 * np.pi * (200.0 + 20.0 * (i % 10)) * tt)
+             * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(rate)
+            wv.writeframes(x.tobytes())
+        wavs.append(buf.getvalue())
+        frames = [rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        vids.append(b"".join(codecs.encode_ppm(f) for f in frames))
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "img": pa.array(imgs, type=pa.large_binary()),
+        "wav": pa.array(wavs, type=pa.large_binary()),
+        "vid": pa.array(vids, type=pa.large_binary()),
+    })
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Image-decode + audio-feature + video-frame-sample actor stages
+    end to end over real (pure-codec) media payloads — rows-only driver
+    check; decoded-pixel/feature determinism is pinned in
+    tests/test_multimodal.py."""
+    from bloomjoin_ray.stages.multimodal import (AudioFeatureStage,
+                                                 ImageDecodeStage,
+                                                 VideoFrameSampleStage)
+
+    def head_ids(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("doc_id"), 48))
+
+    def _consume(drop: str, new_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.drop_columns([drop])
+            names = [new_name if c == "decoder" else c for c in b.column_names]
+            return b.rename_columns(names)
+        return fn
+
+    after_img = _consume("img", "img_decoder")
+    after_wav = _consume("wav", "wav_decoder")
+    after_vid = _consume("vid", "vid_decoder")
+
+    media = (_read(sf_dir, "documents", columns=["doc_id"])
+             .map_batches(head_ids, batch_format="pyarrow")
+             .map_batches(_gen_media_batch, batch_format="pyarrow"))
+    return (media
+            .map_batches(ImageDecodeStage(data_col="img"),
+                         batch_format="pyarrow")
+            .map_batches(after_img, batch_format="pyarrow")
+            .map_batches(AudioFeatureStage(8, data_col="wav"),
+                         batch_format="pyarrow")
+            .map_batches(after_wav, batch_format="pyarrow")
+            .map_batches(VideoFrameSampleStage(3, data_col="vid"),
+                         batch_format="pyarrow")
+            .map_batches(after_vid, batch_format="pyarrow"))
+
+
 def _q_bloom_params(sf_dir: str):
     """bloom_params report grid — pure sizing, exercised as a query so the
     helper surface is driver-visible (reference R/params.R)."""
@@ -550,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "bloom_params_grid": _q_bloom_params,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
