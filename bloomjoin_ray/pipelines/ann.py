@@ -3,7 +3,8 @@
 * ``ann_topk`` — brute-force cosine top-k: one dense matmul per Arrow
   block against a broadcast query matrix (the exact baseline; linear in
   corpus size but perfectly parallel — per-block local top-k candidates,
-  then a tiny global reduce of blocks × k rows per query).
+  then a dataset-native bucketed reduce; ``as_dataset=True`` keeps the
+  result distributed for large query sets).
 * ``lsh_ann_topk`` — the scale path: random-hyperplane LSH buckets both
   corpus and queries; only same-bucket vectors are scored (probing the
   query's bucket). Recall < 1 by design; increase ``n_bits`` ↓ bucket
@@ -38,7 +39,7 @@ def _topk_per_query_idx(qids: np.ndarray, ids: np.ndarray,
 
 
 def _candidates_topk(cand_rows: list[dict], k: int, id_col: str) -> pa.Table:
-    """Driver-side final reduce over the (bounded) candidate rows."""
+    """Driver-side final sort/top-k over (already reduced) rows."""
     if not cand_rows:
         return pa.table({"query_id": [], id_col: [], "score": []})
     qids = np.array([r["query_id"] for r in cand_rows])
@@ -50,10 +51,35 @@ def _candidates_topk(cand_rows: list[dict], k: int, id_col: str) -> pa.Table:
                      "score": pa.array(scores[keep], type=pa.float32())})
 
 
+def _reduce_candidates(cand_ds, k: int, id_col: str):
+    """Dataset-native final reduce: bucket candidate rows by query id and
+    take each query's global top-k inside ``map_groups`` — the driver
+    never sees more than the final nq × k rows (and with
+    ``as_dataset=True``, nothing at all). Each (query, vector) pair
+    occurs in exactly one block, so per-bucket top-k needs no dedupe."""
+    from .buckets import with_hash_bucket
+
+    def bucket_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["__gbucket"])
+        qids = np.asarray(group.column("query_id"))
+        ids = np.asarray(group.column(id_col))
+        scores = np.asarray(group.column("score"))
+        keep = _topk_per_query_idx(qids, ids, scores, k)
+        return (group.take(pa.array(keep))
+                     .drop_columns(["__gbucket"]))
+
+    return (with_hash_bucket(cand_ds, ["query_id"])
+            .groupby("__gbucket")
+            .map_groups(bucket_topk, batch_format="pyarrow"))
+
+
 def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> pa.Table:
+             vec_col: str = "embedding", as_dataset: bool = False):
     """Exact cosine top-k for each query row. Returns
-    pa.Table[query_id, id_col, score] sorted by (query_id, -score, id)."""
+    pa.Table[query_id, id_col, score] sorted by (query_id, -score, id),
+    or (``as_dataset=True``) a Dataset of the same rows bucketed by
+    query id — the scale path for query *datasets* (large nq)."""
     import ray
 
     qref = ray.put(np.ascontiguousarray(queries, dtype=np.float32))
@@ -61,13 +87,16 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
         BruteForceTopK(qref, k, id_col, vec_col),
         batch_format="pyarrow",
     )
-    cand = local.take_all()  # blocks × k × nq rows — small
-    return _candidates_topk(cand, k, id_col)
+    reduced = _reduce_candidates(local, k, id_col)
+    if as_dataset:
+        return reduced
+    return _candidates_topk(reduced.take_all(), k, id_col)  # nq × k rows
 
 
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_bits: int = 8, seed: int = 0xA11) -> pa.Table:
+                 n_bits: int = 8, seed: int = 0xA11,
+                 as_dataset: bool = False):
     """LSH-bucketed ANN: score only vectors sharing the query's bucket."""
     import ray
 
@@ -123,7 +152,10 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
 
     scored = ds.map_batches(stage, batch_format="pyarrow").map_batches(
         score_bucket, batch_format="pyarrow")
-    return _candidates_topk(scored.take_all(), k, id_col)
+    reduced = _reduce_candidates(scored, k, id_col)
+    if as_dataset:
+        return reduced
+    return _candidates_topk(reduced.take_all(), k, id_col)
 
 
 def _minibatch_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
@@ -143,22 +175,72 @@ def _minibatch_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
     return C
 
 
+def _even_sample_matrix(ds, vec_col: str, sample_rows: int) -> np.ndarray:
+    """Corpus-wide unbiased vector sample: every row enters with equal
+    probability via a content-hash Bernoulli draw (vectorized FNV over
+    the float bits), so a cluster-sorted / partitioned corpus still
+    yields centroids spanning the whole distribution (a head
+    ``limit()`` sample sees only the first blocks and skews them).
+    Content hashing makes the sample deterministic and independent of
+    batch/block boundaries."""
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    cut = np.uint64(int(frac * float(1 << 32)))
+
+    def take_some(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or frac >= 1.0:
+            return b
+        M = np.ascontiguousarray(embeddings_to_matrix(b.column(vec_col))
+                                 .astype(np.float32))
+        u = M.view(np.uint32).astype(np.uint64)
+        h = np.full(len(u), np.uint64(0xCBF29CE484222325))
+        for j in range(u.shape[1]):
+            h = (h ^ u[:, j]) * np.uint64(0x100000001B3)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        return b.filter(pa.array((h >> np.uint64(32)) < cut))
+
+    rows = (ds.select_columns([vec_col])
+              .map_batches(take_some, batch_format="pyarrow")
+              .take_all())
+    M = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    if len(M) == 0:
+        return M
+    # canonical row order (content-hash sort): the gathered block order
+    # is not guaranteed stable, and k-means init draws by position
+    u = np.ascontiguousarray(M).view(np.uint32).astype(np.uint64)
+    h = np.full(len(u), np.uint64(0xCBF29CE484222325))
+    for j in range(u.shape[1]):
+        h = (h ^ u[:, j]) * np.uint64(0x100000001B3)
+    return M[np.argsort(h, kind="stable")]
+
+
 def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_centroids: int = 16, n_probe: int = 2,
-                 sample_rows: int = 4096, seed: int = 0x1FF) -> pa.Table:
+                 sample_rows: int = 4096, seed: int = 0x1FF,
+                 sample: str = "even", as_dataset: bool = False):
     """IVF-style ANN: cluster a sample into spherical k-means centroids
     (driver-side, deterministic), broadcast them, assign every vector to
     its nearest centroid inside ``map_batches``, and score each query only
     against vectors in its ``n_probe`` nearest cells. Recall grows with
     ``n_probe``; cost drops by ~``n_probe / n_centroids`` vs brute force.
+
+    ``sample="even"`` (default) draws the k-means training sample evenly
+    from every block; ``"head"`` is the old biased ``limit()`` sample,
+    kept only to demonstrate the failure mode in tests.
     """
     import ray
 
-    sample_tbl = ds.limit(sample_rows).take_batch(sample_rows,
-                                                  batch_format="pyarrow")
-    sample = embeddings_to_matrix(sample_tbl.column(vec_col))
-    C = _minibatch_kmeans(sample, n_centroids, seed)
+    if sample == "even":
+        smp = _even_sample_matrix(ds, vec_col, sample_rows)
+    elif sample == "head":
+        sample_tbl = ds.limit(sample_rows).take_batch(
+            sample_rows, batch_format="pyarrow")
+        smp = embeddings_to_matrix(sample_tbl.column(vec_col))
+    else:
+        raise ValueError("sample must be 'even' or 'head'")
+    C = _minibatch_kmeans(smp, n_centroids, seed)
     cref = ray.put(C)
 
     Q = _normalize(np.ascontiguousarray(queries, dtype=np.float32))
@@ -199,8 +281,11 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                          id_col: pa.array(iarr[keep]),
                          "score": pa.array(sarr[keep], type=pa.float32())})
 
-    return _candidates_topk(
-        ds.map_batches(score, batch_format="pyarrow").take_all(), k, id_col)
+    reduced = _reduce_candidates(
+        ds.map_batches(score, batch_format="pyarrow"), k, id_col)
+    if as_dataset:
+        return reduced
+    return _candidates_topk(reduced.take_all(), k, id_col)
 
 
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95,

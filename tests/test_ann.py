@@ -128,3 +128,67 @@ def test_topk_per_query_idx_matches_naive():
         got = keep[qids[keep] == q]
         np.testing.assert_array_equal(ids[m][want], ids[got])
         np.testing.assert_array_equal(scores[m][want], scores[got])
+
+
+def test_ann_topk_large_nq_dataset_native(ray_session):
+    """nq=10k queries: as_dataset=True returns a Dataset (bucketed by
+    query id, no driver table); the reduced row volume is exactly
+    nq × k and spot-checked queries match the numpy oracle."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import ann_topk
+
+    rng = np.random.default_rng(41)
+    n, dim, k = 2000, 8, 5
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n)
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array(list(V),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    Q = rng.standard_normal((10_000, dim)).astype(np.float32)
+    out = ann_topk(ds, Q, k=k, as_dataset=True)
+    assert not isinstance(out, pa.Table)
+    df = out.to_pandas()
+    assert len(df) == 10_000 * k
+    want = _oracle_topk(V, ids, Q[:3], k)
+    for qi in range(3):
+        g = (df[df["query_id"] == qi]
+             .sort_values("score", ascending=False)["vec_id"].tolist())
+        assert g == want[qi]
+
+
+def test_ivf_even_sample_beats_head_on_sorted_corpus(ray_session):
+    """Cluster-sorted corpus: the old head (limit) sample trains all
+    centroids on the first cluster and recall collapses; the per-block
+    evenly-spaced sample spans the distribution (verdict r2 #4)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import ivf_ann_topk
+
+    rng = np.random.default_rng(5)
+    dim, per, k = 16, 1500, 10
+    centers = np.eye(4, dim, dtype=np.float32) * 5.0
+    blocks = [centers[c] + 0.3 * rng.standard_normal((per, dim))
+              .astype(np.float32) for c in range(4)]
+    V = np.concatenate(blocks)               # sorted by cluster
+    ids = np.arange(len(V))
+    t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                  "embedding": pa.array(list(V),
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(8)     # blocks are cluster-pure
+    Q = np.stack([V[per * c + 7] for c in range(4)])   # one per cluster
+    want = _oracle_topk(V, ids, Q, k)
+
+    def recall(sample):
+        got = ivf_ann_topk(ds, Q, k=k, n_centroids=4, n_probe=1,
+                           sample_rows=1000, sample=sample).to_pandas()
+        hits = 0
+        for qi in range(4):
+            g = set(got[got["query_id"] == qi]["vec_id"])
+            hits += len(g & set(want[qi]))
+        return hits / (4 * k)
+
+    r_even, r_head = recall("even"), recall("head")
+    assert r_even >= 0.95, (r_even, r_head)
+    assert r_head <= 0.75, (r_even, r_head)
