@@ -123,12 +123,11 @@ def _key_group_bounds(t: pa.Table, key_cols: list[str]):
 
 
 def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
-                          group: int, num_groups: int,
-                          *blocks: pa.Table):
-    """Runs inside a Ray task: gather this group's packs
-    (``bucket % num_groups == group``) from every map-block slice
-    (zero-copy from the object store), unpack, reduce per key."""
-    t = _gather_bucket_packs(group, num_groups, blocks)
+                          group: int, num_groups: int, refs):
+    """Runs inside a Ray task: stream this group's packs
+    (``bucket % num_groups == group``) from every map-block slice,
+    unpack incrementally, reduce per key."""
+    t = _gather_bucket_packs(group, num_groups, refs)
     if t is None:
         return 0, None
     order, bounds = _key_group_bounds(t, key_cols)
@@ -145,31 +144,32 @@ def _reduce_packed_blocks(key_cols: list[str], per_key: Callable,
     return out.num_rows, out
 
 
-def _run_reducer(reducer: Callable, group: int, num_groups: int, *blocks):
-    """Ray-task trampoline: reducer is a picklable partial of a module
-    function (``ray.remote`` itself only wraps plain functions)."""
-    return reducer(group, num_groups, *blocks)
+def _gather_bucket_packs(group: int, num_groups: int, refs) -> pa.Table | None:
+    """Concat this modulo-group's packs, streaming one map-block slice
+    at a time from the object store: each packed slice is unpacked and
+    dropped before the next fetch, so reducer peak memory is the
+    UNPACKED partition plus one slice — not packed + unpacked of the
+    whole partition at once."""
+    import ray
 
-
-def _gather_bucket_packs(group: int, num_groups: int, blocks) -> pa.Table | None:
-    """Concat this modulo-group's packs from every map-block slice."""
-    packs = []
-    for blk in blocks:
+    tables = []
+    for ref in refs:
+        blk = ray.get(ref)
         if blk.num_rows == 0:
             continue
         gb = np.asarray(blk.column("__gbucket"))
         sel = gb % num_groups == group
         if sel.any():
-            packs.extend(bytes(b) for b in
-                         blk.filter(pa.array(sel)).column("pack").to_pylist())
-    if not packs:
+            for b in blk.filter(pa.array(sel)).column("pack").to_pylist():
+                tables.append(pa.ipc.open_stream(
+                    pa.BufferReader(bytes(b))).read_all())
+    if not tables:
         return None
-    tables = [pa.ipc.open_stream(pa.BufferReader(b)).read_all() for b in packs]
     return pa.concat_tables(tables).combine_chunks()
 
 
 def _reduce_packed_hll(key_cols: list[str], out_col: str, p: int, cap: int,
-                       group: int, num_groups: int, *blocks: pa.Table):
+                       group: int, num_groups: int, refs):
     """Vectorized grouped-distinct reduce over RAW-hash-list partials
     (``GroupedHllPartial._partial_rows_raw``): one lexsort dedupes every
     key's hashes at once — Python touches only the rare keys that carry
@@ -179,7 +179,7 @@ def _reduce_packed_hll(key_cols: list[str], out_col: str, p: int, cap: int,
     from ..state.hll import HllSketch, SparseHll
     from ..state.base import sketch_from_bytes
 
-    t = _gather_bucket_packs(group, num_groups, blocks)
+    t = _gather_bucket_packs(group, num_groups, refs)
     if t is None:
         return 0, None
     order, bounds = _key_group_bounds(t, key_cols)
@@ -268,8 +268,7 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
     def run_groups(batch: pa.Table):
         group_parts = ray.get(parts_ref)
         for g in batch.column("g").to_pylist():
-            blocks = ray.get(list(group_parts[g]))
-            n, out = reducer(g, num_groups, *blocks)
+            n, out = reducer(g, num_groups, list(group_parts[g]))
             if n > 0:
                 yield out
 
@@ -528,15 +527,34 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
                 .aggregate(Sum("__pn", alias_name=count_col)))
 
     def per_key_topk(group: pa.Table) -> pa.Table:
-        import pandas as pd
+        # vectorized rank (the sessionize idiom): one C++ sort, a
+        # boundary mask on the 128-bit key-hash pair, positional rank —
+        # no pandas round-trip
+        import pyarrow.compute as pc
 
-        df = group.to_pandas()
-        df = df.sort_values([*key, count_col, *cols],
-                            ascending=[True] * len(key) + [False] + [True] * len(cols),
-                            kind="stable")
-        df[rank_col] = df.groupby(key, sort=False).cumcount() + 1
-        df = df[df[rank_col] <= k].drop(columns="__gbucket")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        from ..functions.keys import hash_keys64_pair
+
+        if group.num_rows == 0:
+            return (group.drop_columns(["__gbucket"])
+                         .append_column(rank_col,
+                                        pa.array([], type=pa.int64())))
+        sort_keys = ([(c, "ascending") for c in key]
+                     + [(count_col, "descending")]
+                     + [(c, "ascending") for c in cols])
+        idx = np.asarray(pc.sort_indices(group, sort_keys=sort_keys))
+        g = group.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, key)
+        n = len(idx)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        rank = (np.arange(n)
+                - np.repeat(starts, np.diff(np.append(starts, n))))
+        keep = rank < k
+        out = g.filter(pa.array(keep)).drop_columns(["__gbucket"])
+        return out.append_column(
+            rank_col, pa.array((rank[keep] + 1).astype(np.int64)))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = hash_keys64(batch, key)

@@ -90,15 +90,20 @@ class _MinHashStage:
         flat, offs = shingle_hashes_batch(batch.column(self.text_col), self.k)
         sigs = minhash_signatures_flat(flat, offs, self.num_perm)
         bh = band_hashes_batch(sigs, self.bands)      # (n, bands), vectorized
-        blobs = [s.tobytes() for s in sigs]
         idx = np.repeat(np.arange(n), self.bands)
         ids = batch.column(self.id_col)
         ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        # signatures as ONE contiguous buffer → fixed-size-binary column;
+        # replication across bands is a C++ take, not a per-doc blob list
+        width = self.num_perm * 8
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(width), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
         return pa.table({
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
             "bhash": pa.array(bh.reshape(-1).view(np.int64)),
             self.id_col: ids.take(pa.array(idx)),
-            "sig": pa.array([blobs[i] for i in idx], type=pa.large_binary()),
+            "sig": sig_arr.take(pa.array(idx)),
         })
 
 
@@ -136,6 +141,13 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
         sorted_g = group.take(pa.array(order))
         ids = sorted_g.column(id_col).combine_chunks()
         sig_col = sorted_g.column("sig").combine_chunks()
+        # zero-copy (rows, num_perm) uint64 view over the fixed-width
+        # signature buffer — no per-doc frombuffer
+        width = sig_col.type.byte_width
+        sig_mat = np.frombuffer(
+            sig_col.buffers()[1], dtype=np.uint64,
+            offset=sig_col.offset * width,
+            count=len(sig_col) * (width // 8)).reshape(-1, width // 8)
         a_col, b_col, j_col = [], [], []
         for s in multi:
             lo, hi = int(bounds[s]), int(bounds[s + 1])
@@ -145,8 +157,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
             uids = sorted(seen)
             if len(uids) < 2:
                 continue
-            S = np.stack([np.frombuffer(bytes(sig_col[seen[d]].as_py()),
-                                        dtype=np.uint64) for d in uids])
+            S = sig_mat[[seen[d] for d in uids]]
             iu, ju = np.triu_indices(len(uids), 1)
             est = (S[iu] == S[ju]).mean(axis=1)
             hit = est >= threshold

@@ -285,19 +285,22 @@ def _broadcast_join(ds_x, y_ref, layout: _JoinLayout, na_matches: str):
 
 def _reduce_join_buckets(layout, group: int, num_groups: int,
                          x_schema_ser: bytes, y_schema_ser: bytes,
-                         n_x_blocks: int, how_overrides: dict, *blocks):
-    """Runs inside a Ray task: gather both sides' packs for this group's
-    buckets (``bucket % num_groups == group``) from every map-block
-    slice (zero-copy from the object store), join per bucket, return
-    (row_count, table). ``how_overrides`` maps salted bucket ids to the
-    demoted join type (see ``SaltSpec``)."""
+                         how_overrides: dict, x_refs, y_refs):
+    """Runs inside a Ray task: stream both sides' packs for this group's
+    buckets (``bucket % num_groups == group``) from the object store —
+    one map-block slice at a time, the packed form dropped as soon as
+    its buckets are unpacked, so peak memory is the unpacked partition
+    plus ONE packed slice (not packed + unpacked of the whole
+    partition). Returns (row_count, table). ``how_overrides`` maps
+    salted bucket ids to the demoted join type (see ``SaltSpec``)."""
     import pyarrow as pa
 
-    x_blocks, y_blocks = blocks[:n_x_blocks], blocks[n_x_blocks:]
+    import ray
 
-    def unpack(side_blocks):
+    def unpack(refs):
         per_bucket: dict[int, list] = {}
-        for blk in side_blocks:
+        for ref in refs:
+            blk = ray.get(ref)
             if blk.num_rows == 0:
                 continue
             gb = np.asarray(blk.column("__bucket"))
@@ -313,8 +316,8 @@ def _reduce_join_buckets(layout, group: int, num_groups: int,
 
     schema_x = pa.ipc.read_schema(pa.BufferReader(x_schema_ser))
     schema_y = pa.ipc.read_schema(pa.BufferReader(y_schema_ser))
-    xs = unpack(x_blocks)
-    ys = unpack(y_blocks)
+    xs = unpack(x_refs)
+    ys = unpack(y_refs)
     outs = []
     for b in sorted(set(xs) | set(ys)):
         x_t = (pa.concat_tables(xs[b]) if b in xs else schema_x.empty_table())
@@ -520,15 +523,13 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     layout_ref = ray.put(layout)
     parts_ref = ray.put((x_parts, y_parts))
     how_ov = salt.how_overrides(layout.how) if salt else {}
-    n_x_blocks = len(x_refs)
 
     def run_groups(batch: pa.Table):
         lay = ray.get(layout_ref)
         xp, yp = ray.get(parts_ref)
         for g in batch.column("g").to_pylist():
-            blocks = ray.get(list(xp[g])) + ray.get(list(yp[g]))
             n, out = _reduce_join_buckets(lay, g, num_groups, ser_x, ser_y,
-                                          n_x_blocks, how_ov, *blocks)
+                                          how_ov, list(xp[g]), list(yp[g]))
             if n > 0:
                 yield out
 

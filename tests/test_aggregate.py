@@ -185,3 +185,33 @@ def test_cluster_split_mode_parity(events_ds, con, monkeypatch):
     pd.testing.assert_frame_equal(
         local.sort_values(key).reset_index(drop=True),
         split.sort_values(key).reset_index(drop=True))
+
+
+def test_gather_bucket_packs_streams_refs(ray_session):
+    """The reducer-side gather takes ObjectRefs and fetches them one at
+    a time (streaming contract, verdict r2 #5); output equals a direct
+    bulk unpack."""
+    import ray
+
+    from bloomjoin_ray.pipelines.aggregate import _gather_bucket_packs
+
+    def pack_block(seed, bucket):
+        rng = np.random.default_rng(seed)
+        inner = pa.table({"k": rng.integers(0, 50, 1000),
+                          "v": rng.standard_normal(1000)})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, inner.schema) as w:
+            w.write_table(inner)
+        return inner, pa.table({
+            "__gbucket": pa.array([bucket], type=pa.int32()),
+            "pack": pa.array([sink.getvalue().to_pybytes()],
+                             type=pa.large_binary())})
+
+    inners, blocks = zip(*[pack_block(i, i % 4) for i in range(8)])
+    refs = [ray.put(b) for b in blocks]
+    got = _gather_bucket_packs(2, 4, refs)       # buckets ≡ 2 (mod 4)
+    want = pa.concat_tables([inners[i] for i in range(8) if i % 4 == 2])
+    assert got.num_rows == want.num_rows
+    assert np.array_equal(np.asarray(got.column("k")),
+                          np.asarray(want.column("k")))
+    assert _gather_bucket_packs(3, 4, []) is None
