@@ -272,12 +272,17 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 membership per query — oracle-checked against
+    DuckDB ``list_cosine_similarity`` (the float32 engine scores
+    themselves are pinned against a numpy oracle in tests/test_ann.py;
+    they can't hash-match a float64 SQL engine bit-for-bit)."""
     from bloomjoin_ray.pipelines.ann import ann_topk
     import pyarrow.parquet as pq
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
-    return ann_topk(_read(sf_dir, "embeddings"), Q, k=10)
+    return ann_topk(_read(sf_dir, "embeddings"), Q, k=10).select(
+        ["query_id", "vec_id"])
 
 
 def _q_ann_topk_lsh(sf_dir: str):
@@ -610,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_assign": _q_session_assign,
         "events_write_roundtrip": _q_write_roundtrip,
         "curated_docs": _q_curated_docs,
+        "ann_topk_bruteforce": _q_ann_topk,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
@@ -617,10 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_value_quantiles": _q_kll_value,
         "dedup_minhash_docs": _q_dedup_minhash,
         "simhash_pairs_docs": _q_simhash_pairs,
-        "ngram_jaccard_docs": _q_ngram_jaccard,
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
-        "ann_topk_bruteforce": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
@@ -820,5 +825,44 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(length(text), 1)
                         ELSE 0.0 END AS punct_ratio
             FROM documents
+        """,
+        "ngram_jaccard_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            pruned AS (
+              SELECT g FROM grams GROUP BY g HAVING count(*) <= 64),
+            pg AS (SELECT doc_id, g FROM grams
+                   WHERE g IN (SELECT g FROM pruned)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM pg GROUP BY doc_id),
+            co AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS cnt
+              FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT co.id_a, co.id_b,
+                   CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) AS jaccard
+            FROM co JOIN sizes sa ON co.id_a = sa.doc_id
+                    JOIN sizes sb ON co.id_b = sb.doc_id
+            WHERE CAST(cnt AS DOUBLE) / (sa.sz + sb.sz - cnt) >= 0.5
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            sc AS (SELECT q.qid, e.vec_id,
+                          list_cosine_similarity(q.qe, e.embedding) AS s
+                   FROM q CROSS JOIN embeddings e),
+            r AS (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY s DESC, vec_id) AS rn
+                  FROM sc)
+            SELECT CAST(qid AS INTEGER) AS query_id, vec_id
+            FROM r WHERE rn <= 10
         """,
     }

@@ -7,11 +7,14 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
-     "turns": n, "turns_per_sec": r}
+     "turns": n, "turns_per_sec": r, "scaling": {...}}
 
-``--scaling`` re-runs the same suite in two fresh processes (8 and 32
-CPUs by default, override with ``--lo/--hi``) on the same input and
-reports both plus ``efficiency = (t_lo / t_hi) / (hi / lo)``.
+The default run is probe-gated (waits for a clean host window) and
+folds a compact probe-gated 4→16 scaling pair into ``"scaling"``
+(disable with ``GRAFT_BENCH_SCALING=0``). ``--scaling`` runs the full
+measurement in two fresh processes (8 and 32 CPUs by default, override
+with ``--lo/--hi``) on the same larger input and reports both plus
+``efficiency = (t_lo / t_hi) / (hi / lo)``.
 
 Timed pipelines (transcript side = the BASELINE.json metric —
 sketch-build + bloom-join throughput in turns/sec on transcript parquet):
@@ -324,19 +327,23 @@ def _wait_clean_window() -> float:
     return dt
 
 
-def run_scaling(lo: int, hi: int) -> dict:
+def run_scaling(lo: int, hi: int, *, n_convs: int | None = None,
+                repeats: str | None = None) -> dict:
+    n_convs = n_convs or SCALING_CONVS
+
     def run(ncpu: int) -> dict:
         probe = _wait_clean_window()
         if probe > 0:
             print(f"# level {ncpu}: probe {probe:.2f}s", file=sys.stderr)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_NCONVS=str(SCALING_CONVS),
+                   GRAFT_NCONVS=str(n_convs),
                    GRAFT_BENCH_ONLY="transcripts",
+                   GRAFT_BENCH_SCALING="0",
                    # this host's hypervisor throttles CPU invisibly (pure
                    # in-task numpy measured 2.8s vs 20s run-to-run with 0-2%
                    # reported steal); min-of-N per query estimates the
                    # uncontended capability the criterion is about
-                   GRAFT_BENCH_REPEATS=os.environ.get(
+                   GRAFT_BENCH_REPEATS=repeats or os.environ.get(
                        "GRAFT_SCALING_REPEATS", "5"))
         cmd = [sys.executable, os.path.join(REPO, "bench.py")]
         if shutil.which("taskset"):
@@ -349,7 +356,7 @@ def run_scaling(lo: int, hi: int) -> dict:
                              check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    _ensure_transcripts_subproc(SCALING_CONVS)
+    _ensure_transcripts_subproc(n_convs)
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
@@ -388,10 +395,32 @@ def _pregen():
     ray.shutdown()
 
 
+def _mini_scaling() -> dict:
+    """Compact probe-gated 4→16 pair folded into every default bench run
+    (verdict r2 #8). Smaller input / fewer repeats than the full
+    ``--scaling`` measurement, so fixed per-pipeline floors weigh more —
+    read it as a per-round regression canary; the headline evidence
+    (128× input, 5 repeats) lives in BASELINE.md."""
+    n = int(os.environ.get("GRAFT_MINI_SCALING_CONVS", 0)) or N_CONVS * 32
+    r = run_scaling(4, 16, n_convs=n, repeats="2")
+    return {"cpus": r["cpus"], "turns": r["turns"],
+            "sec_lo": r["sec_4"], "sec_hi": r["sec_16"],
+            "efficiency": r["scaling_efficiency"],
+            "note": "mini probe-gated pair (32x convs, 2 repeats); "
+                    "full 128x measurement in BASELINE.md"}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         lo = int(sys.argv[sys.argv.index("--lo") + 1]) if "--lo" in sys.argv else 8
         hi = int(sys.argv[sys.argv.index("--hi") + 1]) if "--hi" in sys.argv else 32
         print(json.dumps(run_scaling(lo, hi)))
     else:
-        print(json.dumps(run_suite()))
+        probe = _wait_clean_window()   # land the suite in a clean window
+        if probe > 0:
+            print(f"# suite probe {probe:.2f}s", file=sys.stderr)
+        result = run_suite()
+        if (os.environ.get("GRAFT_BENCH_SCALING", "1") == "1"
+                and not ONLY_TRANSCRIPTS):
+            result["scaling"] = _mini_scaling()
+        print(json.dumps(result))

@@ -64,6 +64,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "sessionize_users", "topk_types_per_user", "theta_custkey_overlap",
     "mg_top_event_types", "events_write_roundtrip", "events_tumbling",
     "events_sliding", "events_session_assign", "curated_docs",
+    "ann_topk_bruteforce", "ngram_jaccard_docs",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     got = _canon(_to_df(entrymod.queries()[name](SF)))
