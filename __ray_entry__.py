@@ -189,6 +189,17 @@ def _q_tdigest_value(sf_dir: str):
     return pa.table({"q": pa.array(qs), "value_est": pa.array(np.asarray(est))})
 
 
+def _q_tdigest_by_type(sf_dir: str):
+    """Grouped approximate quantiles (t-digest per event_type) — the
+    per-key sketch path (rows-only; error bounds pinned in
+    tests/test_aggregate.py)."""
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    return approx_quantiles(_read(sf_dir, "events",
+                                  columns=["event_type", "value"]),
+                            "value", [0.1, 0.5, 0.9], key="event_type")
+
+
 def _q_kll_value(sf_dir: str):
     from bloomjoin_ray.pipelines.aggregate import approx_quantiles
 
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
         "tdigest_value_quantiles": _q_tdigest_value,
+        "tdigest_value_by_type": _q_tdigest_by_type,
         "kll_value_quantiles": _q_kll_value,
         "dedup_minhash_docs": _q_dedup_minhash,
         "simhash_pairs_docs": _q_simhash_pairs,

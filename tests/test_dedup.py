@@ -203,3 +203,24 @@ def test_dedup_by_pairs_planted_clique_over_threshold(ray_session):
     got = set(out["doc_id"])
     want = set(range(n)) - set(range(base + 1, base + m))
     assert got == want
+
+
+def test_dedup_by_pairs_distributed_string_ids(ray_session):
+    """String doc ids flow through Min/Max label aggregation, pointer
+    jumping, and the anti-join drop."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import dedup_by_pairs
+
+    docs = pa.table({"doc_id": pa.array([f"d{i:03d}" for i in range(40)])})
+    pairs = pa.table({
+        "id_a": pa.array(["d005", "d006", "d010", "d030"]),
+        "id_b": pa.array(["d006", "d007", "d011", "d005"]),
+    })
+    out = dedup_by_pairs(rd.from_arrow(docs).repartition(2),
+                         rd.from_arrow(pairs).repartition(2),
+                         "doc_id", driver_pair_limit=0).to_pandas()
+    got = set(out["doc_id"])
+    # component {d005,d006,d007,d030} keeps d005; {d010,d011} keeps d010
+    dropped = {"d006", "d007", "d030", "d011"}
+    assert got == {f"d{i:03d}" for i in range(40)} - dropped
