@@ -318,6 +318,25 @@ def _q_ann_topk_ivf(sf_dir: str):
                         n_centroids=8, n_probe=3)
 
 
+def _q_knn_join(sf_dir: str):
+    """Dataset x Dataset ANN join (query side is a Dataset, not a
+    broadcast matrix) — single-probe LSH co-bucketing; equality with
+    lsh_ann_topk under the same planes is pinned in tests/test_ann.py."""
+    from bloomjoin_ray.pipelines.ann import knn_join
+
+    emb = _read(sf_dir, "embeddings")
+    corpus = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 450)),
+        batch_format="pyarrow")
+    queries = emb.map_batches(
+        lambda t: pa.table({"query_id": t.filter(
+            pc.greater_equal(t["vec_id"], 450))["vec_id"],
+            "embedding": t.filter(
+                pc.greater_equal(t["vec_id"], 450))["embedding"]}),
+        batch_format="pyarrow")
+    return knn_join(corpus, queries, k=5, n_bits=3)
+
+
 def _q_embedding_dedup(sf_dir: str):
     from bloomjoin_ray.pipelines.ann import embedding_dedup_pairs
 
@@ -641,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
+        "knn_join_embeddings": _q_knn_join,
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "bloom_params_grid": _q_bloom_params,

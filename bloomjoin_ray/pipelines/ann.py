@@ -288,6 +288,123 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
     return _candidates_topk(reduced.take_all(), k, id_col)
 
 
+def knn_join(ds_corpus, ds_queries, k: int = 10, *,
+             corpus_id: str = "vec_id", query_id: str = "query_id",
+             vec_col: str = "embedding", query_vec_col: str | None = None,
+             n_bits: int = 8, seed: int = 0xA11, dim: int | None = None):
+    """Dataset × Dataset ANN join — the scale path when the QUERY side is
+    itself a large Dataset (too many queries for a broadcast matrix).
+
+    Both sides are LSH-bucketed with the SAME hyperplanes, co-partitioned
+    by cell, and each cell runs one matmul + per-query top-k inside the
+    bucketed reduce — so with the same ``n_bits``/``seed`` the result is
+    identical to ``lsh_ann_topk`` (pinned in tests), but neither side is
+    ever materialized on the driver. Single-probe: a query only meets
+    corpus vectors in its own cell (recall < 1 by design; lower
+    ``n_bits`` for recall, raise it to bound cell sizes — the per-cell
+    cost is |Q_cell| × |C_cell|). Returns
+    Dataset[query_id, corpus_id, score] with per-query global top-k.
+    """
+    from .buckets import numeric_segments, with_hash_bucket
+
+    qvec = query_vec_col or vec_col
+    if dim is None:
+        first = ds_corpus.take_batch(1, batch_format="pyarrow")
+        dim = embeddings_to_matrix(first.column(vec_col)).shape[1]
+    c_stage = LshBucketStage(dim, n_bits, corpus_id, vec_col, seed)
+    q_stage = LshBucketStage(dim, n_bits, query_id, qvec, seed)
+
+    c_schema = _schema_of_col(ds_corpus, corpus_id)
+    q_schema = _schema_of_col(ds_queries, query_id)
+    unified = pa.schema([
+        pa.field("__cell", pa.int64()), pa.field("__side", pa.int8()),
+        pa.field("__qid", q_schema), pa.field("__cid", c_schema),
+        pa.field("__emb", pa.list_(pa.float32())),
+    ])
+
+    def prep(stage, side, id_name, vec_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = stage(batch.select([id_name, vec_name]))
+            M = embeddings_to_matrix(t.column(vec_name)).astype(np.float32)
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(M) + 1) * M.shape[1], type=pa.int32()),
+                pa.array(M.reshape(-1)))
+            n = t.num_rows
+            ids = t.column(id_name)
+            ids = (ids.combine_chunks()
+                   if isinstance(ids, pa.ChunkedArray) else ids)
+            return pa.Table.from_arrays([
+                t.column("bucket").combine_chunks()
+                if isinstance(t.column("bucket"), pa.ChunkedArray)
+                else t.column("bucket"),
+                pa.array(np.full(n, side, dtype=np.int8)),
+                ids if side == 1 else pa.nulls(n, q_schema),
+                ids if side == 0 else pa.nulls(n, c_schema),
+                emb,
+            ], schema=unified)
+
+        return fn
+
+    tagged = (ds_corpus.map_batches(prep(c_stage, 0, corpus_id, vec_col),
+                                    batch_format="pyarrow")
+              .union(ds_queries.map_batches(prep(q_stage, 1, query_id, qvec),
+                                            batch_format="pyarrow")))
+
+    def cell_reduce(group: pa.Table) -> pa.Table:
+        def empty():
+            return pa.table({query_id: pa.nulls(0, q_schema),
+                             corpus_id: pa.nulls(0, c_schema),
+                             "score": pa.array([], type=pa.float32())})
+
+        if group.num_rows == 0:
+            return empty()
+        cells = np.asarray(group.column("__cell"), dtype=np.int64)
+        order, bounds = numeric_segments([cells])
+        g = group.take(pa.array(order))
+        side = np.asarray(g.column("__side"))
+        Mn = _normalize(embeddings_to_matrix(g.column("__emb")))
+        qids = g.column("__qid").combine_chunks()
+        cids = g.column("__cid").combine_chunks()
+        q_take, c_take, scores = [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            sl = side[lo:hi]
+            qpos = np.nonzero(sl == 1)[0] + lo
+            cpos = np.nonzero(sl == 0)[0] + lo
+            if not qpos.size or not cpos.size:
+                continue
+            sims = Mn[qpos] @ Mn[cpos].T
+            kk = min(k, len(cpos))
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            row = np.arange(len(qpos))[:, None]
+            ordc = np.argsort(-sims[row, part], kind="stable", axis=1)
+            chosen = part[row, ordc]                       # (nq_cell, kk)
+            q_take.append(np.repeat(qpos, kk))
+            c_take.append(cpos[chosen.reshape(-1)])
+            scores.append(sims[row, chosen].reshape(-1))
+        if not q_take:
+            return empty()
+        qt = np.concatenate(q_take)
+        ct = np.concatenate(c_take)
+        return pa.table({query_id: qids.take(pa.array(qt)),
+                         corpus_id: cids.take(pa.array(ct)),
+                         "score": pa.array(
+                             np.concatenate(scores).astype(np.float32))})
+
+    # single-probe ⇒ each query lives in exactly one cell, and all of a
+    # cell's rows land in one reduce task — per-cell top-k IS the global
+    # per-query top-k
+    return (with_hash_bucket(tagged, ["__cell"])
+            .groupby("__gbucket")
+            .map_groups(cell_reduce, batch_format="pyarrow"))
+
+
+def _schema_of_col(ds, col: str) -> pa.DataType:
+    from .asof import _schema_of
+
+    return _schema_of(ds).field(col).type
+
+
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 6, seed: int = 0xA11,

@@ -192,3 +192,62 @@ def test_ivf_even_sample_beats_head_on_sorted_corpus(ray_session):
     r_even, r_head = recall("even"), recall("head")
     assert r_even >= 0.95, (r_even, r_head)
     assert r_head <= 0.75, (r_even, r_head)
+
+
+def test_knn_join_matches_lsh_ann_topk(ray_session):
+    """knn_join (query DATASET) computes the identical single-probe LSH
+    result as lsh_ann_topk (broadcast query matrix) under the same
+    planes — same algorithm, dataset-native plumbing."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import knn_join, lsh_ann_topk
+
+    rng = np.random.default_rng(77)
+    n, nq, dim, k = 3000, 200, 16, 5
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    Q = rng.standard_normal((nq, dim)).astype(np.float32)
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(nq), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32())),
+    })).repartition(3)
+
+    got = (knn_join(corpus, queries, k=k, n_bits=4).to_pandas()
+           .sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = (lsh_ann_topk(corpus, Q, k=k, n_bits=4).to_pandas()
+            .sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+    assert len(got) == len(want)
+    assert got["query_id"].tolist() == want["query_id"].astype("int64").tolist()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["score"], want["score"], atol=1e-6)
+
+
+def test_knn_join_planted_self_hits(ray_session):
+    """Slightly perturbed corpus vectors as queries: the source vector
+    must surface as a hit for the vast majority of queries."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import knn_join
+
+    rng = np.random.default_rng(13)
+    n, dim = 2000, 16
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    src = rng.integers(0, n, 100)
+    Q = V[src] + 0.01 * rng.standard_normal((100, dim)).astype(np.float32)
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32()))}))
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(100), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+    df = knn_join(corpus, queries, k=3, n_bits=4).to_pandas()
+    hits = sum(src[q] in set(df[df["query_id"] == q]["vec_id"])
+               for q in range(100))
+    assert hits >= 90, hits
