@@ -431,36 +431,35 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
 
         if group.num_rows == 0:
             return empty()
+        from .buckets import triangle_indices
+
+        import pyarrow.compute as pc
+
         cells = np.asarray(group.column("bucket"), dtype=np.int64)
         order, bounds = numeric_segments([cells])
         sizes = np.diff(bounds)
-        multi = np.nonzero(sizes > 1)[0]
-        if not multi.size:
-            return empty()
+        # every within-cell pair at once: one triangle expansion and one
+        # vectorized row-wise dot product — no per-cell Python
+        # (dedupe_pairs collapses duplicate-row repeats downstream)
         sorted_g = group.take(pa.array(order))
         V = _normalize(embeddings_to_matrix(
             sorted_g.column(vec_col)).astype(np.float32))
         ids = sorted_g.column(id_col).combine_chunks()
-        a_col, b_col, c_col = [], [], []
-        for s in multi:
-            lo, hi = int(bounds[s]), int(bounds[s + 1])
-            uniq: dict = {}
-            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
-                uniq.setdefault(d, lo + r)
-            uids = sorted(uniq)
-            if len(uids) < 2:
-                continue
-            idx = [uniq[d] for d in uids]
-            sims = V[idx] @ V[idx].T
-            iu, ju = np.triu_indices(len(uids), 1)
-            hits = sims[iu, ju] >= threshold
-            for i, j, sc in zip(iu[hits], ju[hits], sims[iu, ju][hits]):
-                a_col.append(uids[i])
-                b_col.append(uids[j])
-                c_col.append(float(sc))
-        return pa.table({"id_a": pa.array(a_col, type=id_type),
-                         "id_b": pa.array(b_col, type=id_type),
-                         "cosine": pa.array(c_col, type=pa.float64())})
+        ai, bi = triangle_indices(bounds, sizes > 1)
+        if not ai.size:
+            return empty()
+        cos = np.einsum("ij,ij->i", V[ai], V[bi]).astype(np.float64)
+        hit = cos >= threshold
+        if not hit.any():
+            return empty()
+        a_ids = ids.take(pa.array(ai[hit]))
+        b_ids = ids.take(pa.array(bi[hit]))
+        out = pa.table({
+            "id_a": pc.min_element_wise(a_ids, b_ids),
+            "id_b": pc.max_element_wise(a_ids, b_ids),
+            "cosine": pa.array(cos[hit]),
+        })
+        return out.filter(pc.not_equal(a_ids, b_ids))
 
     pairs = (with_hash_bucket(
                 ds.select_columns([id_col, vec_col])

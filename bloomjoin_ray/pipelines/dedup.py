@@ -405,36 +405,34 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
         if group.num_rows == 0:
             return empty()
+        from .buckets import triangle_indices
+
         band = np.asarray(group.column("band"), dtype=np.int64)
         bk = np.asarray(group.column("bucket"), dtype=np.int64)
         order, bounds = numeric_segments([bk, band])
         sizes = np.diff(bounds)
-        multi = np.nonzero(sizes > 1)[0]
-        if not multi.size:
-            return empty()
+        # every within-segment pair at once: one triangle expansion, one
+        # vectorized Hamming pass, canonical (min, max) id ordering —
+        # no per-segment Python (dedupe_pairs collapses duplicate-row
+        # and multi-band repeats downstream)
         sorted_g = group.take(pa.array(order))
         ids = sorted_g.column(id_col).combine_chunks()
         fps = np.asarray(sorted_g.column("fp"), dtype=np.int64).view(np.uint64)
-        a_col, b_col, h_col = [], [], []
-        for s in multi:
-            lo, hi = int(bounds[s]), int(bounds[s + 1])
-            seen: dict = {}
-            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
-                seen.setdefault(d, lo + r)
-            uids = sorted(seen)
-            if len(uids) < 2:
-                continue
-            f = np.array([fps[seen[d]] for d in uids], dtype=np.uint64)
-            iu, ju = np.triu_indices(len(uids), 1)
-            hd = hamming64(f[iu], f[ju])
-            hit = hd <= max_hamming
-            for i, j, h in zip(iu[hit], ju[hit], hd[hit]):
-                a_col.append(uids[i])
-                b_col.append(uids[j])
-                h_col.append(int(h))
-        return pa.table({"id_a": pa.array(a_col, type=id_type),
-                         "id_b": pa.array(b_col, type=id_type),
-                         "hamming": pa.array(h_col, type=pa.int32())})
+        ai, bi = triangle_indices(bounds, sizes > 1)
+        if not ai.size:
+            return empty()
+        hd = hamming64(fps[ai], fps[bi])
+        hit = hd <= max_hamming
+        if not hit.any():
+            return empty()
+        a_ids = ids.take(pa.array(ai[hit]))
+        b_ids = ids.take(pa.array(bi[hit]))
+        out = pa.table({
+            "id_a": pc.min_element_wise(a_ids, b_ids),
+            "id_b": pc.max_element_wise(a_ids, b_ids),
+            "hamming": pa.array(hd[hit].astype(np.int32)),
+        })
+        return out.filter(pc.not_equal(a_ids, b_ids))
 
     pairs = (with_hash_bucket(
                 ds.select_columns([id_col, text_col])

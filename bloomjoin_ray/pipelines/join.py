@@ -527,11 +527,19 @@ def _partitioned_join(ds_x, ds_y, layout: _JoinLayout, na_matches: str,
     def run_groups(batch: pa.Table):
         lay = ray.get(layout_ref)
         xp, yp = ray.get(parts_ref)
+        produced = False
         for g in batch.column("g").to_pylist():
             n, out = _reduce_join_buckets(lay, g, num_groups, ser_x, ser_y,
                                           how_ov, list(xp[g]), list(yp[g]))
             if n > 0:
+                produced = True
                 yield out
+        if not produced:
+            # typed empty block — a bare return makes Ray emit a
+            # schema-less block and warn on every downstream union
+            sx = pa.ipc.read_schema(pa.BufferReader(ser_x))
+            sy = pa.ipc.read_schema(pa.BufferReader(ser_y))
+            yield lay.join_tables(sx.empty_table(), sy.empty_table())
 
     out = (rd.from_items([{"g": g} for g in range(num_groups)],
                          override_num_blocks=num_groups)
