@@ -339,6 +339,9 @@ def run_scaling(lo: int, hi: int, *, n_convs: int | None = None,
                    GRAFT_NCONVS=str(n_convs),
                    GRAFT_BENCH_ONLY="transcripts",
                    GRAFT_BENCH_SCALING="0",
+                   # the parent just probe-gated this level; don't gate
+                   # again inside the child (max_wait could idle 480s)
+                   GRAFT_WAIT_CLEAN="0",
                    # this host's hypervisor throttles CPU invisibly (pure
                    # in-task numpy measured 2.8s vs 20s run-to-run with 0-2%
                    # reported steal); min-of-N per query estimates the

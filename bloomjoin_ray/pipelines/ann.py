@@ -175,30 +175,43 @@ def _minibatch_kmeans(sample: np.ndarray, n_centroids: int, seed: int,
     return C
 
 
+def _row_hashes(M: np.ndarray) -> np.ndarray:
+    """Deterministic per-row uint64 content hash of a float32 matrix
+    (vectorized FNV fold over the bit patterns + final mix)."""
+    u = np.ascontiguousarray(M).view(np.uint32).astype(np.uint64)
+    h = np.full(len(u), np.uint64(0xCBF29CE484222325))
+    for j in range(u.shape[1]):
+        h = (h ^ u[:, j]) * np.uint64(0x100000001B3)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    return h
+
+
 def _even_sample_matrix(ds, vec_col: str, sample_rows: int) -> np.ndarray:
     """Corpus-wide unbiased vector sample: every row enters with equal
-    probability via a content-hash Bernoulli draw (vectorized FNV over
-    the float bits), so a cluster-sorted / partitioned corpus still
-    yields centroids spanning the whole distribution (a head
-    ``limit()`` sample sees only the first blocks and skews them).
-    Content hashing makes the sample deterministic and independent of
-    batch/block boundaries."""
+    probability via a content-hash Bernoulli draw (``_row_hashes``), so
+    a cluster-sorted / partitioned corpus still yields centroids
+    spanning the whole distribution (a head ``limit()`` sample sees
+    only the first blocks and skews them). Content hashing makes the
+    sample deterministic and independent of batch/block boundaries;
+    the workers ship the hash alongside each kept row so the driver's
+    canonical sort needs no second hashing pass."""
     n = ds.count()
     frac = min(1.0, sample_rows / max(n, 1))
     cut = np.uint64(int(frac * float(1 << 32)))
 
     def take_some(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or frac >= 1.0:
-            return b
-        M = np.ascontiguousarray(embeddings_to_matrix(b.column(vec_col))
-                                 .astype(np.float32))
-        u = M.view(np.uint32).astype(np.uint64)
-        h = np.full(len(u), np.uint64(0xCBF29CE484222325))
-        for j in range(u.shape[1]):
-            h = (h ^ u[:, j]) * np.uint64(0x100000001B3)
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        return b.filter(pa.array((h >> np.uint64(32)) < cut))
+        col = b.column(vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if b.num_rows == 0:
+            return pa.table({vec_col: col,
+                             "__h": pa.array([], type=pa.int64())})
+        h = _row_hashes(embeddings_to_matrix(col).astype(np.float32))
+        if frac < 1.0:
+            m = (h >> np.uint64(32)) < cut
+            col = col.filter(pa.array(m))
+            h = h[m]
+        return pa.table({vec_col: col, "__h": pa.array(h.view(np.int64))})
 
     rows = (ds.select_columns([vec_col])
               .map_batches(take_some, batch_format="pyarrow")
@@ -208,10 +221,7 @@ def _even_sample_matrix(ds, vec_col: str, sample_rows: int) -> np.ndarray:
         return M
     # canonical row order (content-hash sort): the gathered block order
     # is not guaranteed stable, and k-means init draws by position
-    u = np.ascontiguousarray(M).view(np.uint32).astype(np.uint64)
-    h = np.full(len(u), np.uint64(0xCBF29CE484222325))
-    for j in range(u.shape[1]):
-        h = (h ^ u[:, j]) * np.uint64(0x100000001B3)
+    h = np.array([r["__h"] for r in rows], dtype=np.int64).view(np.uint64)
     return M[np.argsort(h, kind="stable")]
 
 
@@ -365,7 +375,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
         Mn = _normalize(embeddings_to_matrix(g.column("__emb")))
         qids = g.column("__qid").combine_chunks()
         cids = g.column("__cid").combine_chunks()
-        q_take, c_take, scores = [], [], []
+        q_all, c_all, s_all = [], [], []
         for s in range(len(bounds) - 1):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             sl = side[lo:hi]
@@ -374,22 +384,23 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
             if not qpos.size or not cpos.size:
                 continue
             sims = Mn[qpos] @ Mn[cpos].T
-            kk = min(k, len(cpos))
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            row = np.arange(len(qpos))[:, None]
-            ordc = np.argsort(-sims[row, part], kind="stable", axis=1)
-            chosen = part[row, ordc]                       # (nq_cell, kk)
-            q_take.append(np.repeat(qpos, kk))
-            c_take.append(cpos[chosen.reshape(-1)])
-            scores.append(sims[row, chosen].reshape(-1))
-        if not q_take:
+            q_all.append(np.repeat(qpos, len(cpos)))
+            c_all.append(np.tile(cpos, len(qpos)))
+            s_all.append(sims.reshape(-1))
+        if not q_all:
             return empty()
-        qt = np.concatenate(q_take)
-        ct = np.concatenate(c_take)
-        return pa.table({query_id: qids.take(pa.array(qt)),
-                         corpus_id: cids.take(pa.array(ct)),
-                         "score": pa.array(
-                             np.concatenate(scores).astype(np.float32))})
+        qa = np.concatenate(q_all)
+        ca = np.concatenate(c_all)
+        sa = np.concatenate(s_all).astype(np.float32)
+        # the SAME (score desc, corpus-id asc) selection+ordering as
+        # _topk_per_query_idx, so ties (duplicate vectors) resolve
+        # identically to lsh_ann_topk and output is deterministic
+        # (__cid is null on query-side rows — take the corpus rows first)
+        cid_vals = np.asarray(cids.take(pa.array(ca)))
+        keep = _topk_per_query_idx(qa, cid_vals, sa, k)
+        return pa.table({query_id: qids.take(pa.array(qa[keep])),
+                         corpus_id: cids.take(pa.array(ca[keep])),
+                         "score": pa.array(sa[keep])})
 
     # single-probe ⇒ each query lives in exactly one cell, and all of a
     # cell's rows land in one reduce task — per-cell top-k IS the global

@@ -837,14 +837,22 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                 "build-side distinct keys exceed the fuse gather budget; "
                 "using the mergeable bloom engine")
 
-    if engine_used == "bloom":
-        m_bits, k = bloom_sizing(plan.expected_elements, fpr)
-        if m_bits > max_filter_bits:
+    def size_bloom():
+        """bloom sizing + broadcast-budget check; None ⇒ plain join."""
+        mb, kk = bloom_sizing(plan.expected_elements, fpr)
+        if mb > max_filter_bits:
             report.bloom_filter_used = False
-            report.reason = (f"filter of {m_bits} bits exceeds broadcast budget "
+            report.reason = (f"filter of {mb} bits exceeds broadcast budget "
                              f"({max_filter_bits}); falling back to plain join")
+            return None
+        report.bloom_m_bits, report.bloom_k = mb, kk
+        return mb, kk
+
+    if engine_used == "bloom":
+        sized = size_bloom()
+        if sized is None:
             return plain()
-        report.bloom_m_bits, report.bloom_k = m_bits, k
+        m_bits, k = sized
 
     if plan.target == "x":
         build_ds, build_cols = ds_y, spec.y_cols
@@ -867,14 +875,10 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
             report.extra["fuse_fallback"] = (
                 "actual build-side distinct keys exceeded the fuse gather "
                 "budget; using the mergeable bloom engine")
-            m_bits, k = bloom_sizing(plan.expected_elements, fpr)
-            if m_bits > max_filter_bits:
-                report.bloom_filter_used = False
-                report.reason = (f"filter of {m_bits} bits exceeds broadcast "
-                                 f"budget ({max_filter_bits}); "
-                                 "falling back to plain join")
+            sized = size_bloom()
+            if sized is None:
                 return plain()
-            report.bloom_m_bits, report.bloom_k = m_bits, k
+            m_bits, k = sized
         else:
             report.bloom_m_bits, report.bloom_k = fuse.size_bits, 3
             report.extra.update({"fuse_fp_bits": fuse.fingerprint_bits,

@@ -251,3 +251,37 @@ def test_knn_join_planted_self_hits(ray_session):
     hits = sum(src[q] in set(df[df["query_id"] == q]["vec_id"])
                for q in range(100))
     assert hits >= 90, hits
+
+
+def test_knn_join_tie_break_with_duplicate_vectors(ray_session):
+    """Duplicate corpus vectors produce tied scores: selection and
+    ordering must still match lsh_ann_topk exactly (score desc, id asc),
+    deterministically (code-review r3 finding)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import knn_join, lsh_ann_topk
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    base = rng.standard_normal(dim).astype(np.float32)
+    V = np.concatenate([np.tile(base, (300, 1)),
+                        rng.standard_normal((200, dim)).astype(np.float32)])
+    ids = np.arange(len(V))
+    rng.shuffle(ids)          # ids uncorrelated with row order
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+    Q = base[None, :]
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array([0], type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+    got = (knn_join(corpus, queries, k=5, n_bits=2).to_pandas()
+           .sort_values(["score", "vec_id"], ascending=[False, True]))
+    want = (lsh_ann_topk(corpus, Q, k=5, n_bits=2).to_pandas()
+            .sort_values(["score", "vec_id"], ascending=[False, True]))
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    # and rerunning gives the same answer (determinism under ties)
+    again = (knn_join(corpus, queries, k=5, n_bits=2).to_pandas()
+             .sort_values(["score", "vec_id"], ascending=[False, True]))
+    assert got["vec_id"].tolist() == again["vec_id"].tolist()
