@@ -51,7 +51,8 @@ def _candidates_topk(cand_rows: list[dict], k: int, id_col: str) -> pa.Table:
                      "score": pa.array(scores[keep], type=pa.float32())})
 
 
-def _reduce_candidates(cand_ds, k: int, id_col: str):
+def _reduce_candidates(cand_ds, k: int, id_col: str,
+                       qid_col: str = "query_id"):
     """Dataset-native final reduce: bucket candidate rows by query id and
     take each query's global top-k inside ``map_groups`` — the driver
     never sees more than the final nq × k rows (and with
@@ -62,14 +63,14 @@ def _reduce_candidates(cand_ds, k: int, id_col: str):
     def bucket_topk(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return group.drop_columns(["__gbucket"])
-        qids = np.asarray(group.column("query_id"))
+        qids = np.asarray(group.column(qid_col))
         ids = np.asarray(group.column(id_col))
         scores = np.asarray(group.column("score"))
         keep = _topk_per_query_idx(qids, ids, scores, k)
         return (group.take(pa.array(keep))
                      .drop_columns(["__gbucket"]))
 
-    return (with_hash_bucket(cand_ds, ["query_id"])
+    return (with_hash_bucket(cand_ds, [qid_col])
             .groupby("__gbucket")
             .map_groups(bucket_topk, batch_format="pyarrow"))
 
@@ -301,7 +302,8 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
 def knn_join(ds_corpus, ds_queries, k: int = 10, *,
              corpus_id: str = "vec_id", query_id: str = "query_id",
              vec_col: str = "embedding", query_vec_col: str | None = None,
-             n_bits: int = 8, seed: int = 0xA11, dim: int | None = None):
+             n_bits: int = 8, seed: int = 0xA11, dim: int | None = None,
+             multiprobe: int = 0):
     """Dataset × Dataset ANN join — the scale path when the QUERY side is
     itself a large Dataset (too many queries for a broadcast matrix).
 
@@ -312,11 +314,18 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
     ever materialized on the driver. Single-probe: a query only meets
     corpus vectors in its own cell (recall < 1 by design; lower
     ``n_bits`` for recall, raise it to bound cell sizes — the per-cell
-    cost is |Q_cell| × |C_cell|). Returns
+    cost is |Q_cell| × |C_cell|). ``multiprobe=1`` additionally probes
+    every Hamming-1 neighbor cell of each query (n_bits+1 cells total),
+    trading (n_bits+1)× query-side rows for substantially higher
+    recall; the per-query top-k is then merged across cells with the
+    dataset-native bucketed reduce. Returns
     Dataset[query_id, corpus_id, score] with per-query global top-k.
     """
     from .buckets import numeric_segments, with_hash_bucket
 
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 (own cell) or 1 "
+                         "(+ all Hamming-1 cells)")
     qvec = query_vec_col or vec_col
     if dim is None:
         first = ds_corpus.take_batch(1, batch_format="pyarrow")
@@ -332,21 +341,30 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
         pa.field("__emb", pa.list_(pa.float32())),
     ])
 
-    def prep(stage, side, id_name, vec_name):
+    def prep(stage, side, id_name, vec_name, expand=False):
         def fn(batch: pa.Table) -> pa.Table:
             t = stage(batch.select([id_name, vec_name]))
             M = embeddings_to_matrix(t.column(vec_name)).astype(np.float32)
-            emb = pa.ListArray.from_arrays(
-                pa.array(np.arange(len(M) + 1) * M.shape[1], type=pa.int32()),
-                pa.array(M.reshape(-1)))
+            cells = np.asarray(t.column("bucket"), dtype=np.int64)
             n = t.num_rows
             ids = t.column(id_name)
             ids = (ids.combine_chunks()
                    if isinstance(ids, pa.ChunkedArray) else ids)
+            if expand and n:
+                # replicate each query into its own cell + every
+                # Hamming-1 neighbor cell (probe fan-out)
+                flips = np.concatenate(
+                    [[0], 1 << np.arange(n_bits)]).astype(np.int64)
+                idx = np.repeat(np.arange(n), len(flips))
+                cells = (cells[:, None] ^ flips[None, :]).reshape(-1)
+                M = M[idx]
+                ids = ids.take(pa.array(idx))
+                n = n * len(flips)
+            emb = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(M) + 1) * M.shape[1], type=pa.int32()),
+                pa.array(M.reshape(-1)))
             return pa.Table.from_arrays([
-                t.column("bucket").combine_chunks()
-                if isinstance(t.column("bucket"), pa.ChunkedArray)
-                else t.column("bucket"),
+                pa.array(cells),
                 pa.array(np.full(n, side, dtype=np.int8)),
                 ids if side == 1 else pa.nulls(n, q_schema),
                 ids if side == 0 else pa.nulls(n, c_schema),
@@ -357,8 +375,10 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
 
     tagged = (ds_corpus.map_batches(prep(c_stage, 0, corpus_id, vec_col),
                                     batch_format="pyarrow")
-              .union(ds_queries.map_batches(prep(q_stage, 1, query_id, qvec),
-                                            batch_format="pyarrow")))
+              .union(ds_queries.map_batches(
+                  prep(q_stage, 1, query_id, qvec,
+                       expand=multiprobe == 1),
+                  batch_format="pyarrow")))
 
     def cell_reduce(group: pa.Table) -> pa.Table:
         def empty():
@@ -402,12 +422,16 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                          corpus_id: cids.take(pa.array(ca[keep])),
                          "score": pa.array(sa[keep])})
 
-    # single-probe ⇒ each query lives in exactly one cell, and all of a
-    # cell's rows land in one reduce task — per-cell top-k IS the global
-    # per-query top-k
-    return (with_hash_bucket(tagged, ["__cell"])
-            .groupby("__gbucket")
-            .map_groups(cell_reduce, batch_format="pyarrow"))
+    out = (with_hash_bucket(tagged, ["__cell"])
+           .groupby("__gbucket")
+           .map_groups(cell_reduce, batch_format="pyarrow"))
+    if multiprobe == 0:
+        # each query lives in exactly one cell, and all of a cell's rows
+        # land in one reduce task — per-cell top-k IS the global answer
+        return out
+    # probed cells are distinct and corpus rows live in one cell each,
+    # so candidates are duplicate-free; merge per-query across cells
+    return _reduce_candidates(out, k, corpus_id, qid_col=query_id)
 
 
 def _schema_of_col(ds, col: str) -> pa.DataType:

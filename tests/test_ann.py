@@ -285,3 +285,34 @@ def test_knn_join_tie_break_with_duplicate_vectors(ray_session):
     again = (knn_join(corpus, queries, k=5, n_bits=2).to_pandas()
              .sort_values(["score", "vec_id"], ascending=[False, True]))
     assert got["vec_id"].tolist() == again["vec_id"].tolist()
+
+
+def test_knn_join_multiprobe_raises_recall(ray_session):
+    """multiprobe=1 (own + Hamming-1 cells) strictly dominates single
+    probe on random data and reaches high recall vs the exact oracle."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import knn_join
+
+    rng = np.random.default_rng(21)
+    n, nq, dim, k = 3000, 100, 16, 10
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    Q = rng.standard_normal((nq, dim)).astype(np.float32)
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32()))}))
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(nq), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+    want = _oracle_topk(V, np.arange(n), Q, k)
+
+    def recall(mp):
+        df = knn_join(corpus, queries, k=k, n_bits=6,
+                      multiprobe=mp).to_pandas()
+        hits = sum(len(set(df[df["query_id"] == q]["vec_id"])
+                       & set(want[q])) for q in range(nq))
+        return hits / (nq * k)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 > 2 * r0, (r0, r1)
+    assert r1 >= 0.45, (r0, r1)
