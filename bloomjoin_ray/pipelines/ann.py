@@ -20,6 +20,12 @@ import pyarrow as pa
 
 from ..stages.ann_stages import BruteForceTopK, LshBucketStage, _normalize, embeddings_to_matrix
 
+# knn_join cell reduce: cap on transient score-matrix elements per matmul
+# chunk (~16 MB float32) — a hot LSH cell (duplicate-heavy / low-entropy
+# corpus) is processed in bounded query-side slices instead of one
+# |Q_cell| × |C_cell| cross product. Tests shrink this to force chunking.
+_CELL_CHUNK_ELEMS = 1 << 22
+
 
 def _topk_per_query_idx(qids: np.ndarray, ids: np.ndarray,
                         scores: np.ndarray, k: int) -> np.ndarray:
@@ -97,10 +103,21 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_bits: int = 8, seed: int = 0xA11,
-                 as_dataset: bool = False):
-    """LSH-bucketed ANN: score only vectors sharing the query's bucket."""
+                 multiprobe: int = 0, as_dataset: bool = False):
+    """LSH-bucketed ANN: score only vectors sharing the query's bucket.
+
+    ``multiprobe=1`` additionally probes every Hamming-1 neighbor bucket
+    of each query (n_bits+1 buckets total — the same flip construction
+    as ``knn_join``), trading ~(n_bits+1)× scored candidates for
+    substantially higher recall. Each corpus vector lives in exactly one
+    bucket and a query's probed buckets are distinct, so candidate
+    (query, vector) pairs stay duplicate-free and the bucketed reduce
+    needs no dedupe."""
     import ray
 
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 (own bucket) or 1 "
+                         "(+ all Hamming-1 buckets)")
     Q = np.ascontiguousarray(queries, dtype=np.float32)
     dim = Q.shape[1]
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
@@ -111,6 +128,10 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
     wanted = {}
     for qi, kk in enumerate(qkey):
         wanted.setdefault(int(kk), []).append(qi)
+    if multiprobe == 1:
+        for b in range(n_bits):
+            for qi, kk in enumerate(qkey):
+                wanted.setdefault(int(kk) ^ (1 << b), []).append(qi)
     wanted_ref = ray.put(wanted)
     qref = ray.put(_normalize(Q))
 
@@ -196,9 +217,12 @@ def _even_sample_matrix(ds, vec_col: str, sample_rows: int) -> np.ndarray:
     only the first blocks and skews them). Content hashing makes the
     sample deterministic and independent of batch/block boundaries;
     the workers ship the hash alongside each kept row so the driver's
-    canonical sort needs no second hashing pass."""
+    canonical sort needs no second hashing pass. The draw rate is
+    slightly overshot and the hash-sorted gather capped at exactly
+    ``sample_rows`` (bottom-k by content hash), so the sample size —
+    and driver memory — is deterministic, not binomial."""
     n = ds.count()
-    frac = min(1.0, sample_rows / max(n, 1))
+    frac = min(1.0, (sample_rows * 1.15 + 64) / max(n, 1))
     cut = np.uint64(int(frac * float(1 << 32)))
 
     def take_some(b: pa.Table) -> pa.Table:
@@ -223,7 +247,7 @@ def _even_sample_matrix(ds, vec_col: str, sample_rows: int) -> np.ndarray:
     # canonical row order (content-hash sort): the gathered block order
     # is not guaranteed stable, and k-means init draws by position
     h = np.array([r["__h"] for r in rows], dtype=np.int64).view(np.uint64)
-    return M[np.argsort(h, kind="stable")]
+    return M[np.argsort(h, kind="stable")][:sample_rows]
 
 
 def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
@@ -303,7 +327,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
              corpus_id: str = "vec_id", query_id: str = "query_id",
              vec_col: str = "embedding", query_vec_col: str | None = None,
              n_bits: int = 8, seed: int = 0xA11, dim: int | None = None,
-             multiprobe: int = 0):
+             multiprobe: int = 0, cell_chunk_elems: int = _CELL_CHUNK_ELEMS):
     """Dataset × Dataset ANN join — the scale path when the QUERY side is
     itself a large Dataset (too many queries for a broadcast matrix).
 
@@ -328,8 +352,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                          "(+ all Hamming-1 cells)")
     qvec = query_vec_col or vec_col
     if dim is None:
-        first = ds_corpus.take_batch(1, batch_format="pyarrow")
-        dim = embeddings_to_matrix(first.column(vec_col)).shape[1]
+        dim = _infer_dim(ds_corpus, vec_col)
     c_stage = LshBucketStage(dim, n_bits, corpus_id, vec_col, seed)
     q_stage = LshBucketStage(dim, n_bits, query_id, qvec, seed)
 
@@ -403,19 +426,30 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
             cpos = np.nonzero(sl == 0)[0] + lo
             if not qpos.size or not cpos.size:
                 continue
-            sims = Mn[qpos] @ Mn[cpos].T
-            q_all.append(np.repeat(qpos, len(cpos)))
-            c_all.append(np.tile(cpos, len(qpos)))
-            s_all.append(sims.reshape(-1))
+            # per-segment, query-chunked top-k: only ≤ |Q_chunk| × k rows
+            # survive each matmul, so a hot cell costs bounded memory —
+            # never the full |Q_cell| × |C_cell| cross product at once.
+            # Tie-break inside the chunk uses the SAME (score desc,
+            # corpus-id asc) order as _topk_per_query_idx, so results
+            # match lsh_ann_topk exactly on duplicate-heavy input.
+            cid_seg = np.asarray(cids.take(pa.array(cpos)))
+            step = max(1, cell_chunk_elems // len(cpos))
+            for i in range(0, len(qpos), step):
+                qc = qpos[i:i + step]
+                sims = (Mn[qc] @ Mn[cpos].T).reshape(-1).astype(np.float32)
+                qa_c = np.repeat(qc, len(cpos))
+                keep = _topk_per_query_idx(
+                    qa_c, np.tile(cid_seg, len(qc)), sims, k)
+                q_all.append(qa_c[keep])
+                c_all.append(np.tile(cpos, len(qc))[keep])
+                s_all.append(sims[keep])
         if not q_all:
             return empty()
         qa = np.concatenate(q_all)
         ca = np.concatenate(c_all)
-        sa = np.concatenate(s_all).astype(np.float32)
-        # the SAME (score desc, corpus-id asc) selection+ordering as
-        # _topk_per_query_idx, so ties (duplicate vectors) resolve
-        # identically to lsh_ann_topk and output is deterministic
-        # (__cid is null on query-side rows — take the corpus rows first)
+        sa = np.concatenate(s_all)
+        # final merge over the ≤ k-per-(query, cell) survivors (queries
+        # in this reduce group may span several cells under multiprobe)
         cid_vals = np.asarray(cids.take(pa.array(ca)))
         keep = _topk_per_query_idx(qa, cid_vals, sa, k)
         return pa.table({query_id: qids.take(pa.array(qa[keep])),
@@ -440,6 +474,18 @@ def _schema_of_col(ds, col: str) -> pa.DataType:
     return _schema_of(ds).field(col).type
 
 
+def _infer_dim(ds, vec_col: str) -> int:
+    """Embedding dimensionality. Free when the schema carries it
+    (``fixed_size_list``); otherwise falls back to ``take_batch(1)``,
+    which executes the input lineage once before the real run — hot
+    paths over derived datasets should pass ``dim`` explicitly."""
+    t = _schema_of_col(ds, vec_col)
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    first = ds.take_batch(1, batch_format="pyarrow")
+    return embeddings_to_matrix(first.column(vec_col)).shape[1]
+
+
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 6, seed: int = 0xA11,
@@ -447,8 +493,7 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH bucket
     + in-bucket exact verification. Returns Dataset[id_a, id_b, cosine]."""
     if dim is None:
-        first = ds.take_batch(1, batch_format="pyarrow")
-        dim = embeddings_to_matrix(first.column(vec_col)).shape[1]
+        dim = _infer_dim(ds, vec_col)
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
 
     from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs

@@ -833,6 +833,7 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
         gather_bits = plan.expected_elements * 64
         if max(fuse_bits, gather_bits) > max_filter_bits:
             engine_used = "bloom"
+            report.extra["engine"] = "bloom"
             report.extra["fuse_fallback"] = (
                 "build-side distinct keys exceed the fuse gather budget; "
                 "using the mergeable bloom engine")
@@ -872,6 +873,7 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                                  max_bits=max_filter_bits)
         if fuse is None:
             engine_used = "bloom"
+            report.extra["engine"] = "bloom"
             report.extra["fuse_fallback"] = (
                 "actual build-side distinct keys exceeded the fuse gather "
                 "budget; using the mergeable bloom engine")

@@ -316,3 +316,78 @@ def test_knn_join_multiprobe_raises_recall(ray_session):
     r0, r1 = recall(0), recall(1)
     assert r1 > 2 * r0, (r0, r1)
     assert r1 >= 0.45, (r0, r1)
+
+
+def test_lsh_ann_topk_multiprobe_raises_recall(emb):
+    """lsh_ann_topk multiprobe=1 (own + Hamming-1 buckets) dominates
+    single probe against the exact top-k (verdict r3 #6)."""
+    from bloomjoin_ray.pipelines.ann import ann_topk, lsh_ann_topk
+
+    ds, V, ids = emb
+    Q = V[50:80]
+    k = 5
+    exact = ann_topk(ds, Q, k=k).to_pandas()
+
+    def recall(mp):
+        df = lsh_ann_topk(ds, Q, k=k, n_bits=6, multiprobe=mp).to_pandas()
+        hit = tot = 0
+        for qi in range(len(Q)):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            hit += len(e & set(df[df["query_id"] == qi]["vec_id"]))
+            tot += len(e)
+        return hit / tot
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 1.3 * r0, (r0, r1)
+    assert r1 >= 0.3, (r0, r1)
+    # self-hit always survives (own bucket is still probed)
+    mp = lsh_ann_topk(ds, Q, k=k, n_bits=6, multiprobe=1).to_pandas()
+    for qi in range(len(Q)):
+        assert ids[50 + qi] in set(mp[mp["query_id"] == qi]["vec_id"])
+
+    with pytest.raises(ValueError, match="multiprobe"):
+        lsh_ann_topk(ds, Q, k=k, multiprobe=2)
+
+
+def test_knn_join_hot_cell_stays_bounded(ray_session):
+    """Adversarial hot cell (n_bits=1, duplicate-heavy corpus → one cell
+    holds nearly everything): with the per-segment chunk cap forced tiny,
+    knn_join still returns exactly the lsh_ann_topk answer — the reduce
+    never needs the full |Q_cell| × |C_cell| cross product (verdict r3
+    #2)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import knn_join, lsh_ann_topk
+
+    rng = np.random.default_rng(9)
+    dim, k = 8, 4
+    base = rng.standard_normal(dim).astype(np.float32)
+    # 1200 near-duplicates + 300 random rows, single hyperplane: nearly
+    # every vector shares one LSH cell
+    V = np.concatenate([
+        np.tile(base, (1200, 1)) + 0.01 * rng.standard_normal((1200, dim))
+        .astype(np.float32),
+        rng.standard_normal((300, dim)).astype(np.float32)])
+    ids = np.arange(len(V))
+    corpus = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(3)
+    nq = 60
+    Q = V[::25][:nq] + 0.005 * rng.standard_normal((nq, dim)).astype(np.float32)
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(nq), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+
+    # chunk cap of 512 score elements → every hot-cell matmul is ≤ 512
+    # elements; result must be bit-identical to the broadcast-matrix path
+    got = (knn_join(corpus, queries, k=k, n_bits=1,
+                    cell_chunk_elems=512).to_pandas()
+           .sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True]).reset_index(drop=True))
+    want = (lsh_ann_topk(corpus, Q, k=k, n_bits=1).to_pandas()
+            .sort_values(["query_id", "score", "vec_id"],
+                         ascending=[True, False, True]).reset_index(drop=True))
+    assert got["query_id"].tolist() == want["query_id"].astype("int64").tolist()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["score"], want["score"], atol=1e-6)
