@@ -231,15 +231,15 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_ngram_jaccard(sf_dir: str):
-    from bloomjoin_ray.functions.text import word_ngram_hashes
     from bloomjoin_ray.pipelines.dedup import ngram_jaccard_pairs
 
     # word 3-grams: the synthetic docs draw from a tiny vocabulary, so
-    # char shingles are all df-pruned; word n-grams discriminate
+    # char shingles are all df-pruned; word n-grams discriminate.
+    # ngram="word" runs the batch-vectorized word kernel (no per-doc loop)
     return ngram_jaccard_pairs(_read(sf_dir, "documents",
                                      columns=["doc_id", "text"]),
                                threshold=0.5, max_df=64,
-                               shingle_fn=word_ngram_hashes)
+                               ngram="word", shingle_k=3)
 
 
 def _q_doc_stats(sf_dir: str):

@@ -242,11 +242,70 @@ def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
     """Word n-gram hash set (uint64) of one document — the right shingle
     granularity for small-vocabulary corpora where every character
     k-shingle is document-frequency-pruned away. Token hashing uses the
-    vectorized FNV kernel (no per-token Python hashing)."""
+    vectorized FNV kernel (no per-token Python hashing). Single-doc view
+    of ``word_ngram_hashes_batch`` (identical hashes by construction)."""
     if not text:
         return np.empty(0, dtype=np.uint64)
     hs, _ = batch_token_hashes(pa.array([text], type=pa.string()))
     return np.unique(_rolling_ngram_hashes(hs, n))
+
+
+def word_ngram_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique word n-gram hash sets for a WHOLE batch,
+    fully vectorized: one Arrow tokenize+FNV pass
+    (``batch_token_hashes``), one scatter of every doc's token hashes
+    into a pad-filled flat buffer (docs shorter than ``n`` tokens pad
+    with the empty-token hash, exactly like ``_rolling_ngram_hashes``),
+    n rolling-hash passes over that single buffer with per-doc window
+    starts, then one lexsort for per-doc sorted-unique sets — no per-doc
+    Python loop.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
+    is doc *i*'s set; empty/null docs get zero n-grams (matching
+    ``word_ngram_hashes``); whitespace-only non-empty docs get the one
+    all-pad n-gram."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(_strings_to_list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    nd = len(texts)
+    if nd == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    th, offs = batch_token_hashes(texts)
+    ntok = np.diff(offs)
+    empty_text = np.asarray(pc.binary_length(pc.fill_null(texts, ""))) == 0
+    pl = np.where(empty_text, 0, np.maximum(ntok, n))    # padded len per doc
+    p = np.concatenate([[0], np.cumsum(pl)])
+    total = int(p[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(nd + 1, dtype=np.int64)
+    padded = np.full(total, _EMPTY_TOKEN_HASH, dtype=np.uint64)
+    nflat = int(ntok.sum())
+    if nflat:
+        local = np.arange(nflat) - np.repeat(offs[:-1], ntok)
+        padded[np.repeat(p[:-1], ntok) + local] = th
+    m = np.where(pl > 0, pl - n + 1, 0)                  # windows per doc
+    W = int(m.sum())
+    if W == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(nd + 1, dtype=np.int64)
+    L = total - n + 1
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        acc = padded[:L].copy()
+        for j in range(1, n):
+            acc = acc * prime ^ padded[j : j + L]
+    # per-doc window starts (windows never cross docs: start ≤ p[i]+pl−n)
+    wlocal = np.arange(W) - np.repeat(np.concatenate([[0], np.cumsum(m)])[:-1], m)
+    starts = np.repeat(p[:-1], m) + wlocal
+    hashes = acc[starts]
+    wseg = np.repeat(np.arange(nd), m)
+    order = np.lexsort((hashes, wseg))
+    hs, ws = hashes[order], wseg[order]
+    uniq = np.empty(W, dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (ws[1:] != ws[:-1]) | (hs[1:] != hs[:-1])
+    counts = np.bincount(ws[uniq], minlength=nd)
+    return hs[uniq], np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
 def shingle_hashes(text: str | None, k: int = 5) -> np.ndarray:

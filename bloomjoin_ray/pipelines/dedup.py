@@ -119,9 +119,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
     segments and only multi-member segments (actual collisions) are
     touched, each scored with one vectorized all-pairs signature
     comparison."""
-    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+    from .buckets import triangle_indices, with_hash_bucket, dedupe_pairs
 
     def bucket_reduce(group: pa.Table) -> pa.Table:
+        """Fully vectorized (the SimHash idiom): ONE C++ sort by
+        (bhash, band, id) splits rows into collision segments with
+        duplicate-id rows adjacent; a boundary mask keeps the first row
+        per (segment, id); ``triangle_indices`` expands every surviving
+        i<j pair at once; one batched signature comparison estimates all
+        Jaccards — no per-segment dict or per-pair Python appends."""
         id_type = group.column(id_col).type
 
         def empty():
@@ -129,17 +135,32 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                              "id_b": pa.array([], type=id_type),
                              "est_jaccard": pa.array([], type=pa.float64())})
 
-        if group.num_rows == 0:
+        n = group.num_rows
+        if n == 0:
             return empty()
-        band = np.asarray(group.column("band"), dtype=np.int64)
-        bh = np.asarray(group.column("bhash"), dtype=np.int64)
-        order, bounds = numeric_segments([bh, band])
-        sizes = np.diff(bounds)
-        multi = np.nonzero(sizes > 1)[0]
-        if not multi.size:
-            return empty()
+        order = np.asarray(pc.sort_indices(group, sort_keys=[
+            ("bhash", "ascending"), ("band", "ascending"),
+            (id_col, "ascending")]))
         sorted_g = group.take(pa.array(order))
+        bh = np.asarray(sorted_g.column("bhash"), dtype=np.int64)
+        band = np.asarray(sorted_g.column("band"), dtype=np.int64)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])
         ids = sorted_g.column(id_col).combine_chunks()
+        # keep-first per (segment, id): duplicate rows of one doc are
+        # adjacent after the id sort
+        keep = np.empty(n, dtype=bool)
+        keep[0] = True
+        if n > 1:
+            same_id = np.asarray(pc.equal(ids.slice(1), ids.slice(0, n - 1)))
+            keep[1:] = new_seg[1:] | ~same_id
+        kept = np.nonzero(keep)[0]
+        seg_of_kept = (np.cumsum(new_seg) - 1)[kept]
+        ksizes = np.bincount(seg_of_kept)
+        kbounds = np.concatenate([[0], np.cumsum(ksizes)])
+        if not (ksizes > 1).any():
+            return empty()
         sig_col = sorted_g.column("sig").combine_chunks()
         # zero-copy (rows, num_perm) uint64 view over the fixed-width
         # signature buffer — no per-doc frombuffer
@@ -148,26 +169,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
             sig_col.buffers()[1], dtype=np.uint64,
             offset=sig_col.offset * width,
             count=len(sig_col) * (width // 8)).reshape(-1, width // 8)
-        a_col, b_col, j_col = [], [], []
-        for s in multi:
-            lo, hi = int(bounds[s]), int(bounds[s + 1])
-            seen: dict = {}
-            for r, d in enumerate(ids.slice(lo, hi - lo).to_pylist()):
-                seen.setdefault(d, lo + r)
-            uids = sorted(seen)
-            if len(uids) < 2:
-                continue
-            S = sig_mat[[seen[d] for d in uids]]
-            iu, ju = np.triu_indices(len(uids), 1)
-            est = (S[iu] == S[ju]).mean(axis=1)
-            hit = est >= threshold
-            for i, j, e in zip(iu[hit], ju[hit], est[hit]):
-                a_col.append(uids[i])
-                b_col.append(uids[j])
-                j_col.append(float(e))
-        return pa.table({"id_a": pa.array(a_col, type=id_type),
-                         "id_b": pa.array(b_col, type=id_type),
-                         "est_jaccard": pa.array(j_col, type=pa.float64())})
+        ai, bi = triangle_indices(kbounds, ksizes > 1)
+        ka, kb = kept[ai], kept[bi]          # sorted-row positions
+        est = (sig_mat[ka] == sig_mat[kb]).mean(axis=1)
+        hit = est >= threshold
+        if not hit.any():
+            return empty()
+        # ids ascend within each segment, so id_a < id_b is canonical
+        return pa.table({"id_a": ids.take(pa.array(ka[hit])),
+                         "id_b": ids.take(pa.array(kb[hit])),
+                         "est_jaccard": pa.array(est[hit])})
 
     stage = _MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
     pairs = (with_hash_bucket(
@@ -454,7 +465,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                         shingle_k: int = 5, threshold: float = 0.5,
-                        max_df: int = 256, shingle_fn=None):
+                        max_df: int = 256, shingle_fn=None,
+                        ngram: str = "char"):
     """Exact-Jaccard ≥ threshold pairs over the **df-pruned shingle
     universe** via an inverted index.
 
@@ -473,21 +485,48 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
     candidate pairs with the engine's own hash join (broadcast when
     small).
 
-    ``shingle_fn(text) -> uint64 set`` overrides the default char
-    k-shingling (e.g. ``word_ngram_hashes`` for small-vocab corpora).
+    ``ngram`` selects the built-in vectorized shingle kernel:
+    ``"char"`` (char ``shingle_k``-shingles, the default) or ``"word"``
+    (word ``shingle_k``-grams — the right granularity for small-vocab
+    corpora where every char shingle is df-pruned away). A custom
+    ``shingle_fn(text) -> uint64 set`` overrides both; passing
+    ``word_ngram_hashes`` (bare or ``functools.partial``) is detected
+    and routed to the batch word kernel rather than the per-doc loop.
     Returns Dataset[id_a, id_b, jaccard].
     """
+    if ngram not in ("char", "word"):
+        raise ValueError("ngram must be 'char' or 'word'")
+    word_n = shingle_k if (shingle_fn is None and ngram == "word") else None
+    if shingle_fn is not None:
+        from functools import partial as _partial
+
+        from ..functions.text import word_ngram_hashes as _wng
+
+        if shingle_fn is _wng:
+            word_n, shingle_fn = 3, None            # the fn's default n
+        elif (isinstance(shingle_fn, _partial) and shingle_fn.func is _wng
+                and not shingle_fn.args):
+            word_n = shingle_fn.keywords.get("n", 3)
+            shingle_fn = None
+
     def explode(batch: pa.Table) -> pa.Table:
-        """(shingle, id) posting rows. Default char shingling runs the
-        batch-vectorized kernel; a custom ``shingle_fn`` falls back to a
-        per-doc loop (its contract is one doc → one uint64 set)."""
+        """(shingle, id) posting rows. Both built-in kernels (char
+        shingles / word n-grams) are batch-vectorized; only a truly
+        custom ``shingle_fn`` falls back to a per-doc loop (its contract
+        is one doc → one uint64 set)."""
         ids = batch.column(id_col).combine_chunks() \
             if isinstance(batch.column(id_col), pa.ChunkedArray) \
             else batch.column(id_col)
         if shingle_fn is None:
-            from ..functions.text import shingle_hashes_batch
+            from ..functions.text import (shingle_hashes_batch,
+                                          word_ngram_hashes_batch)
 
-            flat, offs = shingle_hashes_batch(batch.column(text_col), shingle_k)
+            if word_n is not None:
+                flat, offs = word_ngram_hashes_batch(
+                    batch.column(text_col), word_n)
+            else:
+                flat, offs = shingle_hashes_batch(
+                    batch.column(text_col), shingle_k)
             counts = np.diff(offs)
             idx = np.repeat(np.arange(len(counts)), counts)
             return pa.table({

@@ -92,6 +92,36 @@ def test_ngram_jaccard_exact_values(corpus):
         assert found[(10, 300)] == pytest.approx(true_j)
 
 
+def test_ngram_jaccard_word_kernel_routes_and_matches(corpus):
+    """ngram='word' (batch kernel) == shingle_fn=word_ngram_hashes
+    (detected and routed to the same batch kernel) == the old per-doc
+    loop semantics; the driver config must not run per-doc Python
+    (verdict r3 #5)."""
+    from bloomjoin_ray.functions.text import word_ngram_hashes
+    from bloomjoin_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    df, ds = corpus
+
+    def norm(pairs):
+        return (pairs.to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    via_kind = norm(ngram_jaccard_pairs(ds, threshold=0.5, max_df=64,
+                                        ngram="word", shingle_k=3))
+    via_fn = norm(ngram_jaccard_pairs(ds, threshold=0.5, max_df=64,
+                                      shingle_fn=word_ngram_hashes))
+    assert len(via_kind) > 0
+    assert via_kind["id_a"].tolist() == via_fn["id_a"].tolist()
+    assert via_kind["id_b"].tolist() == via_fn["id_b"].tolist()
+    assert np.allclose(via_kind["jaccard"], via_fn["jaccard"])
+    # a genuinely custom fn still works through the per-doc fallback
+    via_custom = norm(ngram_jaccard_pairs(
+        ds, threshold=0.5, max_df=64,
+        shingle_fn=lambda t: word_ngram_hashes(t, 3)))
+    assert via_kind["id_a"].tolist() == via_custom["id_a"].tolist()
+    assert np.allclose(via_kind["jaccard"], via_custom["jaccard"])
+
+
 def test_embedding_dedup_pairs(ray_session):
     import ray.data as rd
 

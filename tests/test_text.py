@@ -85,6 +85,31 @@ def test_word_ngrams():
     assert word_ngram_hashes("one", 3).size == 1  # padded
 
 
+def test_word_ngram_batch_matches_per_doc():
+    """Batch word-n-gram kernel == per-doc word_ngram_hashes on every
+    edge case (verdict r3 #5): null, empty, whitespace-only, shorter
+    than n, exactly n, long."""
+    from bloomjoin_ray.functions.text import (word_ngram_hashes,
+                                              word_ngram_hashes_batch)
+
+    texts = [None, "", "   ", "one", "one two", "one two three",
+             "one two three four five six seven", "one one one one",
+             "a b c d e f g h i j k l m n o p q r s t u v w x y z"]
+    for n in (2, 3, 4):
+        flat, offs = word_ngram_hashes_batch(
+            pa.array(texts, type=pa.string()), n)
+        assert len(offs) == len(texts) + 1
+        for i, t in enumerate(texts):
+            got = flat[offs[i]:offs[i + 1]]
+            want = word_ngram_hashes(t, n)
+            np.testing.assert_array_equal(np.sort(got), np.sort(want)), (i, n)
+            # per-doc sets arrive sorted unique
+            assert (np.diff(got.astype(np.uint64)) > 0).all() if len(got) > 1 else True
+    # empty batch
+    flat, offs = word_ngram_hashes_batch(pa.array([], type=pa.string()), 3)
+    assert len(flat) == 0 and list(offs) == [0]
+
+
 def test_shingles():
     s1 = shingle_hashes("abcdefgh", 5)
     s2 = shingle_hashes("abcdefgh", 5)
