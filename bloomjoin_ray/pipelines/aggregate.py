@@ -295,6 +295,7 @@ def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,
         return batch.append_column("__gbucket", pa.array(b))
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
         order, bounds = _key_group_bounds(group, key_cols)
         states_sorted = group.column("state").combine_chunks().take(pa.array(order))
         first_rows = order[bounds[:-1]]
@@ -308,9 +309,11 @@ def _bucketed_group_reduce(partials, key_cols: list[str], per_key: Callable,
             out = out.append_column(name, pa.array(values, type=state_type))
         return out
 
-    return (partials.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("__gbucket")
-            .map_groups(reduce_bucket, batch_format="pyarrow"))
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(
+        partials.map_batches(add_bucket, batch_format="pyarrow"),
+        None, reduce_bucket, num_buckets=num_buckets, pre_bucketed=True)
 
 
 # --------------------------------------------------------------------------
@@ -561,9 +564,11 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
         b = (h % np.uint64(64)).astype(np.int32)
         return batch.append_column("__gbucket", pa.array(b))
 
-    return (summed.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("__gbucket")
-            .map_groups(per_key_topk, batch_format="pyarrow"))
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(
+        summed.map_batches(add_bucket, batch_format="pyarrow"),
+        None, per_key_topk, pre_bucketed=True)
 
 
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
@@ -586,7 +591,7 @@ def distinct_exact(ds, cols: str | Sequence[str]) -> int:
     aggregate per bucket (C++ group-by over the real values — no
     per-distinct-value Python dispatch, no hash-collision caveat) →
     sum of per-bucket distinct counts."""
-    from .buckets import with_hash_bucket
+    from .buckets import packed_bucket_map_groups
 
     cols = [cols] if isinstance(cols, str) else list(cols)
 
@@ -598,9 +603,7 @@ def distinct_exact(ds, cols: str | Sequence[str]) -> int:
         return pa.table({"__n": pa.array([n], type=pa.int64())})
 
     deduped = ds.select_columns(cols).map_batches(dedupe, batch_format="pyarrow")
-    counts = (with_hash_bucket(deduped, cols)
-              .groupby("__gbucket")
-              .map_groups(count_bucket, batch_format="pyarrow"))
+    counts = packed_bucket_map_groups(deduped, cols, count_bucket)
     return int(counts.sum("__n") or 0)
 
 

@@ -64,7 +64,7 @@ def _reduce_candidates(cand_ds, k: int, id_col: str,
     never sees more than the final nq × k rows (and with
     ``as_dataset=True``, nothing at all). Each (query, vector) pair
     occurs in exactly one block, so per-bucket top-k needs no dedupe."""
-    from .buckets import with_hash_bucket
+    from .buckets import packed_bucket_map_groups
 
     def bucket_topk(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -76,9 +76,7 @@ def _reduce_candidates(cand_ds, k: int, id_col: str,
         return (group.take(pa.array(keep))
                      .drop_columns(["__gbucket"]))
 
-    return (with_hash_bucket(cand_ds, [qid_col])
-            .groupby("__gbucket")
-            .map_groups(bucket_topk, batch_format="pyarrow"))
+    return packed_bucket_map_groups(cand_ds, [qid_col], bucket_topk)
 
 
 def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
@@ -345,7 +343,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
     dataset-native bucketed reduce. Returns
     Dataset[query_id, corpus_id, score] with per-query global top-k.
     """
-    from .buckets import numeric_segments, with_hash_bucket
+    from .buckets import numeric_segments, packed_bucket_map_groups
 
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 (own cell) or 1 "
@@ -456,9 +454,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                          corpus_id: cids.take(pa.array(ca[keep])),
                          "score": pa.array(sa[keep])})
 
-    out = (with_hash_bucket(tagged, ["__cell"])
-           .groupby("__gbucket")
-           .map_groups(cell_reduce, batch_format="pyarrow"))
+    out = packed_bucket_map_groups(tagged, ["__cell"], cell_reduce)
     if multiprobe == 0:
         # each query lives in exactly one cell, and all of a cell's rows
         # land in one reduce task — per-cell top-k IS the global answer
@@ -496,7 +492,8 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
         dim = _infer_dim(ds, vec_col)
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
 
-    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+    from .buckets import (numeric_segments, packed_bucket_map_groups,
+                          dedupe_pairs)
 
     def verify(group: pa.Table) -> pa.Table:
         """One reduce task per hash bucket of LSH cells (not one Python
@@ -541,10 +538,8 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
         })
         return out.filter(pc.not_equal(a_ids, b_ids))
 
-    pairs = (with_hash_bucket(
-                ds.select_columns([id_col, vec_col])
-                  .map_batches(stage, batch_format="pyarrow"),
-                ["bucket"])
-             .groupby("__gbucket")
-             .map_groups(verify, batch_format="pyarrow"))
+    pairs = packed_bucket_map_groups(
+        ds.select_columns([id_col, vec_col])
+          .map_batches(stage, batch_format="pyarrow"),
+        ["bucket"], verify)
     return dedupe_pairs(pairs, {"cosine": "min"})

@@ -1,133 +1,184 @@
-"""As-of (temporal) join — an operator the Dataset API lacks, expressed as
-the guide's composition: co-bucket both sides on the equality key, sort
-within buckets, ``pd.merge_asof`` per bucket inside ``map_groups``.
+"""As-of (temporal) join — an operator the Dataset API lacks, expressed
+as the ``range_join`` zipper without the interval-end bound: co-bucket
+both sides on the equality key, and inside each bucket ONE lexsort of
+the merged left+right rows by (key-hash pair, time, side) drives a
+vectorized sweep — each right row marks its sorted position,
+``np.maximum.accumulate`` carries the latest right row at or before
+every left row. No per-key Python, no pandas round-trip; the shuffle
+moves each row exactly once.
 
 Semantics (DuckDB ``ASOF LEFT JOIN`` parity, oracle-testable): for each
-left row, attach the right row with the same ``by`` key and the greatest
-``on`` value ≤ the left row's ``on`` value (direction="backward").
+left row, attach the right row with the same ``by`` key and the
+greatest ``on`` value ≤ the left row's ``on`` value
+(``direction="backward"``); ``direction="forward"`` attaches the
+smallest ``on`` value ≥ instead (the sweep over negated time). Both
+directions are inclusive, matching ``pd.merge_asof``.
 
 Partitioning assumption: the equality key distributes uniformly across
-hash buckets; all rows of one key land in one bucket, so the within-bucket
-merge_asof sees the key's full history. Without an equality key (pure
-range join) there is nothing to bucket by — the right side must broadcast
-(enforced via ``require_by=False`` + a broadcast-size guard).
+hash buckets; all rows of one key land in one bucket, so the
+within-bucket sweep sees the key's full history. Without an equality
+key there is nothing to partition by — all rows route through a single
+bucket (one reduce task; the right side is never driver-materialized).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.keys import hash_keys32
+from ..functions.keys import hash_keys64, hash_keys64_pair
+
+
+def _order_key(col, name: str) -> np.ndarray:
+    """int64 order key for a timestamp/integer column (nulls → 0; callers
+    only read positions whose validity is already established)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+        return np.asarray(pc.fill_null(col.cast(pa.int64()), 0))
+    raise TypeError(f"asof_join column {name!r} must be timestamp or "
+                    f"integer, got {col.type}")
 
 
 def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
               num_buckets: int = 64, suffixes=("", "_right"),
               direction: str = "backward"):
     """Left as-of join of two Datasets. ``on`` must be an orderable column
-    present on both sides (timestamp/numeric); ``by`` the equality key(s).
-    Returns a Dataset with all left rows + matched right columns (nulls
-    when no match)."""
+    present on both sides (timestamp/integer); ``by`` the equality
+    key(s), or None for a pure temporal join. Returns a Dataset with all
+    left rows + matched right columns (nulls when no match)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
     if not by_cols:
-        return _broadcast_asof(ds_left, ds_right, on, suffixes, direction)
-
-    def tag(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            h = hash_keys32(batch, by_cols).view(np.uint32)
-            bucket = (h % np.uint32(num_buckets)).astype(np.int32)
-            t = batch.append_column("__bucket", pa.array(bucket))
-            return t.append_column("__side", pa.array(
-                np.full(batch.num_rows, side, dtype=np.int8)))
-
-        return fn
+        num_buckets = 1                      # nothing to partition by
 
     left_schema = _schema_of(ds_left)
     right_schema = _schema_of(ds_right)
     right_keep = [c for c in right_schema.names if c not in by_cols and c != on]
     rename_right = {c: c + suffixes[1] if c in set(left_schema.names) else c
                     for c in right_keep}
-
-    unified = pa.schema(
-        [left_schema.field(c) for c in left_schema.names]
-        + [pa.field(rename_right[c], right_schema.field(c).type) for c in right_keep]
-        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.int8())]
-    )
-
-    def pad(batch: pa.Table, names_map=None) -> pa.Table:
-        arrays = []
-        for f in unified:
-            src = f.name
-            if names_map:
-                inv = {v: k for k, v in names_map.items()}
-                src = inv.get(f.name, f.name)
-            if src in batch.schema.names and (names_map is None or src in batch.schema.names):
-                col = batch.column(src)
-                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-                arrays.append(col.cast(f.type))
-            else:
-                arrays.append(pa.nulls(batch.num_rows, f.type))
-        return pa.Table.from_arrays(arrays, schema=unified)
-
-    def prep_left(batch: pa.Table) -> pa.Table:
-        return pad(tag(0)(batch))
-
-    def prep_right(batch: pa.Table) -> pa.Table:
-        return pad(tag(1)(batch), rename_right)
-
-    tagged = ds_left.map_batches(prep_left, batch_format="pyarrow").union(
-        ds_right.map_batches(prep_right, batch_format="pyarrow"))
-
-    out_names = list(left_schema.names) + [rename_right[c] for c in right_keep]
-    right_out = [rename_right[c] for c in right_keep]
     out_schema = pa.schema(
         [left_schema.field(c) for c in left_schema.names]
-        + [pa.field(rename_right[c], right_schema.field(c).type) for c in right_keep])
+        + [pa.field(rename_right[c], right_schema.field(c).type)
+           for c in right_keep])
+
+    unified = pa.schema(
+        [pa.field(f"__l_{c}", left_schema.field(c).type)
+         for c in left_schema.names]
+        + [pa.field(f"__r_{c}", right_schema.field(c).type)
+           for c in right_keep]
+        + [pa.field("__t", pa.int64()), pa.field("__tv", pa.bool_()),
+           pa.field("__h1", pa.uint64()),
+           pa.field("__h2", pa.uint64()), pa.field("__side", pa.int8()),
+           pa.field("__bucket", pa.int32())])
+
+    negate = direction == "forward"
+
+    def prep(side: int, names: list[str], prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if by_cols:
+                h1, h2 = hash_keys64_pair(batch, by_cols)
+                bucket = (hash_keys64(batch, by_cols)
+                          % np.uint64(num_buckets)).astype(np.int32)
+            else:
+                h1 = h2 = np.zeros(n, dtype=np.uint64)
+                bucket = np.zeros(n, dtype=np.int32)
+            tv = _order_key(batch.column(on), on)
+            if negate:
+                tv = -tv
+            # null `on` never matches on either side (SQL semantics)
+            tvalid = np.asarray(pc.is_valid(batch.column(on)))
+            arrays = []
+            for f in unified:
+                nm = f.name
+                if nm.startswith(prefix) and nm[len(prefix):] in names:
+                    col = batch.column(nm[len(prefix):])
+                    col = (col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+                    arrays.append(col.cast(f.type))
+                elif nm == "__t":
+                    arrays.append(pa.array(tv, type=pa.int64()))
+                elif nm == "__tv":
+                    arrays.append(pa.array(tvalid, type=pa.bool_()))
+                elif nm == "__h1":
+                    arrays.append(pa.array(h1))
+                elif nm == "__h2":
+                    arrays.append(pa.array(h2))
+                elif nm == "__side":
+                    arrays.append(pa.array(
+                        np.full(n, side, dtype=np.int8)))
+                elif nm == "__bucket":
+                    arrays.append(pa.array(bucket))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+
+        return fn
+
+    tagged = (ds_left.map_batches(
+                  prep(1, list(left_schema.names), "__l_"),
+                  batch_format="pyarrow")
+              .union(ds_right.map_batches(
+                  prep(0, right_keep, "__r_"),
+                  batch_format="pyarrow")))
 
     def join_bucket(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        left = df[df["__side"] == 0][list(left_schema.names)]
-        right = df[df["__side"] == 1]
-        # reconstruct right side's own columns: by keys + on + payload
-        right = right[by_cols + [on] + right_out] if len(right) else right
-        if len(left) == 0:
+        n = group.num_rows
+        if n == 0:
             return out_schema.empty_table()
-        if len(right) == 0:
-            merged = left.copy()
-            for c in right_out:
-                merged[c] = None
-        else:
-            left_sorted = left.sort_values(on, kind="stable")
-            right_sorted = right.sort_values(on, kind="stable")
-            merged = pd.merge_asof(left_sorted, right_sorted, on=on, by=by_cols,
-                                   direction=direction, suffixes=suffixes)
-        out = pa.Table.from_pandas(merged[out_names], preserve_index=False)
-        # pandas promotes int-with-null to float; restore declared types
-        return out.cast(out_schema)
+        side = np.asarray(group.column("__side"))
+        t = np.asarray(group.column("__t"))
+        tv = np.asarray(group.column("__tv"))
+        h1 = np.asarray(group.column("__h1"))
+        h2 = np.asarray(group.column("__h2"))
+        # rights (side 0) sort before lefts at equal time → a right row
+        # at exactly `on` matches (inclusive, both directions); among
+        # equal-(key, t) rights the accumulate picks the LAST in sorted
+        # order, matching pd.merge_asof's last-duplicate rule
+        order = np.lexsort((side, t, h2, h1))
+        side_s = side[order]
+        tv_s = tv[order]
+        li = np.nonzero(side_s == 1)[0]          # lefts, sorted positions
+        if li.size == 0:
+            return out_schema.empty_table()
+        # null-timed rights are never match candidates
+        marker = np.where((side_s == 0) & tv_s, np.arange(n), -1)
+        last = np.maximum.accumulate(marker)     # latest right ≤ here
+        j = last[li]
+        valid = j >= 0
+        jj = np.where(valid, j, 0)
+        h1_s, h2_s = h1[order], h2[order]
+        valid &= (h1_s[jj] == h1_s[li]) & (h2_s[jj] == h2_s[li])
+        valid &= tv_s[li]                        # null-timed lefts never match
+        left_orig = order[li]
+        right_orig = order[jj]                   # original matched right row
+        arrays = []
+        lo = pa.array(left_orig)
+        for c in left_schema.names:
+            col = group.column(f"__l_{c}")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            arrays.append(col.take(lo))
+        ro = pa.array(np.where(valid, right_orig, 0))
+        mask = pa.array(valid)
+        for c in right_keep:
+            col = group.column(f"__r_{c}")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            taken = col.take(ro)
+            if not valid.all():
+                taken = pc.if_else(mask, taken, pa.nulls(len(valid), col.type))
+            arrays.append(taken)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket,
-                                                 batch_format="pyarrow")
+    from .buckets import packed_bucket_map_groups
 
-
-def _broadcast_asof(ds_left, ds_right, on, suffixes, direction):
-    import ray
-
-    right_tbl = pa.concat_tables(
-        [t for t in ray.get(ds_right.materialize().to_arrow_refs())])
-    if right_tbl.num_rows > 5_000_000:
-        raise ValueError("as-of join without 'by' requires a broadcastable "
-                         "right side (≤ 5M rows)")
-    ref = ray.put(right_tbl.to_pandas().sort_values(on, kind="stable"))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        right = ray.get(ref)
-        left = batch.to_pandas().sort_values(on, kind="stable")
-        merged = pd.merge_asof(left, right, on=on, direction=direction,
-                               suffixes=suffixes)
-        return pa.Table.from_pandas(merged, preserve_index=False)
-
-    return ds_left.map_batches(fn, batch_format="pyarrow")
+    # packed exchange instead of groupby("__bucket"): skips Ray's
+    # sort-shuffle launch floor; join_bucket is bucket-union-invariant
+    # (it re-segments by the key-hash pair inside)
+    return packed_bucket_map_groups(tagged, None, join_bucket,
+                                    num_buckets=num_buckets,
+                                    bucket_col="__bucket", pre_bucketed=True)
 
 
 def _schema_of(ds) -> pa.Schema:

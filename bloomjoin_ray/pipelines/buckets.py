@@ -68,6 +68,89 @@ def with_hash_bucket(ds, key_cols: list[str], num_buckets: int = 64,
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
+def packed_bucket_map_groups(ds, key_cols: list[str] | None, fn, *,
+                             num_buckets: int = 64, num_tasks: int = 32,
+                             bucket_col: str = "__gbucket",
+                             pre_bucketed: bool = False):
+    """Drop-in for ``with_hash_bucket(ds, key_cols, num_buckets)
+    .groupby('__gbucket').map_groups(fn, batch_format='pyarrow')``
+    without Ray's sort-shuffle operator, whose launch cost (~2-3 s
+    measured on this host, independent of row count) every bucketed
+    pipeline would otherwise pay.
+
+    The map stage packs each block's rows into one Arrow-IPC blob per
+    bucket; the reduce wave (inside Ray Data, per the packed-exchange
+    rules) gathers each task's bucket set and runs ``fn`` ONCE on the
+    concatenated rows. ``fn`` must therefore be BUCKET-UNION-INVARIANT:
+    it may see several buckets' rows in one call — all rows of any one
+    key still arrive together, which is the only property the bucketed
+    reduces rely on (they re-segment by the real key columns inside).
+
+    ``pre_bucketed=True`` skips hashing: ``ds`` already carries an
+    int32 ``bucket_col`` in ``[0, num_buckets)`` (e.g. the as-of/range
+    join prep stages, which must hash with canonical key semantics).
+    The packed exchange splits per reducer on a cluster
+    (``split_refs_by_group``) so per-link volume matches a true
+    shuffle's."""
+
+    def pack_stage(batch: pa.Table) -> pa.Table:
+        if not pre_bucketed:
+            h = hash_raw64(batch, key_cols)
+            b32 = (h % np.uint64(num_buckets)).astype(np.int32)
+            batch = batch.append_column(bucket_col, pa.array(b32))
+        out_b: list[int] = []
+        packs: list[bytes] = []
+        if batch.num_rows:
+            b = np.asarray(batch.column(bucket_col), dtype=np.int64)
+            order = np.argsort(b, kind="stable")
+            sb = b[order]
+            bounds = np.concatenate(
+                [[0], np.nonzero(sb[1:] != sb[:-1])[0] + 1, [len(sb)]])
+            sorted_batch = batch.take(pa.array(order))
+            for s in range(len(bounds) - 1):
+                lo, hi = int(bounds[s]), int(bounds[s + 1])
+                sl = sorted_batch.slice(lo, hi - lo)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, sl.schema) as w:
+                    w.write_table(sl)
+                out_b.append(int(sb[lo]))
+                packs.append(sink.getvalue().to_pybytes())
+        return pa.table({
+            "__gbucket": pa.array(np.asarray(out_b, dtype=np.int32)),
+            "pack": pa.array(packs, type=pa.large_binary()),
+        })
+
+    def reducer(group: int, num_groups: int, refs):
+        from .aggregate import _gather_bucket_packs
+
+        t = _gather_bucket_packs(group, num_groups, refs)
+        if t is None:
+            return 0, None
+        out = fn(t)
+        return out.num_rows, out
+
+    def empty_schema():
+        from .asof import _schema_of
+
+        in_schema = _schema_of(ds)
+        if not pre_bucketed:
+            in_schema = in_schema.append(pa.field(bucket_col, pa.int32()))
+        try:
+            return fn(in_schema.empty_table()).schema
+        except Exception:
+            # some group fns assume ≥1 row; an all-empty input then
+            # degrades to a schema-less empty Dataset — the same thing
+            # Ray's sort-shuffle groupby produced here
+            return pa.schema([])
+
+    from .aggregate import _packed_group_reduce
+
+    packed = ds.map_batches(pack_stage, batch_format="pyarrow")
+    return _packed_group_reduce(packed, None, None, num_buckets=num_buckets,
+                                num_tasks=num_tasks,
+                                empty_schema=empty_schema, reducer=reducer)
+
+
 def numeric_segments(arrays: list[np.ndarray]):
     """(order, bounds) splitting rows into equal-key segments for numeric
     key arrays: lexsort + boundary mask. ``bounds`` has one extra
@@ -103,9 +186,8 @@ def dedupe_pairs(pairs, value_cols: dict[str, str] | None = None, *,
         out = out.rename_columns([renames.get(n, n) for n in out.column_names])
         return out.select(keys + list(value_cols))
 
-    return (with_hash_bucket(pairs, keys, num_buckets)
-            .groupby("__gbucket")
-            .map_groups(reduce_bucket, batch_format="pyarrow"))
+    return packed_bucket_map_groups(pairs, keys, reduce_bucket,
+                                    num_buckets=num_buckets)
 
 
 def triangle_indices(bounds: np.ndarray, sizes_ok: np.ndarray):

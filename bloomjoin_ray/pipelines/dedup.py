@@ -67,9 +67,11 @@ def exact_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
         first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
         return group.take(pa.array(idx[first])).drop_columns(drop)
 
-    return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("__gbucket")
-              .map_groups(keep_first, batch_format="pyarrow"))
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        None, keep_first, num_buckets=num_buckets, pre_bucketed=True)
 
 
 # ----------------------------------------------------------- minhash ----
@@ -119,7 +121,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
     segments and only multi-member segments (actual collisions) are
     touched, each scored with one vectorized all-pairs signature
     comparison."""
-    from .buckets import triangle_indices, with_hash_bucket, dedupe_pairs
+    from .buckets import (triangle_indices, packed_bucket_map_groups,
+                          dedupe_pairs)
 
     def bucket_reduce(group: pa.Table) -> pa.Table:
         """Fully vectorized (the SimHash idiom): ONE C++ sort by
@@ -181,12 +184,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                          "est_jaccard": pa.array(est[hit])})
 
     stage = _MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
-    pairs = (with_hash_bucket(
-                ds.select_columns([id_col, text_col])
-                  .map_batches(stage, batch_format="pyarrow"),
-                ["band", "bhash"])
-             .groupby("__gbucket")
-             .map_groups(bucket_reduce, batch_format="pyarrow"))
+    pairs = packed_bucket_map_groups(
+        ds.select_columns([id_col, text_col])
+          .map_batches(stage, batch_format="pyarrow"),
+        ["band", "bhash"], bucket_reduce)
     # a pair can surface from several bands — dedupe (same est each time)
     return dedupe_pairs(pairs, {"est_jaccard": "min"})
 
@@ -404,7 +405,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
     Same 64-task bucketed-segment shape as ``minhash_lsh_pairs`` — one
     Python dispatch per reduce task, not per (band, bucket) LSH cell."""
-    from .buckets import numeric_segments, with_hash_bucket, dedupe_pairs
+    from .buckets import (numeric_segments, packed_bucket_map_groups,
+                          dedupe_pairs)
 
     def bucket_reduce(group: pa.Table) -> pa.Table:
         id_type = group.column(id_col).type
@@ -445,13 +447,11 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
         })
         return out.filter(pc.not_equal(a_ids, b_ids))
 
-    pairs = (with_hash_bucket(
-                ds.select_columns([id_col, text_col])
-                  .map_batches(_SimHashStage(text_col, id_col),
-                               batch_format="pyarrow"),
-                ["band", "bucket"])
-             .groupby("__gbucket")
-             .map_groups(bucket_reduce, batch_format="pyarrow"))
+    pairs = packed_bucket_map_groups(
+        ds.select_columns([id_col, text_col])
+          .map_batches(_SimHashStage(text_col, id_col),
+                       batch_format="pyarrow"),
+        ["band", "bucket"], bucket_reduce)
     return dedupe_pairs(pairs, {"hamming": "min"})
 
 
@@ -584,14 +584,12 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
     from ray.data.aggregate import Count
 
-    from .buckets import with_hash_bucket
+    from .buckets import packed_bucket_map_groups
 
-    counts = (with_hash_bucket(
+    counts = (packed_bucket_map_groups(
                   ds.select_columns([id_col, text_col])
                     .map_batches(explode, batch_format="pyarrow"),
-                  ["shingle"])
-                .groupby("__gbucket")
-                .map_groups(emit_pairs, batch_format="pyarrow")
+                  ["shingle"], emit_pairs)
                 .groupby(["id_a", "id_b"])
                 .aggregate(Count(alias_name="co"))
                 .materialize())  # candidate pairs + one size row per doc

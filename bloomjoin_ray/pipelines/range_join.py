@@ -178,5 +178,11 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
             arrays.append(taken)
         return pa.Table.from_arrays(arrays, schema=out_schema)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket,
-                                                 batch_format="pyarrow")
+    from .buckets import packed_bucket_map_groups
+
+    # packed exchange instead of groupby("__bucket") (no sort-shuffle
+    # launch floor); join_bucket re-segments by the key-hash pair inside,
+    # so a task holding several buckets' rows is equivalent
+    return packed_bucket_map_groups(tagged, None, join_bucket,
+                                    num_buckets=num_buckets,
+                                    bucket_col="__bucket", pre_bucketed=True)

@@ -144,7 +144,11 @@ def sessionize(ds, key, ts_col: str, gap_s: int, *,
         return out.append_column(count_col,
                                  pa.array(np.diff(bounds).astype(np.int64)))
 
-    return (ds.select_columns(keys + [ts_col])
-              .map_batches(add_bucket, batch_format="pyarrow")
-              .groupby("__gbucket")
-              .map_groups(per_bucket, batch_format="pyarrow"))
+    from .buckets import packed_bucket_map_groups
+
+    # packed exchange (no sort-shuffle launch floor); per_bucket
+    # re-segments by the key-hash pair, so bucket unions are equivalent
+    return packed_bucket_map_groups(
+        ds.select_columns(keys + [ts_col])
+          .map_batches(add_bucket, batch_format="pyarrow"),
+        None, per_bucket, num_buckets=num_buckets, pre_bucketed=True)
