@@ -154,86 +154,71 @@ def run_suite() -> dict:
         transcripts = rd.read_parquet(tdir)
     n_turns = transcripts.count()
 
-    timings: dict[str, float] = {}
+    detail: dict = {}
 
-    def timed(name):
-        class _T:
-            def __enter__(self):
-                self.t0 = time.time()
+    # 1. one streaming pass building three global sketches per block
+    class TriSketch:
+        """HLL + CMS + t-digest partials built together per block."""
 
-            def __exit__(self, *a):
-                dt = round(time.time() - self.t0, 3)
-                timings[name] = min(timings.get(name, dt), dt)
-                # settle between queries: drop refs so the object store
-                # frees the previous pipeline's blocks before the next
-                # measurement (otherwise store pressure bleeds across)
-                import gc
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            hll = HllSketch(14)
+            hll.update_batch(hash_keys64(batch, ["conv_id", "turn_idx"]))
+            cms = CountMinSketch(5, 4096)
+            tool_mask = pc.is_valid(batch["tool"])
+            tools = batch.filter(tool_mask)
+            if tools.num_rows:
+                cms.update_batch(hash_keys64(tools, ["tool"]))
+            td = TDigest(200)
+            td.update_batch(np.asarray(pc.utf8_length(batch["text"]).cast(pa.float64())))
+            return pa.table({
+                "hll": pa.array([hll.to_bytes()], type=pa.large_binary()),
+                "cms": pa.array([cms.to_bytes()], type=pa.large_binary()),
+                "td": pa.array([td.to_bytes()], type=pa.large_binary()),
+            })
 
-                gc.collect()
-                time.sleep(0.5)
+    def q_sketch_global():
+        rows = transcripts.map_batches(TriSketch(), batch_format="pyarrow").take_all()
+        from bloomjoin_ray.state.base import merge_all, sketch_from_bytes
 
-        return _T()
+        hll = merge_all(sketch_from_bytes(bytes(r["hll"])) for r in rows)
+        cms = merge_all(sketch_from_bytes(bytes(r["cms"])) for r in rows)
+        td = merge_all(sketch_from_bytes(bytes(r["td"])) for r in rows)
+        detail.update(hll_est=hll.estimate(), cms_total=cms.total,
+                      text_len_p50=float(td.quantile(0.5)))
 
-    for _rep in range(REPEATS):
-        # 1. one streaming pass building three global sketches per block
-        class TriSketch:
-            """HLL + CMS + t-digest partials built together per block."""
+    # 2. grouped per-conv distinct turns. salt=None here: transcript
+    # conv sizes are capped (MAX_TURNS) so no key is hot enough to need
+    # the salted pre-reduce, which would add a whole extra shuffle; the
+    # salted path's correctness is pinned in tests/test_aggregate.py
+    def q_hll_per_conv():
+        detail["convs"] = hll_distinct(transcripts, "turn_idx",
+                                       key="conv_id").count()
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                hll = HllSketch(14)
-                hll.update_batch(hash_keys64(batch, ["conv_id", "turn_idx"]))
-                cms = CountMinSketch(5, 4096)
-                tool_mask = pc.is_valid(batch["tool"])
-                tools = batch.filter(tool_mask)
-                if tools.num_rows:
-                    cms.update_batch(hash_keys64(tools, ["tool"]))
-                td = TDigest(200)
-                td.update_batch(np.asarray(pc.utf8_length(batch["text"]).cast(pa.float64())))
-                return pa.table({
-                    "hll": pa.array([hll.to_bytes()], type=pa.large_binary()),
-                    "cms": pa.array([cms.to_bytes()], type=pa.large_binary()),
-                    "td": pa.array([td.to_bytes()], type=pa.large_binary()),
-                })
+    # 3. transcript bloom join: 5% of convs carry labels
+    lookup_tbl = pa.table({
+        "conv_id": pa.array([f"conv-{c:010d}" for c in range(0, N_CONVS, 20)]),
+        "label": pa.array(["keep"] * len(range(0, N_CONVS, 20))),
+    })
+    lookup = rd.from_arrow(lookup_tbl)
 
-        with timed("transcript_sketch_global"):
-            rows = transcripts.map_batches(TriSketch(), batch_format="pyarrow").take_all()
-            from bloomjoin_ray.state.base import merge_all, sketch_from_bytes
+    def q_bloom_join():
+        ds, report = bloom_join(transcripts, lookup, "conv_id", "inner",
+                                fpr=1e-3, skip_estimation=True,
+                                n_hint={"x": N_CONVS, "y": len(lookup_tbl)})
+        detail["joined_turns"] = ds.count()
 
-            hll = merge_all(sketch_from_bytes(bytes(r["hll"])) for r in rows)
-            cms = merge_all(sketch_from_bytes(bytes(r["cms"])) for r in rows)
-            td = merge_all(sketch_from_bytes(bytes(r["td"])) for r in rows)
-            sketch_outputs = (hll.estimate(), cms.total, float(td.quantile(0.5)))
+    queries = [("transcript_sketch_global", q_sketch_global),
+               ("transcript_hll_per_conv", q_hll_per_conv),
+               ("transcript_bloom_join", q_bloom_join)]
 
-        # 2. grouped per-conv distinct turns. salt=None here: transcript
-        # conv sizes are capped (MAX_TURNS) so no key is hot enough to need
-        # the salted pre-reduce, which would add a whole extra shuffle; the
-        # salted path's correctness is pinned in tests/test_aggregate.py
-        with timed("transcript_hll_per_conv"):
-            n_groups = hll_distinct(transcripts, "turn_idx",
-                                    key="conv_id").count()
-
-        # 3. transcript bloom join: 5% of convs carry labels
-        lookup_tbl = pa.table({
-            "conv_id": pa.array([f"conv-{c:010d}" for c in range(0, N_CONVS, 20)]),
-            "label": pa.array(["keep"] * len(range(0, N_CONVS, 20))),
-        })
-        lookup = rd.from_arrow(lookup_tbl)
-        with timed("transcript_bloom_join"):
-            ds, report = bloom_join(transcripts, lookup, "conv_id", "inner",
-                                    fpr=1e-3, skip_estimation=True,
-                                    n_hint={"x": N_CONVS, "y": len(lookup_tbl)})
-            joined_turns = ds.count()
-
-        # 4-6. TPC-H-ish side (skipped in scaling mode: the scaling criterion
-        # measures the transcript suite — the BASELINE.json headline metric)
-        if ONLY_TRANSCRIPTS:
-            continue
-
+    # 4-6. TPC-H-ish side (skipped in scaling mode: the scaling criterion
+    # measures the transcript suite — the BASELINE.json headline metric)
+    if not ONLY_TRANSCRIPTS:
         orders = rd.read_parquet(f"{SF_DIR}/orders.parquet")
         customer = rd.read_parquet(f"{SF_DIR}/customer.parquet")
         lineitem = rd.read_parquet(f"{SF_DIR}/lineitem.parquet")
 
-        with timed("tpch_bloom_join"):
+        def q_tpch_bloom():
             seg = customer.map_batches(
                 lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
                 batch_format="pyarrow")
@@ -241,11 +226,11 @@ def run_suite() -> dict:
                                fpr=1e-3)
             ds.count()
 
-        with timed("tpch_partitioned_join"):
+        def q_tpch_partitioned():
             hash_join(lineitem, orders, {"l_orderkey": "o_orderkey"}, "inner",
                       broadcast_limit_rows=0).count()
 
-        with timed("tpch_pricing_summary"):
+        def q_pricing():
             cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
             li = lineitem.map_batches(
                 lambda t: t.filter(pc.less_equal(t["l_shipdate"], cutoff)),
@@ -256,6 +241,11 @@ def run_suite() -> dict:
                 {"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price"},
                 count_col="count_order").to_pandas()
 
+        queries += [("tpch_bloom_join", q_tpch_bloom),
+                    ("tpch_partitioned_join", q_tpch_partitioned),
+                    ("tpch_pricing_summary", q_pricing)]
+
+    timings, probes = _run_probe_gated(queries)
     ray.shutdown()
 
     if ONLY_TRANSCRIPTS:
@@ -265,6 +255,8 @@ def run_suite() -> dict:
             "value": round(transcript_sec, 3),
             "unit": "sec",
             "queries": timings,
+            "probes": probes,
+            "probe_threshold": CLEAN_THRESHOLD,
             "sf": SF,
             "num_cpus": NUM_CPUS,
             "turns": n_turns,
@@ -281,14 +273,17 @@ def run_suite() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "probes": probes,
+        "probe_threshold": CLEAN_THRESHOLD,
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "turns": n_turns,
         "turns_per_sec": round(n_turns * 3 / transcript_sec, 1),
-        "detail": {"hll_est": sketch_outputs[0], "cms_total": sketch_outputs[1],
-                   "text_len_p50": sketch_outputs[2], "convs": n_groups,
-                   "joined_turns": joined_turns},
+        "detail": detail,
     }
+
+
+CLEAN_THRESHOLD = float(os.environ.get("GRAFT_CLEAN_THRESHOLD", "1.3"))
 
 
 def _probe_once() -> float:
@@ -299,6 +294,68 @@ def _probe_once() -> float:
     with Pool(4) as p:
         durs = p.map(_probe_work, range(4))
     return max(durs)
+
+
+def _probe_subproc() -> float:
+    """Host probe in a fresh subprocess — never fork a Ray-initialized
+    driver (the in-suite probes run while the Ray session is live)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--probe"],
+        capture_output=True, text=True, check=True)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def _run_probe_gated(queries) -> tuple[dict, dict]:
+    """Run each (name, fn) with PER-QUERY throttle detection (verdict r3
+    #1 — round 3's official artifact was consumed by a mid-suite
+    hypervisor-throttle episode the single suite-start gate could not
+    catch): after every timed attempt a host probe runs; the reading
+    counts as clean only if its post-probe is inside the clean band
+    (its pre-state is the previous query's post-probe, or the suite
+    gate for the first). Dirty attempts trigger a bounded wait for a
+    clean window and a retry; the per-query value is the min over clean
+    readings (min over all attempts if the window never cleans — then
+    visibly flagged by the embedded probe evidence). Returns
+    ``(timings, probes)`` where ``probes[name]`` is the full
+    ``[sec, post_probe]`` attempt list for the artifact."""
+    import gc
+
+    do_probe = os.environ.get("GRAFT_QUERY_PROBES", "1") == "1"
+    max_wait = float(os.environ.get("GRAFT_QUERY_CLEAN_MAX_WAIT", "180"))
+    timings: dict[str, float] = {}
+    probes: dict[str, list] = {}
+    for name, fn in queries:
+        attempts: list[list[float]] = []
+        clean = 0
+        while clean < REPEATS and len(attempts) < REPEATS + 3:
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            # settle between measurements: drop refs so the object store
+            # frees the previous attempt's blocks before the next one
+            gc.collect()
+            time.sleep(0.3)
+            if not do_probe:
+                attempts.append([dt, -1.0])
+                clean += 1
+                continue
+            p = _probe_subproc()
+            attempts.append([dt, round(p, 2)])
+            if p <= CLEAN_THRESHOLD:
+                clean += 1
+            else:
+                print(f"# {name}: post-probe {p:.2f}s > {CLEAN_THRESHOLD} "
+                      f"(throttled) — waiting for a clean window",
+                      file=sys.stderr)
+                w0 = time.time()
+                while p > CLEAN_THRESHOLD and time.time() - w0 < max_wait:
+                    time.sleep(15)
+                    p = _probe_subproc()
+        clean_secs = [a[0] for a in attempts
+                      if a[1] < 0 or a[1] <= CLEAN_THRESHOLD]
+        timings[name] = min(clean_secs or [a[0] for a in attempts])
+        probes[name] = attempts
+    return timings, probes
 
 
 def _probe_work(seed: int) -> float:
@@ -317,7 +374,7 @@ def _wait_clean_window() -> float:
     probe reading. Disable with GRAFT_WAIT_CLEAN=0."""
     if os.environ.get("GRAFT_WAIT_CLEAN", "1") == "0":
         return -1.0
-    threshold = float(os.environ.get("GRAFT_CLEAN_THRESHOLD", "1.3"))
+    threshold = CLEAN_THRESHOLD
     max_wait = float(os.environ.get("GRAFT_CLEAN_MAX_WAIT", "480"))
     t0 = time.time()
     dt = _probe_once()
@@ -365,12 +422,18 @@ def run_scaling(lo: int, hi: int, *, n_convs: int | None = None,
     return {
         "metric": "scaling efficiency (same suite at two parallelism levels)",
         "sf": SF,
+        # level-agnostic keys are the API; the f"sec_{lo}" aliases stay
+        # for older notes that quote them
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         f"queries_{lo}": r_lo["queries"],
         f"queries_{hi}": r_hi["queries"],
+        f"probes_{lo}": r_lo.get("probes"),
+        f"probes_{hi}": r_hi.get("probes"),
         "turns": r_hi["turns"],
         "cpus": [lo, hi],
         "scaling_efficiency": round(eff, 3),
@@ -405,15 +468,19 @@ def _mini_scaling() -> dict:
     read it as a per-round regression canary; the headline evidence
     (128× input, 5 repeats) lives in BASELINE.md."""
     n = int(os.environ.get("GRAFT_MINI_SCALING_CONVS", 0)) or N_CONVS * 32
-    r = run_scaling(4, 16, n_convs=n, repeats="2")
+    lo, hi = 4, 16
+    r = run_scaling(lo, hi, n_convs=n, repeats="2")
     return {"cpus": r["cpus"], "turns": r["turns"],
-            "sec_lo": r["sec_4"], "sec_hi": r["sec_16"],
+            "sec_lo": r["sec_lo"], "sec_hi": r["sec_hi"],
             "efficiency": r["scaling_efficiency"],
             "note": "mini probe-gated pair (32x convs, 2 repeats); "
                     "full 128x measurement in BASELINE.md"}
 
 
 if __name__ == "__main__":
+    if "--probe" in sys.argv:
+        print(_probe_once())
+        sys.exit(0)
     if "--scaling" in sys.argv:
         lo = int(sys.argv[sys.argv.index("--lo") + 1]) if "--lo" in sys.argv else 8
         hi = int(sys.argv[sys.argv.index("--hi") + 1]) if "--hi" in sys.argv else 32
