@@ -433,6 +433,36 @@ def _q_theta_custkey_overlap(sf_dir: str):
     })
 
 
+def _q_theta_overlap_by_type(sf_dir: str):
+    """PER-KEY theta set algebra (grouped counterpart of
+    theta_custkey_overlap): per event_type, distinct-user overlap
+    between the first and second half of January, from two
+    independently sketched datasets. 150 distinct users per type < k →
+    both sketches below capacity → estimates EXACT → SQL oracle
+    applies."""
+    import pyarrow.compute as pc
+
+    from bloomjoin_ray.pipelines.aggregate import theta_set_estimates_grouped
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    cut = pa.scalar(np.datetime64("2024-01-16", "us"))
+    early = ev.map_batches(lambda t: t.filter(pc.less(t["ts"], cut)),
+                           batch_format="pyarrow")
+    late = ev.map_batches(lambda t: t.filter(pc.greater_equal(t["ts"], cut)),
+                          batch_format="pyarrow")
+    return theta_set_estimates_grouped(early, late, "user_id", "event_type")
+
+
+def _q_reservoir_by_type(sf_dir: str):
+    """Per-event-type deterministic 20-row uniform sample (grouped
+    bottom-k reservoir; rows-only check — partitioning invariance and
+    per-key uniformity are pinned in tests)."""
+    from bloomjoin_ray.pipelines.aggregate import reservoir_sample
+
+    return reservoir_sample(_read(sf_dir, "events"), 20, "event_id",
+                            key="event_type")
+
+
 def _q_topk_types_per_user(sf_dir: str):
     """Top-2 event types per user with ranks (exact grouped top-k)."""
     from bloomjoin_ray.pipelines.aggregate import topk_per_key
@@ -633,6 +663,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_event_types": _q_topk_event_types,
         "topk_types_per_user": _q_topk_types_per_user,
         "theta_custkey_overlap": _q_theta_custkey_overlap,
+        "theta_user_overlap_by_type": _q_theta_overlap_by_type,
+        "reservoir_sample_by_type": _q_reservoir_by_type,
         "mg_top_event_types": _q_mg_top_event_types,
         "distinct_users_exact": _q_distinct_users,
         "cms_top_event_types": _q_cms_top_event_types,
@@ -743,6 +775,31 @@ def oracle_sql() -> dict[str, str]:
               (SELECT count(*) FROM (
                  SELECT DISTINCT o_custkey FROM orders
                  INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS n_intersection
+        """,
+        "theta_user_overlap_by_type": """
+            WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE ts < TIMESTAMP '2024-01-16'),
+                 b AS (SELECT DISTINCT event_type, user_id FROM events
+                       WHERE ts >= TIMESTAMP '2024-01-16'),
+                 u AS (SELECT event_type, user_id FROM a
+                       UNION SELECT event_type, user_id FROM b),
+                 i AS (SELECT event_type, user_id FROM a
+                       INTERSECT SELECT event_type, user_id FROM b),
+                 da AS (SELECT event_type, count(*) AS distinct_a FROM a GROUP BY 1),
+                 db AS (SELECT event_type, count(*) AS distinct_b FROM b GROUP BY 1),
+                 du AS (SELECT event_type, count(*) AS n_union FROM u GROUP BY 1),
+                 di AS (SELECT event_type, count(*) AS n_intersection FROM i GROUP BY 1)
+            SELECT du.event_type,
+                   CAST(COALESCE(da.distinct_a, 0) AS DOUBLE) AS distinct_a,
+                   CAST(COALESCE(db.distinct_b, 0) AS DOUBLE) AS distinct_b,
+                   CAST(du.n_union AS DOUBLE) AS n_union,
+                   CAST(COALESCE(di.n_intersection, 0) AS DOUBLE) AS n_intersection,
+                   CAST(COALESCE(di.n_intersection, 0) AS DOUBLE)
+                       / CAST(du.n_union AS DOUBLE) AS jaccard
+            FROM du
+            LEFT JOIN da USING (event_type)
+            LEFT JOIN db USING (event_type)
+            LEFT JOIN di USING (event_type)
         """,
         "topk_types_per_user": """
             SELECT user_id, event_type, n, rank FROM (

@@ -507,6 +507,75 @@ def theta_set_estimates(ds_a, ds_b, cols: str | Sequence[str], *,
     }
 
 
+def theta_set_estimates_grouped(ds_a, ds_b, cols: str | Sequence[str],
+                                key: str | Sequence[str], *, k: int = 4096):
+    """PER-KEY distinct |A|, |B|, |A∪B|, |A∩B|, Jaccard between two
+    datasets, from independently built per-key theta partials — rows
+    never shuffle, only (block, key) sketch blobs do (verdict r3 #8).
+    Keys present on one side only get the empty-sketch semantics
+    (distinct 0 for the absent side). Estimates are EXACT whenever a
+    key's distinct count stays below k (theta = 1 ⇒ the sketch is the
+    full set), so a SQL oracle applies at test scale. Returns
+    Dataset[key…, distinct_a, distinct_b, n_union, n_intersection,
+    jaccard]."""
+    from ..state.theta import ThetaSketch
+    from ..stages.sketch_stages import GroupedSketchPartial
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    make = lambda: ThetaSketch(k)
+    update = lambda s, t: s.update_batch(hash_keys64(t, cols))
+    stage = GroupedSketchPartial(key_cols, make, update)
+    in_cols = list(dict.fromkeys(key_cols + cols))
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("__tside", pa.array(
+                np.full(b.num_rows, side, dtype=np.int8)))
+
+        return fn
+
+    partials = (ds_a.select_columns(in_cols)
+                .map_batches(stage, batch_format="pyarrow")
+                .map_batches(tag(0), batch_format="pyarrow")
+                .union(ds_b.select_columns(in_cols)
+                       .map_batches(stage, batch_format="pyarrow")
+                       .map_batches(tag(1), batch_format="pyarrow")))
+
+    out_fields = ["distinct_a", "distinct_b", "n_union", "n_intersection",
+                  "jaccard"]
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            t = group.select(key_cols)
+            for f in out_fields:
+                t = t.append_column(f, pa.array([], type=pa.float64()))
+            return t
+        order, bounds = _key_group_bounds(group, key_cols)
+        states = group.column("state").combine_chunks().take(pa.array(order))
+        sides = np.asarray(group.column("__tside"))[order]
+        vals: dict[str, list] = {f: [] for f in out_fields}
+        for i in range(len(bounds) - 1):
+            a, b = ThetaSketch(k), ThetaSketch(k)
+            for r in range(int(bounds[i]), int(bounds[i + 1])):
+                sk = sketch_from_bytes(bytes(states[r].as_py()))
+                (a if sides[r] == 0 else b).merge(sk)
+            vals["distinct_a"].append(a.estimate())
+            vals["distinct_b"].append(b.estimate())
+            vals["n_union"].append(a.union_estimate(b))
+            vals["n_intersection"].append(a.intersection_estimate(b))
+            vals["jaccard"].append(a.jaccard_estimate(b))
+        out = group.take(pa.array(order[bounds[:-1]])).select(key_cols)
+        for f in out_fields:
+            out = out.append_column(f, pa.array(vals[f], type=pa.float64()))
+        return out
+
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(partials, key_cols, reduce_group)
+
+
 def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
                  k: int, *, count_col: str = "n", rank_col: str = "rank"):
     """Exact top-k values by frequency within each key group (e.g. top
@@ -572,17 +641,48 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
 
 
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
-                     seed: int = 0x5A5A) -> pa.Table | None:
+                     key: str | Sequence[str] | None = None,
+                     seed: int = 0x5A5A):
     """Deterministic uniform sample of k whole rows — bottom-k priority
     sampling as a mergeable UDAF (same sample for any partitioning).
-    ``id_cols`` must uniquely identify rows (the priority key)."""
+    ``id_cols`` must uniquely identify rows (the priority key).
+
+    Global (``key=None``): returns a pa.Table of ≤ k rows (None when
+    empty). Grouped: returns a Dataset of the sampled ROWS, ≤ k per
+    distinct ``key`` (verdict r3 #8) — per-block per-key partial
+    reservoirs shuffle, never the raw rows; the per-key sample is
+    identical under any partitioning (the bottom-k merge law)."""
     from ..state.reservoir import ReservoirSample
 
     id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
     make = lambda: ReservoirSample(k, seed)
     update = lambda s, t: s.update_batch(hash_keys64(t, id_cols), t)
-    sk = sketch_aggregate_global(ds, make, update)
-    return None if sk is None else sk.sample_table()
+    if key is None:
+        sk = sketch_aggregate_global(ds, make, update)
+        return None if sk is None else sk.sample_table()
+
+    from ..stages.sketch_stages import GroupedSketchPartial
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+    partials = ds.map_batches(GroupedSketchPartial(key_cols, make, update),
+                              batch_format="pyarrow")
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        order, bounds = _key_group_bounds(group, key_cols)
+        states = group.column("state").combine_chunks().take(pa.array(order))
+        tables = []
+        for i in range(len(bounds) - 1):
+            sk = merge_all(
+                sketch_from_bytes(bytes(states[r].as_py()))
+                for r in range(int(bounds[i]), int(bounds[i + 1])))
+            t = sk.sample_table()
+            if t is not None:
+                tables.append(t)
+        return pa.concat_tables(tables)
+
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(partials, key_cols, reduce_group)
 
 
 def distinct_exact(ds, cols: str | Sequence[str]) -> int:

@@ -215,3 +215,57 @@ def test_gather_bucket_packs_streams_refs(ray_session):
     assert np.array_equal(np.asarray(got.column("k")),
                           np.asarray(want.column("k")))
     assert _gather_bucket_packs(3, 4, []) is None
+
+
+def test_theta_grouped_exact_and_partition_invariant(ray_session):
+    """Per-key theta set algebra (verdict r3 #8): below sketch capacity
+    the estimates are exact, and merging partials in ANY partition
+    order gives the identical result (the merge law)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import theta_set_estimates_grouped
+
+    rng = np.random.default_rng(7)
+    keys = np.array(["k%d" % (i % 6) for i in range(4000)])
+    va = rng.integers(0, 300, 4000)
+    vb = rng.integers(150, 450, 4000)           # overlapping value range
+    ta = pa.table({"g": keys, "u": va})
+    tb = pa.table({"g": keys, "u": vb})
+
+    def run(parts):
+        a = rd.from_arrow(ta).repartition(parts)
+        b = rd.from_arrow(tb).repartition(parts)
+        return (theta_set_estimates_grouped(a, b, "u", "g")
+                .to_pandas().sort_values("g").reset_index(drop=True))
+
+    got1, got8 = run(1), run(8)
+    pd.testing.assert_frame_equal(got1, got8)   # partition invariance
+
+    df_a = ta.to_pandas()
+    df_b = tb.to_pandas()
+    for _, row in got1.iterrows():
+        sa = set(df_a[df_a["g"] == row["g"]]["u"])
+        sb = set(df_b[df_b["g"] == row["g"]]["u"])
+        assert row["distinct_a"] == len(sa)
+        assert row["distinct_b"] == len(sb)
+        assert row["n_union"] == len(sa | sb)
+        assert row["n_intersection"] == len(sa & sb)
+        assert row["jaccard"] == pytest.approx(len(sa & sb) / len(sa | sb))
+
+
+def test_theta_grouped_one_sided_key(ray_session):
+    """A key present on only one side gets the empty-sketch semantics."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import theta_set_estimates_grouped
+
+    a = rd.from_arrow(pa.table({"g": ["x", "x", "only_a"], "u": [1, 2, 9]}))
+    b = rd.from_arrow(pa.table({"g": ["x"], "u": [2]}))
+    df = (theta_set_estimates_grouped(a, b, "u", "g")
+          .to_pandas().set_index("g"))
+    assert df.loc["only_a", "distinct_a"] == 1
+    assert df.loc["only_a", "distinct_b"] == 0
+    assert df.loc["only_a", "n_intersection"] == 0
+    assert df.loc["only_a", "jaccard"] == 0.0
+    assert df.loc["x", "n_intersection"] == 1
+    assert df.loc["x", "n_union"] == 2
