@@ -387,18 +387,17 @@ def _q_asof_last_purchase(sf_dir: str):
     """As-of join: attach each event's user's most recent purchase value
     (DuckDB ASOF JOIN oracle). Right side deduped on (user_id, ts) so the
     tie-break is well-defined on both engines."""
-    from ray.data.aggregate import Max
-
+    from bloomjoin_ray.pipelines.aggregate import grouped_assoc_agg
     from bloomjoin_ray.pipelines.asof import asof_join
 
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-    purchases = (_read(sf_dir, "events",
-                       columns=["user_id", "ts", "event_type", "value"])
-                 .map_batches(lambda t: t.filter(
-                     pc.equal(t["event_type"], "purchase")).drop_columns(["event_type"]),
-                     batch_format="pyarrow")
-                 .groupby(["user_id", "ts"])
-                 .aggregate(Max("value", alias_name="last_purchase_value")))
+    purchases = grouped_assoc_agg(
+        _read(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "value"])
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["event_type"], "purchase")).drop_columns(["event_type"]),
+            batch_format="pyarrow"),
+        ["user_id", "ts"], {"value": ("max", "last_purchase_value")})
     return asof_join(ev, purchases, on="ts", by="user_id")
 
 

@@ -707,6 +707,48 @@ def distinct_exact(ds, cols: str | Sequence[str]) -> int:
     return int(counts.sum("__n") or 0)
 
 
+def grouped_assoc_agg(ds, keys: Sequence[str],
+                      aggs: dict[str, tuple[str, str]] | None = None, *,
+                      count_col: str | None = None):
+    """Grouped MIN/MAX/COUNT with per-block pre-aggregation and a packed
+    exchange (no sort-shuffle launch floor). Only order-independent
+    aggregates are offered — min/max over any orderable type and integer
+    row counts are exact under ANY reduction order, so swapping the
+    shuffle machinery cannot perturb results (float SUM stays on
+    ``grouped_sums``, whose accumulation order the oracle contract
+    pins). ``aggs`` maps input column → ("min" | "max", out_alias).
+    Returns Dataset[keys…, aliases…, count_col?]."""
+    keys = list(keys)
+    aggs = aggs or {}
+    for c, (fn, _alias) in aggs.items():
+        if fn not in ("min", "max"):
+            raise ValueError(f"grouped_assoc_agg supports min/max, got {fn!r}"
+                             f" for {c!r}")
+    aliases = [alias for _fn, alias in aggs.values()]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        specs = [(c, fn) for c, (fn, _a) in aggs.items()]
+        if count_col:
+            specs.append(([], "count_all"))
+        out = batch.select(keys + list(aggs)).group_by(keys).aggregate(specs)
+        names = keys + aliases + (["__pc"] if count_col else [])
+        return out.rename_columns(names)
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        sub = group.drop_columns(["__gbucket"])
+        specs = [(alias, fn) for (fn, alias) in aggs.values()]
+        if count_col:
+            specs.append(("__pc", "sum"))
+        out = sub.group_by(keys).aggregate(specs)
+        names = keys + aliases + ([count_col] if count_col else [])
+        return out.rename_columns(names)
+
+    from .buckets import packed_bucket_map_groups
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return packed_bucket_map_groups(partials, keys, reduce_group)
+
+
 def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,
                  count_col: str | None = None):
     """Grouped SUM/COUNT with per-block pre-aggregation: each block first

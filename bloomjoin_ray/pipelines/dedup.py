@@ -582,17 +582,19 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
         return pa.table({"id_a": ids.take(pa.array(a_idx)),
                          "id_b": ids.take(pa.array(b_idx))})
 
-    from ray.data.aggregate import Count
-
     from .buckets import packed_bucket_map_groups
 
-    counts = (packed_bucket_map_groups(
-                  ds.select_columns([id_col, text_col])
-                    .map_batches(explode, batch_format="pyarrow"),
-                  ["shingle"], emit_pairs)
-                .groupby(["id_a", "id_b"])
-                .aggregate(Count(alias_name="co"))
-                .materialize())  # candidate pairs + one size row per doc
+    # pair co-counts: integer row counts are exact under any reduction
+    # order, so the packed grouped aggregate applies (no sort-shuffle)
+    from .aggregate import grouped_assoc_agg
+
+    counts = grouped_assoc_agg(
+        packed_bucket_map_groups(
+            ds.select_columns([id_col, text_col])
+              .map_batches(explode, batch_format="pyarrow"),
+            ["shingle"], emit_pairs),
+        ["id_a", "id_b"], count_col="co",
+    ).materialize()  # candidate pairs + one size row per doc
 
     def split_pairs(batch: pa.Table) -> pa.Table:
         self_m = pc.equal(batch.column("id_a"), batch.column("id_b"))
