@@ -9,12 +9,19 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
      "turns": n, "turns_per_sec": r, "scaling": {...}}
 
-The default run is probe-gated (waits for a clean host window) and
-folds a compact probe-gated 4→16 scaling pair into ``"scaling"``
-(disable with ``GRAFT_BENCH_SCALING=0``). ``--scaling`` runs the full
-measurement in two fresh processes (8 and 32 CPUs by default, override
-with ``--lo/--hi``) on the same larger input and reports both plus
-``efficiency = (t_lo / t_hi) / (hi / lo)``.
+The default run is probe-gated at the suite start AND per query: every
+timed attempt is followed by a host probe in a fresh subprocess, dirty
+attempts are retried after waiting for a clean window, and the artifact
+embeds the full per-query ``[sec, post_probe]`` attempt lists under
+``"probes"`` — a mid-suite hypervisor-throttle episode is retried and
+visible instead of silently corrupting the number (disable the probes
+with ``GRAFT_QUERY_PROBES=0``). The default run also folds a compact
+4→16 scaling pair into ``"scaling"`` (disable with
+``GRAFT_BENCH_SCALING=0``). ``--scaling`` runs the full measurement in
+two fresh processes (8 and 32 CPUs by default, override with
+``--lo/--hi``) on the same larger input and reports both plus
+``efficiency = (t_lo / t_hi) / (hi / lo)``. ``--probe`` prints one
+probe reading and exits (used internally for the subprocess probes).
 
 Timed pipelines (transcript side = the BASELINE.json metric —
 sketch-build + bloom-join throughput in turns/sec on transcript parquet):

@@ -5,7 +5,7 @@
   distinct documents merge only if both 64-bit halves collide
   (~2^-128 per pair).
 * ``minhash_lsh_pairs`` / ``minhash_dedup`` — shingle → MinHash signature
-  → LSH band explosion → ``groupby(band, band_hash)`` bucket join →
+  → LSH band explosion → packed (band, band_hash) bucket reduce →
   candidate pairs with signature-estimated Jaccard → threshold →
   connected components: driver union-find below ``DRIVER_PAIR_LIMIT``
   pairs, distributed min-label propagation + pointer doubling
@@ -17,8 +17,8 @@
   co-counting, with document-frequency pruning to bound bucket blowup.
 
 Partitioning assumption: bucket keys (content hash, band hash, shingle
-hash) distribute uniformly, so ``groupby`` shuffles are balanced; hot
-shingles are explicitly df-pruned.
+hash) distribute uniformly, so the packed bucket exchanges are
+balanced; hot shingles are explicitly df-pruned.
 """
 
 from __future__ import annotations
@@ -225,8 +225,7 @@ def connected_components(pairs_ds, *, max_rounds: int = 50):
     nodes), never the corpus — and every exchange is a bucketed join
     or groupby, so pathological pair volumes (bot-spam / boilerplate
     blocks) no longer funnel through the driver."""
-    from ray.data.aggregate import Min
-
+    from .aggregate import grouped_assoc_agg
     from .join import hash_join
 
     def fwd(b: pa.Table) -> pa.Table:
@@ -244,13 +243,13 @@ def connected_components(pairs_ds, *, max_rounds: int = 50):
                          "label": pc.min_element_wise(b.column("src"),
                                                       b.column("_cc_nmin"))})
 
-    # round 0 for free: label[x] = min(x, neighbors(x))
-    labels = (edges.groupby("src")
-              .aggregate(Min("dst", alias_name="_cc_nmin"))
+    # round 0 for free: label[x] = min(x, neighbors(x)); min/max are
+    # order-independent, so the packed grouped aggregate applies here
+    # and in every propagation round below (no sort-shuffle floor)
+    labels = (grouped_assoc_agg(edges, ["src"],
+                                {"dst": ("min", "_cc_nmin")})
               .map_batches(seed, batch_format="pyarrow")
               .materialize())
-
-    from ray.data.aggregate import Max
 
     def msg(b: pa.Table) -> pa.Table:
         # neighbor proposals carry a null old-label; the single own-label
@@ -283,13 +282,12 @@ def connected_components(pairs_ds, *, max_rounds: int = 50):
     for _ in range(max_rounds):
         # (1) min over {own label} ∪ {neighbor labels}, old label rides
         # along through the same groupby
-        new = (hash_join(edges, labels, on={"src": "node"}, how="inner")
-               .map_batches(msg, batch_format="pyarrow")
-               .union(labels.map_batches(own, batch_format="pyarrow"))
-               .groupby("node")
-               .aggregate(Min("label", alias_name="label"),
-                          Max("_cc_old", alias_name="_cc_old"))
-               .materialize())
+        new = grouped_assoc_agg(
+            hash_join(edges, labels, on={"src": "node"}, how="inner")
+            .map_batches(msg, batch_format="pyarrow")
+            .union(labels.map_batches(own, batch_format="pyarrow")),
+            ["node"], {"label": ("min", "label"),
+                       "_cc_old": ("max", "_cc_old")}).materialize()
         changed = new.map_batches(diff, batch_format="pyarrow").count()
         if changed == 0:
             return labels  # propagation is a no-op ⇒ jump would be too
