@@ -583,20 +583,15 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
     per-key top-k inside a bucketed reduce. Deterministic tie-break:
     count desc, then value asc — matching SQL
     ``row_number() OVER (PARTITION BY key ORDER BY n DESC, value)``."""
-    from ray.data.aggregate import Sum
-
     key = [key] if isinstance(key, str) else list(key)
     cols = [cols] if isinstance(cols, str) else list(cols)
     all_cols = key + cols
 
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        out = batch.select(all_cols).group_by(all_cols).aggregate([([], "count_all")])
-        return out.rename_columns(all_cols + ["__pn"])
-
-    summed = (ds.select_columns(all_cols)
-                .map_batches(partial_counts, batch_format="pyarrow")
-                .groupby(all_cols)
-                .aggregate(Sum("__pn", alias_name=count_col)))
+    # integer counts are order-independent → the packed grouped
+    # aggregate applies (per-block pre-count + packed sum, no
+    # sort-shuffle floor)
+    summed = grouped_assoc_agg(ds.select_columns(all_cols), all_cols,
+                               count_col=count_col)
 
     def per_key_topk(group: pa.Table) -> pa.Table:
         # vectorized rank (the sessionize idiom): one C++ sort, a
@@ -779,17 +774,10 @@ def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,
 
 def topk_exact(ds, cols: str | Sequence[str], k: int, *,
                count_col: str = "n"):
-    """Exact top-k by frequency: per-block counts → groupby-sum of the
-    partials → sort desc → limit k. Returns a Dataset."""
-    from ray.data.aggregate import Sum
-
+    """Exact top-k by frequency: per-block counts → packed grouped sum
+    (integer counts — order-independent) → sort desc → limit k.
+    Returns a Dataset."""
     cols = [cols] if isinstance(cols, str) else list(cols)
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        return batch.group_by(cols).aggregate([([], "count_all")]).rename_columns(
-            cols + ["__partial_n"])
-
-    partials = ds.select_columns(cols).map_batches(partial_counts,
-                                                   batch_format="pyarrow")
-    summed = partials.groupby(cols).aggregate(Sum("__partial_n", alias_name=count_col))
+    summed = grouped_assoc_agg(ds.select_columns(cols), cols,
+                               count_col=count_col)
     return summed.sort(count_col, descending=True).limit(k)
