@@ -109,3 +109,52 @@ def test_asof_column_collision_suffix(frames):
         batch_format="pyarrow")
     out = asof_join(dsl, dsr2, on="ts", by="user_id")
     assert "value_right" in out.schema().names
+
+def test_asof_null_on_values(ray_session):
+    """Null `on` never matches on either side (SQL semantics): left rows
+    with null ts surface with null right columns; right rows with null
+    ts are never attached."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([10, None, 5], type=pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0]),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1, 2], type=pa.int64()),
+        "ts": pa.array([8, None, None], type=pa.int64()),
+        "score": pa.array([100.0, 200.0, 300.0]),
+    })
+    got = (asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                     on="ts", by="user_id")
+           .to_pandas().sort_values(["user_id", "value"])
+           .reset_index(drop=True))
+    assert len(got) == 3
+    assert got.loc[0, "score"] == 100.0          # 10 >= 8
+    assert pd.isna(got.loc[1, "score"])          # null left ts
+    assert pd.isna(got.loc[2, "score"])          # only null right ts for key 2
+
+
+def test_asof_forward_no_by(frames):
+    """Pure temporal forward as-of (no equality key) routes through the
+    single-bucket zipper — matches pandas merge_asof."""
+    import pandas as pd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    got = asof_join(dsl, dsr.drop_columns(["user_id"]), on="ts",
+                    direction="forward").to_pandas()
+    want = pd.merge_asof(left.sort_values("ts", kind="stable"),
+                         right.drop(columns=["user_id"])
+                              .sort_values("ts", kind="stable"),
+                         on="ts", direction="forward")
+    key = ["user_id", "ts", "value"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_frame_equal(g[["score"]].fillna(-9), w[["score"]].fillna(-9),
+                                  check_dtype=False, rtol=1e-12)
