@@ -749,11 +749,18 @@ def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,
     """Grouped SUM/COUNT with per-block pre-aggregation: each block first
     collapses to one row per in-block key (pyarrow hash aggregate), then the
     shuffle carries only those partials into the final ``groupby().sum()``.
-    ``sum_cols`` maps input column → output alias. Returns a Dataset."""
+    ``sum_cols`` maps input column → output alias. Returns a Dataset.
+
+    Count-only calls (no float accumulation, so no order sensitivity)
+    route through the packed grouped aggregate; float sums keep Ray's
+    groupby so the oracle-pinned accumulation order is untouched."""
     from ray.data.aggregate import Sum
 
     keys = list(keys)
     in_cols = list(sum_cols)
+    if not in_cols and count_col:
+        return grouped_assoc_agg(ds.select_columns(keys), keys,
+                                 count_col=count_col)
 
     def partial(batch: pa.Table) -> pa.Table:
         aggs = [(c, "sum") for c in in_cols]
