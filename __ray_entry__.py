@@ -250,6 +250,16 @@ def _q_doc_stats(sf_dir: str):
                                "avg_token_len", "punct_ratio"])
 
 
+def _q_scrubbed_docs(sf_dir: str):
+    """Regex scrubbing (the PII-redaction shape): mask two vocabulary
+    words, collapse whitespace. One vectorized RE2 pass per pattern;
+    oracle = DuckDB regexp_replace (same RE2 engine)."""
+    from bloomjoin_ray.pipelines.text import scrub_text
+
+    return scrub_text(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                      [(r"\b(spark|table)\b", "<TOK>"), (r"\s+", " ")])
+
+
 def _q_curated_docs(sf_dir: str):
     """Training-data curation composition: quality stats → threshold
     filter → exact dedup (keep min doc_id per text), all streaming.
@@ -676,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_assign": _q_session_assign,
         "events_write_roundtrip": _q_write_roundtrip,
         "curated_docs": _q_curated_docs,
+        "scrubbed_docs": _q_scrubbed_docs,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
@@ -882,6 +893,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, max(value) AS last_purchase_value
                 FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
             ) p ON e.user_id = p.user_id AND e.ts >= p.ts
+        """,
+        "scrubbed_docs": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '\\b(spark|table)\\b',
+                                                 '<TOK>', 'g'),
+                                  '\\s+', ' ', 'g') AS text
+            FROM documents
         """,
         "curated_docs": """
             WITH s AS (

@@ -79,3 +79,33 @@ def filter_by_quality(ds, text_col: str = "text", *, min_tokens: int = 5,
         return batch.filter(keep)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def scrub_text(ds, patterns, text_col: str = "text",
+               out_col: str | None = None):
+    """Regex scrubbing/redaction over a text column — the PII-removal /
+    normalization staple of a curation pipeline. ``patterns`` is an
+    ordered list of ``(regex, replacement)`` pairs applied in sequence;
+    each pass is ONE vectorized Arrow kernel over the whole batch
+    (``pc.replace_substring_regex`` — RE2, all occurrences), so no
+    per-document Python. RE2 is also DuckDB's regex engine, making the
+    operator exactly SQL-expressible for the oracle
+    (``regexp_replace(text, pat, repl, 'g')``). ``out_col`` defaults to
+    overwriting ``text_col``."""
+    import pyarrow.compute as pc
+
+    patterns = list(patterns)
+    target = out_col or text_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        for pat, repl in patterns:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        idx = batch.schema.get_field_index(target)
+        if idx >= 0:
+            return batch.set_column(idx, target, col)
+        return batch.append_column(target, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -65,7 +65,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "mg_top_event_types", "events_write_roundtrip", "events_tumbling",
     "events_sliding", "events_session_assign", "curated_docs",
     "ann_topk_bruteforce", "ngram_jaccard_docs",
-    "theta_user_overlap_by_type",
+    "theta_user_overlap_by_type", "scrubbed_docs",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     got = _canon(_to_df(entrymod.queries()[name](SF)))

@@ -139,3 +139,37 @@ def test_text_stats_pipeline(ray_session):
 
     filtered = filter_by_quality(docs, min_tokens=5)
     assert filtered.count() <= docs.count()
+
+
+def test_scrub_text_matches_python_re(ray_session):
+    """scrub_text (vectorized RE2 passes) == per-doc Python re.sub, and
+    overwrites vs appends correctly."""
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import scrub_text
+
+    texts = ["call me at 555-0199 or e-mail bob@example.com now",
+             "spark table spark", "  lots   of   space  ", "", None]
+    pats = [(r"[\w.]+@[\w.]+", "<EMAIL>"), (r"\d[\d-]+\d", "<PHONE>"),
+            (r"\s+", " ")]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}))
+    got = (scrub_text(ds, pats).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got.loc[i, "text"] is None or pd.isna(got.loc[i, "text"])
+            continue
+        want = t
+        for p, r in pats:
+            want = re.sub(p, r, want)
+        assert got.loc[i, "text"] == want, (i, got.loc[i, "text"], want)
+    # out_col appends instead of overwriting
+    out = scrub_text(ds, pats, out_col="clean").to_pandas()
+    assert {"doc_id", "text", "clean"} <= set(out.columns)
+    assert (out.sort_values("doc_id")["text"].fillna("x").tolist()
+            == pd.Series(texts).fillna("x").tolist())
