@@ -260,6 +260,16 @@ def _q_scrubbed_docs(sf_dir: str):
                       [(r"\b(spark|table)\b", "<TOK>"), (r"\s+", " ")])
 
 
+def _q_packed_docs(sf_dir: str):
+    """Greedy context-window packing of documents into ≤256-token packs
+    (rows-only: pack composition depends on partitioning by design; the
+    budget/exactly-once/tightness invariants are pinned in tests)."""
+    from bloomjoin_ray.pipelines.text import pack_documents
+
+    return pack_documents(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]), 256)
+
+
 def _q_curated_docs(sf_dir: str):
     """Training-data curation composition: quality stats → threshold
     filter → exact dedup (keep min doc_id per text), all streaming.
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_write_roundtrip": _q_write_roundtrip,
         "curated_docs": _q_curated_docs,
         "scrubbed_docs": _q_scrubbed_docs,
+        "packed_docs": _q_packed_docs,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)

@@ -224,7 +224,7 @@ def _reduce_packed_hll(key_cols: list[str], out_col: str, p: int, cap: int,
 
 
 def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
-                         num_buckets: int = 64, num_tasks: int = 32,
+                         num_buckets: int = 64, num_tasks: int | None = None,
                          empty_schema: pa.Schema | None = None,
                          reducer: Callable | None = None):
     """Reduce PACKED partials without Ray's sort-shuffle operator (whose
@@ -257,6 +257,10 @@ def _packed_group_reduce(packed, key_cols: list[str], per_key: Callable, *,
     refs = stream_arrow_refs(packed)
     if not refs:
         return empty()
+    if num_tasks is None:
+        # one reduce task per CPU lane, floor 32 — on a cluster the wave
+        # widens with the node count instead of pinning at one box's width
+        num_tasks = max(32, int(ray.cluster_resources().get("CPU", 32)))
     num_groups = min(num_buckets, num_tasks)
     parts = split_refs_by_group(refs, "__gbucket", num_groups)
     if reducer is None:

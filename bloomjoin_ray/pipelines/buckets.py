@@ -69,7 +69,8 @@ def with_hash_bucket(ds, key_cols: list[str], num_buckets: int = 64,
 
 
 def packed_bucket_map_groups(ds, key_cols: list[str] | None, fn, *,
-                             num_buckets: int = 64, num_tasks: int = 32,
+                             num_buckets: int = 64,
+                             num_tasks: int | None = None,
                              bucket_col: str = "__gbucket",
                              pre_bucketed: bool = False):
     """Drop-in for ``with_hash_bucket(ds, key_cols, num_buckets)

@@ -109,3 +109,69 @@ def scrub_text(ds, patterns, text_col: str = "text",
         return batch.append_column(target, col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_documents(ds, max_tokens: int, *, id_col: str = "doc_id",
+                   text_col: str = "text", token_col: str | None = None):
+    """Greedy sequence packing: group documents into packs of ≤
+    ``max_tokens`` whitespace tokens — the context-window packing step
+    of an LLM training pipeline. Returns one row per document:
+    ``[id_col, pack_id, n_tokens, pack_seq]`` (``pack_seq`` = position
+    within the pack).
+
+    Scale shape: packing is PER PARTITION (the standard streaming
+    approximation — a document never crosses blocks, so each block
+    packs independently and in parallel; global bin-optimality is
+    NP-hard and not attempted). Within a block: docs sort by token
+    count descending, then a next-fit sweep over the cumulative sum
+    closes a pack exactly when the next doc would overflow — the
+    Python loop iterates once per PACK (each step one searchsorted),
+    never per document. A document longer than ``max_tokens`` becomes
+    its own single-doc pack. ``pack_id`` is the raw 64-bit hash of the
+    pack's lead (first) document id — deterministic and globally
+    unique while ids are unique. Pack COMPOSITION depends on the
+    input partitioning (inherent to streaming packing); per-pack
+    invariants (token budget, exactly-once membership) do not.
+    ``token_col`` supplies precomputed token counts and skips the
+    tokenize pass."""
+    from .buckets import hash_raw64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_arr = batch.column(id_col)
+        id_arr = (id_arr.combine_chunks()
+                  if isinstance(id_arr, pa.ChunkedArray) else id_arr)
+        if n == 0:
+            return pa.table({id_col: id_arr,
+                             "pack_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "pack_seq": pa.array([], type=pa.int32())})
+        if token_col is not None:
+            ntok = np.asarray(batch.column(token_col), dtype=np.int64)
+        else:
+            ntok = np.asarray(token_count(batch.column(text_col)),
+                              dtype=np.int64)
+        order = np.argsort(-ntok, kind="stable")
+        s = ntok[order]
+        csum = np.cumsum(s)
+        bounds = [0]
+        base = 0
+        while bounds[-1] < n:
+            i0 = bounds[-1]
+            limit = base + max(max_tokens, int(s[i0]))
+            j = max(int(np.searchsorted(csum, limit, side="right")), i0 + 1)
+            bounds.append(j)
+            base = int(csum[j - 1])
+        bounds = np.asarray(bounds, dtype=np.int64)
+        sizes = np.diff(bounds)
+        pack_of = np.repeat(np.arange(len(sizes)), sizes)
+        seq = (np.arange(n) - np.repeat(bounds[:-1], sizes)).astype(np.int32)
+        lead = batch.take(pa.array(order[bounds[:-1]])).select([id_col])
+        pid = hash_raw64(lead, [id_col]).view(np.int64)
+        out = pa.table({id_col: id_arr.take(pa.array(order)),
+                        "pack_id": pa.array(pid[pack_of]),
+                        "n_tokens": pa.array(s),
+                        "pack_seq": pa.array(seq)})
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

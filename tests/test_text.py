@@ -173,3 +173,48 @@ def test_scrub_text_matches_python_re(ray_session):
     assert {"doc_id", "text", "clean"} <= set(out.columns)
     assert (out.sort_values("doc_id")["text"].fillna("x").tolist()
             == pd.Series(texts).fillna("x").tolist())
+
+
+def test_pack_documents_invariants(ray_session):
+    """Sequence packing: every doc exactly once, per-pack token sums ≤
+    max_tokens except single overlong docs, sequential pack_seq, unique
+    pack ids, and the token-budget waste stays sane."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import pack_documents
+
+    rng = np.random.default_rng(4)
+    n = 3000
+    texts = [" ".join(["tok"] * k) for k in rng.integers(1, 300, n)]
+    texts[0] = " ".join(["tok"] * 900)           # overlong doc
+    t = pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(6)
+    out = pack_documents(ds, 512).to_pandas()
+    assert len(out) == n
+    assert out["doc_id"].nunique() == n          # exactly once
+    sums = out.groupby("pack_id").agg(tot=("n_tokens", "sum"),
+                                      cnt=("n_tokens", "size"),
+                                      mx=("n_tokens", "max"))
+    over = sums[sums["tot"] > 512]
+    assert (over["cnt"] == 1).all() and (over["mx"] > 512).all()
+    # pack_seq is 0..len-1 within each pack
+    for _, grp in out.groupby("pack_id"):
+        assert sorted(grp["pack_seq"]) == list(range(len(grp)))
+    # token counts match the whitespace tokenizer
+    want = pd.Series([len(x.split()) for x in texts])
+    got = out.sort_values("doc_id")["n_tokens"].reset_index(drop=True)
+    assert (got.values == want.values).all()
+    # packing is reasonably tight: ≥ 60% average fill on multi-doc packs
+    multi = sums[sums["cnt"] > 1]
+    assert multi["tot"].mean() >= 0.6 * 512
+
+    # precomputed token column path gives the same packs
+    t2 = t.append_column("ntk", pa.array(
+        np.array([len(x.split()) for x in texts], dtype=np.int64)))
+    out2 = pack_documents(rd.from_arrow(t2).repartition(6), 512,
+                          token_col="ntk").to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["n_tokens"].values == b["n_tokens"].values).all()
