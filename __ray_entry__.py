@@ -260,6 +260,17 @@ def _q_scrubbed_docs(sf_dir: str):
                       [(r"\b(spark|table)\b", "<TOK>"), (r"\s+", " ")])
 
 
+def _q_split_val_docs(sf_dir: str):
+    """Deterministic 80/10/10 content-hash split; returns the val split
+    (rows-only: the hash is engine-internal; disjointness/stability
+    invariants are pinned in tests/test_split.py)."""
+    from bloomjoin_ray.pipelines.split import split_by_hash
+
+    splits = split_by_hash(_read(sf_dir, "documents", columns=["doc_id"]),
+                           "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return splits["val"]
+
+
 def _q_packed_docs(sf_dir: str):
     """Greedy context-window packing of documents into ≤256-token packs
     (rows-only: pack composition depends on partitioning by design; the
@@ -698,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": _q_curated_docs,
         "scrubbed_docs": _q_scrubbed_docs,
         "packed_docs": _q_packed_docs,
+        "split_val_docs": _q_split_val_docs,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)

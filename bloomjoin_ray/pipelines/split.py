@@ -1,0 +1,57 @@
+"""Deterministic dataset splitting (train/val/test) by content hash.
+
+The split of a row depends only on its key's canonical 64-bit hash —
+never on partitioning, block order, or a random seed — so re-running on
+a reshuffled or incrementally-grown corpus keeps every existing row in
+its original split (the property a training pipeline actually needs;
+``Dataset.split_proportionately`` is positional and loses it). Each
+output is a lazy filtered view: no shuffle, no materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.keys import hash_keys64
+
+
+def split_by_hash(ds, key_cols, fractions: dict[str, float],
+                  *, seed_salt: str = ""):
+    """Partition ``ds`` into named splits by hash of ``key_cols``.
+
+    ``fractions`` maps split name → fraction; must sum to ≤ 1 (any
+    remainder is dropped — useful for subsampling). Returns
+    ``{name: Dataset}``. Rows with equal keys always land in the same
+    split (dedup-safe). ``seed_salt`` derives an independent split
+    assignment from the same keys (e.g. per-epoch holdouts).
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    names = list(fractions)
+    edges = np.cumsum([fractions[n] for n in names])
+    cuts = (edges * float(1 << 64)).astype(np.float64)
+
+    def make_filter(lo: float, hi: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = hash_keys64(batch, key_cols)
+            if seed_salt:
+                from ..functions.keys import mix_in, splitmix64, fnv1a64_strings
+
+                salt = splitmix64(fnv1a64_strings(
+                    pa.array([seed_salt] * batch.num_rows)))
+                h = splitmix64(mix_in(h, salt))
+            hf = h.astype(np.float64)
+            return batch.filter(pa.array((hf >= lo) & (hf < hi)))
+
+        return fn
+
+    out = {}
+    lo = 0.0
+    for name, hi in zip(names, cuts):
+        out[name] = ds.map_batches(make_filter(lo, float(hi)),
+                                   batch_format="pyarrow")
+        lo = float(hi)
+    return out

@@ -1,0 +1,63 @@
+"""Deterministic hash splits: disjoint + exhaustive, partition-invariant,
+stable under corpus growth, salt-independent assignments."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from bloomjoin_ray.pipelines.split import split_by_hash
+
+
+def _docs(n, start=0):
+    return pa.table({"doc_id": pa.array(range(start, start + n),
+                                        type=pa.int64()),
+                     "v": pa.array(np.arange(start, start + n) * 0.5)})
+
+
+def test_split_disjoint_exhaustive_and_sized(ray_session):
+    import ray.data as rd
+
+    n = 20_000
+    ds = rd.from_arrow(_docs(n)).repartition(8)
+    splits = split_by_hash(ds, "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    frames = {k: v.to_pandas() for k, v in splits.items()}
+    ids = [set(f["doc_id"]) for f in frames.values()]
+    assert sum(len(s) for s in ids) == n          # disjoint + exhaustive
+    assert set().union(*ids) == set(range(n))
+    assert abs(len(frames["train"]) / n - 0.8) < 0.02
+    assert abs(len(frames["val"]) / n - 0.1) < 0.01
+
+
+def test_split_partition_invariant_and_growth_stable(ray_session):
+    import ray.data as rd
+
+    fr = {"train": 0.9, "test": 0.1}
+    a = split_by_hash(rd.from_arrow(_docs(5000)).repartition(2),
+                      "doc_id", fr)["test"].to_pandas()
+    b = split_by_hash(rd.from_arrow(_docs(5000)).repartition(11),
+                      "doc_id", fr)["test"].to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])   # partition invariance
+    # growing the corpus never moves an existing row between splits
+    big = split_by_hash(rd.from_arrow(_docs(8000)), "doc_id",
+                        fr)["test"].to_pandas()
+    assert set(a["doc_id"]) == {i for i in big["doc_id"] if i < 5000}
+
+
+def test_split_salt_and_subsample(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs(5000))
+    t1 = split_by_hash(ds, "doc_id", {"h": 0.2})["h"].to_pandas()
+    t2 = split_by_hash(ds, "doc_id", {"h": 0.2},
+                       seed_salt="epoch2")["h"].to_pandas()
+    s1, s2 = set(t1["doc_id"]), set(t2["doc_id"])
+    # independent assignments: overlap ≈ 20% of 20%, far from identical
+    assert len(s1 & s2) < 0.5 * len(s1)
+    # fractions summing under 1 subsample (remainder dropped)
+    sub = split_by_hash(ds, "doc_id", {"keep": 0.3})
+    assert abs(sub["keep"].count() / 5000 - 0.3) < 0.03
+
+    with pytest.raises(ValueError, match="sum"):
+        split_by_hash(ds, "doc_id", {"a": 0.8, "b": 0.4})
