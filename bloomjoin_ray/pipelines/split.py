@@ -32,9 +32,13 @@ def split_by_hash(ds, key_cols, fractions: dict[str, float],
         raise ValueError(f"fractions sum to {total} > 1")
     names = list(fractions)
     edges = np.cumsum([fractions[n] for n in names])
-    cuts = (edges * float(1 << 64)).astype(np.float64)
+    # exact integer comparison on the hash's top 53 bits: float64 edges
+    # at 2^64 would round and could drop/duplicate boundary rows; 53-bit
+    # cuts are exactly representable, and a 1.0 edge (2^53) strictly
+    # exceeds every 53-bit hash prefix, so nothing is ever lost
+    cuts = [int(round(float(e) * (1 << 53))) for e in edges]
 
-    def make_filter(lo: float, hi: float):
+    def make_filter(lo: int, hi: int):
         def fn(batch: pa.Table) -> pa.Table:
             h = hash_keys64(batch, key_cols)
             if seed_salt:
@@ -43,15 +47,15 @@ def split_by_hash(ds, key_cols, fractions: dict[str, float],
                 salt = splitmix64(fnv1a64_strings(
                     pa.array([seed_salt] * batch.num_rows)))
                 h = splitmix64(mix_in(h, salt))
-            hf = h.astype(np.float64)
-            return batch.filter(pa.array((hf >= lo) & (hf < hi)))
+            h53 = (h >> np.uint64(11)).astype(np.int64)
+            return batch.filter(pa.array((h53 >= lo) & (h53 < hi)))
 
         return fn
 
     out = {}
-    lo = 0.0
+    lo = 0
     for name, hi in zip(names, cuts):
-        out[name] = ds.map_batches(make_filter(lo, float(hi)),
+        out[name] = ds.map_batches(make_filter(lo, hi),
                                    batch_format="pyarrow")
-        lo = float(hi)
+        lo = hi
     return out
