@@ -146,11 +146,14 @@ def pack_documents(ds, max_tokens: int, *, id_col: str = "doc_id",
                              "pack_id": pa.array([], type=pa.int64()),
                              "n_tokens": pa.array([], type=pa.int64()),
                              "pack_seq": pa.array([], type=pa.int32())})
+        import pyarrow.compute as pc
+
         if token_col is not None:
-            ntok = np.asarray(batch.column(token_col), dtype=np.int64)
+            counts = batch.column(token_col)
         else:
-            ntok = np.asarray(token_count(batch.column(text_col)),
-                              dtype=np.int64)
+            counts = token_count(batch.column(text_col))
+        # null text / null counts pack as zero-token docs
+        ntok = np.asarray(pc.fill_null(counts, 0), dtype=np.int64)
         order = np.argsort(-ntok, kind="stable")
         s = ntok[order]
         csum = np.cumsum(s)
