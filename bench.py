@@ -329,6 +329,10 @@ def _run_probe_gated(queries) -> tuple[dict, dict]:
 
     do_probe = os.environ.get("GRAFT_QUERY_PROBES", "1") == "1"
     max_wait = float(os.environ.get("GRAFT_QUERY_CLEAN_MAX_WAIT", "180"))
+    # global cap on time spent WAITING for clean windows across the whole
+    # run — a persistently-throttled host must still produce an artifact
+    # (min-over-all-attempts) before any driver-side timeout
+    wait_budget = float(os.environ.get("GRAFT_TOTAL_WAIT_BUDGET", "600"))
     timings: dict[str, float] = {}
     probes: dict[str, list] = {}
     for name, fn in queries:
@@ -355,8 +359,10 @@ def _run_probe_gated(queries) -> tuple[dict, dict]:
                       f"(throttled) — waiting for a clean window",
                       file=sys.stderr)
                 w0 = time.time()
-                while p > CLEAN_THRESHOLD and time.time() - w0 < max_wait:
+                while (p > CLEAN_THRESHOLD and time.time() - w0 < max_wait
+                       and wait_budget > 0):
                     time.sleep(15)
+                    wait_budget -= 15
                     p = _probe_subproc()
         clean_secs = [a[0] for a in attempts
                       if a[1] < 0 or a[1] <= CLEAN_THRESHOLD]
