@@ -412,6 +412,11 @@ def run_scaling(lo: int, hi: int, *, n_convs: int | None = None,
                    # the parent just probe-gated this level; don't gate
                    # again inside the child (max_wait could idle 480s)
                    GRAFT_WAIT_CLEAN="0",
+                   # children get a tighter per-run wait budget so a
+                   # persistently dirty host can't stall the whole
+                   # artifact past a driver timeout
+                   GRAFT_TOTAL_WAIT_BUDGET=os.environ.get(
+                       "GRAFT_TOTAL_WAIT_BUDGET", "300"),
                    # this host's hypervisor throttles CPU invisibly (pure
                    # in-task numpy measured 2.8s vs 20s run-to-run with 0-2%
                    # reported steal); min-of-N per query estimates the
