@@ -72,8 +72,11 @@ SCALING_BLOCKS = int(os.environ.get("GRAFT_SCALING_BLOCKS", "256"))
 OBJ_STORE_GB = int(os.environ.get("GRAFT_OBJ_STORE_GB", "64"))
 ONLY_TRANSCRIPTS = os.environ.get("GRAFT_BENCH_ONLY", "") == "transcripts"
 # this sandbox is a noisy shared host (significant CPU steal): report the
-# best of N repeats per query so neighbor load doesn't dominate the numbers
-REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+# best of N clean repeats per query so neighbor load doesn't dominate the
+# numbers. 3 by default: the sustained-load throttle passes brief probes
+# by construction, so extra repeats are the only lever that samples past
+# an episode (each costs ~1-3 s clean)
+REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
 
 
 def _transcript_dir() -> str:
