@@ -354,7 +354,12 @@ def _run_probe_gated(queries) -> tuple[dict, dict]:
                 clean += 1
                 continue
             p = _probe_subproc()
-            attempts.append([dt, round(p, 2)])
+            # classify against the SAME value the artifact stores, so the
+            # embedded evidence always explains the decision (a raw
+            # 1.3049 rounding to a "clean-looking" 1.30 must not sneak
+            # its timing back into the clean minimum)
+            p = round(p, 2)
+            attempts.append([dt, p])
             if p <= CLEAN_THRESHOLD:
                 clean += 1
             else:

@@ -627,16 +627,9 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
         return out.append_column(
             rank_col, pa.array((rank[keep] + 1).astype(np.int64)))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        h = hash_keys64(batch, key)
-        b = (h % np.uint64(64)).astype(np.int32)
-        return batch.append_column("__gbucket", pa.array(b))
-
     from .buckets import packed_bucket_map_groups
 
-    return packed_bucket_map_groups(
-        summed.map_batches(add_bucket, batch_format="pyarrow"),
-        None, per_key_topk, pre_bucketed=True)
+    return packed_bucket_map_groups(summed, key, per_key_topk)
 
 
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,

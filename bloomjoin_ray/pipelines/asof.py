@@ -31,27 +31,45 @@ from ..functions.keys import hash_keys64, hash_keys64_pair
 
 
 def _order_key(col, name: str) -> np.ndarray:
-    """int64 order key for a timestamp/integer column (nulls → 0; callers
-    only read positions whose validity is already established)."""
+    """int64 order key for an orderable column (nulls → 0; callers only
+    read positions whose validity is already established). Timestamps,
+    dates and integers cast; floats map through the IEEE-754 monotone
+    bit transform (order-preserving into int64)."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if pa.types.is_timestamp(col.type) or pa.types.is_integer(col.type):
+    t = col.type
+    if (pa.types.is_timestamp(t) or pa.types.is_integer(t)
+            or pa.types.is_date64(t)):
         return np.asarray(pc.fill_null(col.cast(pa.int64()), 0))
-    raise TypeError(f"asof_join column {name!r} must be timestamp or "
-                    f"integer, got {col.type}")
+    if pa.types.is_date32(t):
+        return np.asarray(pc.fill_null(col.cast(pa.int32()), 0)).astype(np.int64)
+    if pa.types.is_floating(t):
+        v = np.asarray(pc.fill_null(col.cast(pa.float64()), 0.0))
+        b = v.view(np.int64)
+        # monotone IEEE map: non-negatives keep their bits, negatives
+        # flip magnitude bits so more-negative sorts lower
+        return b ^ ((b >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+    raise TypeError(f"asof_join column {name!r} must be timestamp, date, "
+                    f"integer or float, got {t}")
 
 
 def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
               num_buckets: int = 64, suffixes=("", "_right"),
-              direction: str = "backward"):
-    """Left as-of join of two Datasets. ``on`` must be an orderable column
-    present on both sides (timestamp/integer); ``by`` the equality
-    key(s), or None for a pure temporal join. Returns a Dataset with all
-    left rows + matched right columns (nulls when no match)."""
+              direction: str = "backward",
+              broadcast_limit_rows: int = 5_000_000):
+    """Left as-of join of two Datasets. ``on`` must be an orderable
+    column present on both sides (timestamp/date/integer/float); ``by``
+    the equality key(s), or None for a pure temporal join. Returns a
+    Dataset with all left rows + matched right columns (nulls when no
+    match).
+
+    Without ``by`` there is nothing to partition on: a right side of ≤
+    ``broadcast_limit_rows`` broadcasts once (``ray.put``) and the left
+    side streams through a vectorized ``searchsorted`` zipper per batch
+    (fully distributed); a larger right side routes both sides through
+    one exact single-bucket sweep instead."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    if not by_cols:
-        num_buckets = 1                      # nothing to partition by
 
     left_schema = _schema_of(ds_left)
     right_schema = _schema_of(ds_right)
@@ -62,6 +80,16 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
         [left_schema.field(c) for c in left_schema.names]
         + [pa.field(rename_right[c], right_schema.field(c).type)
            for c in right_keep])
+
+    if not by_cols:
+        from .join import _materialize_if_small
+
+        right_tbl = _materialize_if_small(ds_right, broadcast_limit_rows)
+        if right_tbl is not None:
+            return _broadcast_asof(ds_left, right_tbl, on, right_keep,
+                                   rename_right, left_schema, out_schema,
+                                   negate=direction == "forward")
+        num_buckets = 1                      # too large to broadcast
 
     unified = pa.schema(
         [pa.field(f"__l_{c}", left_schema.field(c).type)
@@ -179,6 +207,56 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
     return packed_bucket_map_groups(tagged, None, join_bucket,
                                     num_buckets=num_buckets,
                                     bucket_col="__bucket", pre_bucketed=True)
+
+
+def _broadcast_asof(ds_left, right_tbl: pa.Table, on: str,
+                    right_keep: list[str], rename_right: dict,
+                    left_schema: pa.Schema, out_schema: pa.Schema, *,
+                    negate: bool):
+    """No-``by`` as-of with a broadcastable right side: the right rows
+    sort once on the driver, ship via one ``ray.put``, and every left
+    batch matches with a vectorized ``searchsorted`` (side='right' − 1 =
+    the latest right ≤ each left ``on``, last among duplicates — the
+    same tie rule as the bucketed sweep). The left side never
+    materializes; no pandas."""
+    import ray
+
+    rvalid = np.asarray(pc.is_valid(right_tbl.column(on)))
+    rsub = (right_tbl.filter(pa.array(rvalid))
+            if not rvalid.all() else right_tbl)
+    rt = _order_key(rsub.column(on), on)
+    if negate:
+        rt = -rt
+    order = np.argsort(rt, kind="stable")
+    ref = ray.put((rt[order], rsub.take(pa.array(order)).combine_chunks()))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        times, right = ray.get(ref)
+        n = batch.num_rows
+        lt = _order_key(batch.column(on), on)
+        if negate:
+            lt = -lt
+        lvalid = np.asarray(pc.is_valid(batch.column(on)))
+        j = np.searchsorted(times, lt, side="right") - 1
+        valid = (j >= 0) & lvalid if len(times) else np.zeros(n, dtype=bool)
+        jj = np.where(valid, j, 0)
+        arrays = []
+        for c in left_schema.names:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            arrays.append(col.cast(out_schema.field(c).type))
+        mask = pa.array(valid)
+        ro = pa.array(jj)
+        for c in right_keep:
+            col = right.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            taken = col.take(ro) if len(times) else pa.nulls(n, col.type)
+            if len(times) and not valid.all():
+                taken = pc.if_else(mask, taken, pa.nulls(n, col.type))
+            arrays.append(taken)
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    return ds_left.map_batches(fn, batch_format="pyarrow")
 
 
 def _schema_of(ds) -> pa.Schema:

@@ -38,15 +38,24 @@ def split_by_hash(ds, key_cols, fractions: dict[str, float],
     # exceeds every 53-bit hash prefix, so nothing is ever lost
     cuts = [int(round(float(e) * (1 << 53))) for e in edges]
 
+    if seed_salt:
+        from ..functions.keys import fnv1a64_strings, splitmix64
+
+        # the salt hash is a per-call constant — compute it once, not
+        # per row per batch
+        salt_h = np.uint64(splitmix64(fnv1a64_strings(
+            pa.array([seed_salt], type=pa.string())))[0])
+    else:
+        salt_h = None
+
     def make_filter(lo: int, hi: int):
         def fn(batch: pa.Table) -> pa.Table:
             h = hash_keys64(batch, key_cols)
-            if seed_salt:
-                from ..functions.keys import mix_in, splitmix64, fnv1a64_strings
+            if salt_h is not None:
+                from ..functions.keys import mix_in, splitmix64
 
-                salt = splitmix64(fnv1a64_strings(
-                    pa.array([seed_salt] * batch.num_rows)))
-                h = splitmix64(mix_in(h, salt))
+                h = splitmix64(mix_in(
+                    h, np.full(len(h), salt_h, dtype=np.uint64)))
             h53 = (h >> np.uint64(11)).astype(np.int64)
             return batch.filter(pa.array((h53 >= lo) & (h53 < hi)))
 

@@ -161,8 +161,14 @@ def pack_documents(ds, max_tokens: int, *, id_col: str = "doc_id",
         base = 0
         while bounds[-1] < n:
             i0 = bounds[-1]
-            limit = base + max(max_tokens, int(s[i0]))
-            j = max(int(np.searchsorted(csum, limit, side="right")), i0 + 1)
+            if s[i0] > max_tokens:
+                # an over-budget doc is a TRUE single-doc pack — don't
+                # let trailing zero-token docs ride along (consumers
+                # rely on the lone-doc invariant to truncate)
+                j = i0 + 1
+            else:
+                j = max(int(np.searchsorted(csum, base + max_tokens,
+                                            side="right")), i0 + 1)
             bounds.append(j)
             base = int(csum[j - 1])
         bounds = np.asarray(bounds, dtype=np.int64)

@@ -158,3 +158,42 @@ def test_asof_forward_no_by(frames):
     assert len(g) == len(w)
     pd.testing.assert_frame_equal(g[["score"]].fillna(-9), w[["score"]].fillna(-9),
                                   check_dtype=False, rtol=1e-12)
+
+
+def test_asof_no_by_big_right_single_bucket_matches_broadcast(frames):
+    """Forcing the right side over the broadcast limit routes through
+    the single-bucket sweep — identical output to the broadcast zipper."""
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    r = dsr.drop_columns(["user_id"])
+    a = (asof_join(dsl, r, on="ts").to_pandas()
+         .sort_values(["user_id", "ts", "value"]).reset_index(drop=True))
+    b = (asof_join(dsl, r, on="ts", broadcast_limit_rows=10).to_pandas()
+         .sort_values(["user_id", "ts", "value"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_float_on_column(ray_session):
+    """Float `on` columns work (IEEE monotone order key), including
+    negatives — parity with pandas merge_asof."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({"k": rng.integers(0, 5, 300),
+                         "x": rng.normal(size=300)})
+    right = pd.DataFrame({"k": np.repeat(np.arange(5), 6),
+                          "x": rng.normal(size=30),
+                          "y": rng.normal(size=30)})
+    got = (asof_join(rd.from_arrow(pa.Table.from_pandas(left)),
+                     rd.from_arrow(pa.Table.from_pandas(right)),
+                     on="x", by="k").to_pandas()
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    want = (pd.merge_asof(left.sort_values("x", kind="stable"),
+                          right.sort_values("x", kind="stable"),
+                          on="x", by="k")
+            .sort_values(["k", "x"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["y"]].fillna(-9), want[["y"]].fillna(-9),
+                                  check_dtype=False, rtol=1e-12)

@@ -218,3 +218,20 @@ def test_pack_documents_invariants(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert (a["n_tokens"].values == b["n_tokens"].values).all()
+
+
+def test_pack_documents_overlong_doc_is_alone(ray_session):
+    """Over-budget docs form TRUE single-doc packs even when zero-token
+    docs are present (review finding: zero-token docs must not ride
+    along on the lone-doc invariant)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import pack_documents
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array([" ".join(["t"] * 900), None, "",
+                                    "a b c"], type=pa.string())})
+    out = pack_documents(rd.from_arrow(t), 512).to_pandas()
+    big_pack = out.loc[out["doc_id"] == 1, "pack_id"].iloc[0]
+    assert (out["pack_id"] == big_pack).sum() == 1   # truly alone
+    assert len(out) == 4
