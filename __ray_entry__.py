@@ -260,6 +260,45 @@ def _q_scrubbed_docs(sf_dir: str):
                       [(r"\b(spark|table)\b", "<TOK>"), (r"\s+", " ")])
 
 
+def _q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals per document (dup-line fraction,
+    dup-line char fraction, top-token share, dup word-2-gram fraction);
+    every metric is integer arithmetic + ONE float64 division, so the
+    DuckDB oracle pins the values bit-for-bit."""
+    from bloomjoin_ray.pipelines.text import repetition_stats
+
+    out = repetition_stats(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]))
+    return out.select_columns(["doc_id", "dup_line_frac",
+                               "dup_line_char_frac", "top_token_frac",
+                               "dup_ngram_frac"])
+
+
+def _mod20_split(sf_dir: str):
+    """documents split by doc_id % 20: (train, eval) — the deterministic
+    held-out set for the decontamination query (SQL-replicable, unlike
+    the engine's content-hash split)."""
+    def part(want_eval):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = (np.asarray(batch.column("doc_id")) % 20) == 0
+            return batch.filter(pa.array(m if want_eval else ~m))
+        return _read(sf_dir, "documents",
+                     columns=["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow")
+    return part(False), part(True)
+
+
+def _q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: flag train docs (doc_id % 20 != 0)
+    sharing any word 3-gram with the eval split (doc_id % 20 == 0) —
+    Bloom prefilter inside the corpus explode pass, exact semi-join on
+    survivors; returns each contaminated doc's exact shared-gram count."""
+    from bloomjoin_ray.pipelines.decontam import contaminated_counts
+
+    train, ev = _mod20_split(sf_dir)
+    return contaminated_counts(train, ev, n=3)
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -700,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
         "doc_text_stats": _q_doc_stats,
+        "repetition_stats_docs": _q_repetition_docs,
+        "decontam_docs": _q_decontam_docs,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
         "events_tumbling": _q_events_tumbling,
@@ -954,6 +995,72 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(length(text), 1)
                         ELSE 0.0 END AS punct_ratio
             FROM documents
+        """,
+        "repetition_stats_docs": """
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            lines AS (
+              SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+              FROM base),
+            lc AS (
+              SELECT doc_id, line, count(*) AS c, length(line) AS chars
+              FROM lines GROUP BY doc_id, line),
+            lstat AS (
+              SELECT doc_id,
+                     (sum(c) - count(*))::DOUBLE / sum(c) AS dup_line_frac,
+                     CASE WHEN sum(chars * c) = 0 THEN 0.0
+                          ELSE sum(CASE WHEN c > 1 THEN chars * c
+                                        ELSE 0 END)::DOUBLE / sum(chars * c)
+                     END AS dup_line_char_frac
+              FROM lc GROUP BY doc_id),
+            words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM base),
+            tc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS tok FROM words)
+              GROUP BY doc_id, tok),
+            tstat AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac
+              FROM tc GROUP BY doc_id),
+            gc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS g
+                    FROM words, UNNEST(range(1, len(ws))) AS s(i)
+                    WHERE len(ws) >= 2)
+              GROUP BY doc_id, g),
+            gstat AS (
+              SELECT doc_id,
+                     (sum(c) - count(*))::DOUBLE / sum(c) AS dup_ngram_frac
+              FROM gc GROUP BY doc_id)
+            SELECT b.doc_id,
+                   l.dup_line_frac,
+                   l.dup_line_char_frac,
+                   coalesce(t.top_token_frac, 0.0) AS top_token_frac,
+                   coalesce(g.dup_ngram_frac, 0.0) AS dup_ngram_frac
+            FROM base b
+            LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN tstat t USING (doc_id)
+            LEFT JOIN gstat g USING (doc_id)
+        """,
+        "decontam_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+            SELECT doc_id, count(*) AS n_contaminated
+            FROM grams JOIN eval_g USING (g)
+            WHERE doc_id % 20 <> 0
+            GROUP BY doc_id
         """,
         "ngram_jaccard_docs": """
             WITH toks AS (

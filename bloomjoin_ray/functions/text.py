@@ -39,6 +39,18 @@ def _strings_to_list(arr) -> list:
     return list(arr)
 
 
+def _as_string_array(texts) -> pa.Array:
+    """Normalize any text input to one pa.string() Array (lists →
+    Arrow, chunked → combined, all-null blocks' null type → string)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(_strings_to_list(texts), type=pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_null(texts.type):
+        texts = texts.cast(pa.string())
+    return texts
+
+
 def token_count(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count (number of ``\\S+`` runs), vectorized via
     Arrow kernels. SQL parity: ``len(list_filter(string_split_regex(text,
@@ -158,10 +170,7 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     are doc *i*'s token hashes (empty tokens dropped, matching
     ``str.split()``; null text ⇒ zero tokens).
     """
-    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = pa.array(list(texts), type=pa.string())
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
+    texts = _as_string_array(texts)
     toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(texts, "")),
                                   r"\s+")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
@@ -238,19 +247,26 @@ def fingerprint64(texts, window: int = 4) -> np.ndarray:
     return out
 
 
-def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
+def word_ngram_hashes(text: str | None, n: int = 3, *,
+                      pad: bool = True) -> np.ndarray:
     """Word n-gram hash set (uint64) of one document — the right shingle
     granularity for small-vocabulary corpora where every character
     k-shingle is document-frequency-pruned away. Token hashing uses the
     vectorized FNV kernel (no per-token Python hashing). Single-doc view
-    of ``word_ngram_hashes_batch`` (identical hashes by construction)."""
+    of ``word_ngram_hashes_batch`` (identical hashes by construction).
+    ``pad=False`` gives strict-window semantics: a doc with fewer than
+    ``n`` tokens yields NO n-grams (the decontamination contract —
+    SQL-replicable without a pad sentinel)."""
     if not text:
         return np.empty(0, dtype=np.uint64)
     hs, _ = batch_token_hashes(pa.array([text], type=pa.string()))
+    if not pad and len(hs) < n:
+        return np.empty(0, dtype=np.uint64)
     return np.unique(_rolling_ngram_hashes(hs, n))
 
 
-def word_ngram_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def word_ngram_hashes_batch(texts, n: int = 3, *,
+                            pad: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc sorted-unique word n-gram hash sets for a WHOLE batch,
     fully vectorized: one Arrow tokenize+FNV pass
     (``batch_token_hashes``), one scatter of every doc's token hashes
@@ -263,27 +279,31 @@ def word_ngram_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
     is doc *i*'s set; empty/null docs get zero n-grams (matching
     ``word_ngram_hashes``); whitespace-only non-empty docs get the one
-    all-pad n-gram."""
-    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
-        texts = pa.array(_strings_to_list(texts), type=pa.string())
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
+    all-pad n-gram. ``pad=False`` gives strict-window semantics: docs
+    with fewer than ``n`` tokens yield NO n-grams."""
+    texts = _as_string_array(texts)
     nd = len(texts)
     if nd == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
     th, offs = batch_token_hashes(texts)
     ntok = np.diff(offs)
-    empty_text = np.asarray(pc.binary_length(pc.fill_null(texts, ""))) == 0
-    pl = np.where(empty_text, 0, np.maximum(ntok, n))    # padded len per doc
+    if pad:
+        empty_text = np.asarray(pc.binary_length(pc.fill_null(texts, ""))) == 0
+        pl = np.where(empty_text, 0, np.maximum(ntok, n))  # padded len per doc
+    else:
+        pl = np.where(ntok >= n, ntok, 0)         # strict: short docs drop out
     p = np.concatenate([[0], np.cumsum(pl)])
     total = int(p[-1])
     if total == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(nd + 1, dtype=np.int64)
     padded = np.full(total, _EMPTY_TOKEN_HASH, dtype=np.uint64)
-    nflat = int(ntok.sum())
+    scatter = ntok if pad else np.where(pl > 0, ntok, 0)
+    nflat = int(scatter.sum())
     if nflat:
-        local = np.arange(nflat) - np.repeat(offs[:-1], ntok)
-        padded[np.repeat(p[:-1], ntok) + local] = th
+        src = th if pad else th[np.repeat(pl > 0, ntok)]
+        local = np.arange(nflat) - np.repeat(np.concatenate(
+            [[0], np.cumsum(scatter)])[:-1], scatter)
+        padded[np.repeat(p[:-1], scatter) + local] = src
     m = np.where(pl > 0, pl - n + 1, 0)                  # windows per doc
     W = int(m.sum())
     if W == 0:
@@ -381,3 +401,114 @@ def shingle_hashes_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     out = hs[uniq]
     counts = np.bincount(ws[uniq], minlength=n)
     return out, np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+
+def _per_doc_group_stats(seg: np.ndarray, h: np.ndarray, nd: int):
+    """Group the flat (doc-segment, value-hash) pairs and return per-GROUP
+    arrays ``(gseg, gcount, first_sorted_idx)`` — one entry per distinct
+    value within a doc. One C-level lexsort; no per-doc Python. 64-bit
+    value hashes stand in for the values themselves (within-doc collision
+    odds ~count²/2⁶⁵ — negligible at any real per-document size)."""
+    if len(seg) == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    order = np.lexsort((h, seg))
+    s, hh = seg[order], h[order]
+    new = np.empty(len(s), dtype=bool)
+    new[0] = True
+    new[1:] = (s[1:] != s[:-1]) | (hh[1:] != hh[:-1])
+    gidx = np.cumsum(new) - 1
+    gcount = np.bincount(gidx)
+    return s[new], gcount.astype(np.int64), order[new]
+
+
+def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021 §A1.1), each a single float64 column — all fully vectorized
+    (Arrow split + FNV hash + one lexsort per signal class):
+
+    - ``dup_line_frac``      — fraction of ``\\n``-lines that are repeats
+      of an earlier line: ``(n_lines − n_unique) / n_lines``.
+    - ``dup_line_char_frac`` — fraction of line characters inside lines
+      occurring ≥ 2×: ``Σ_{c≥2}(len·c) / Σ(len·c)`` (0 when no chars).
+    - ``top_token_frac``     — share of tokens taken by the single most
+      frequent token (0 when no tokens).
+    - ``dup_ngram_frac``     — fraction of word ``ngram_n``-grams that
+      are repeats (strict windows, duplicates retained; 0 when a doc has
+      fewer than ``ngram_n`` tokens).
+
+    Null text counts as "" (matching the SQL oracle's ``coalesce``).
+    Exactly SQL-expressible: every metric is integer arithmetic followed
+    by ONE float64 division, so DuckDB reproduces the values bit-for-bit.
+    """
+    texts = _as_string_array(texts)
+    nd = len(texts)
+    if nd == 0:
+        empty = pa.array([], type=pa.float64())
+        return {"dup_line_frac": empty, "dup_line_char_frac": empty,
+                "top_token_frac": empty, "dup_ngram_frac": empty}
+    t = pc.fill_null(texts, "")
+
+    # ---- line metrics (literal '\n' split — matches SQL string_split) ----
+    lines = pc.split_pattern(t, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    loffs = np.asarray(lines.offsets, dtype=np.int64)
+    loffs = loffs - loffs[0]
+    flat = lines.flatten()
+    n_lines = np.diff(loffs)                       # ≥ 1 per doc ("" → [""])
+    lh = splitmix64(fnv1a64_strings(flat))
+    lchars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    lseg = np.repeat(np.arange(nd), n_lines)
+    gseg, gcount, gfirst = _per_doc_group_stats(lseg, lh, nd)
+    n_unique = np.bincount(gseg, minlength=nd)
+    dup_line_frac = (n_lines - n_unique) / n_lines
+    glen = lchars[gfirst]                          # all group members equal
+    total_chars = np.bincount(gseg, weights=(glen * gcount).astype(np.float64),
+                              minlength=nd)
+    dmask = gcount > 1
+    dup_chars = np.bincount(gseg[dmask],
+                            weights=(glen[dmask] * gcount[dmask])
+                            .astype(np.float64), minlength=nd)
+    dup_line_char_frac = np.where(total_chars > 0,
+                                  dup_chars / np.maximum(total_chars, 1.0),
+                                  0.0)
+
+    # ---- token metric ----------------------------------------------------
+    th, toffs = batch_token_hashes(texts)
+    ntok = np.diff(toffs)
+    tseg = np.repeat(np.arange(nd), ntok)
+    gseg, gcount, _ = _per_doc_group_stats(tseg, th, nd)
+    maxc = np.zeros(nd, dtype=np.int64)
+    if len(gseg):
+        np.maximum.at(maxc, gseg, gcount)
+    top_token_frac = np.where(ntok > 0, maxc / np.maximum(ntok, 1), 0.0)
+
+    # ---- word n-gram metric (strict windows, duplicates retained) -------
+    m = np.maximum(ntok - ngram_n + 1, 0)
+    m[ntok < ngram_n] = 0
+    W = int(m.sum())
+    if W and len(th) >= ngram_n:
+        L = len(th) - ngram_n + 1
+        prime = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            acc = th[:L].copy()
+            for j in range(1, ngram_n):
+                acc = acc * prime ^ th[j : j + L]
+        wlocal = np.arange(W) - np.repeat(
+            np.concatenate([[0], np.cumsum(m)])[:-1], m)
+        starts = np.repeat(toffs[:-1], m) + wlocal
+        gh = acc[starts]
+        ngseg = np.repeat(np.arange(nd), m)
+        gseg, gcount, _ = _per_doc_group_stats(ngseg, gh, nd)
+        ng_unique = np.bincount(gseg, minlength=nd)
+        dup_ngram_frac = np.where(m > 0, (m - ng_unique) / np.maximum(m, 1),
+                                  0.0)
+    else:
+        dup_ngram_frac = np.zeros(nd, dtype=np.float64)
+
+    return {"dup_line_frac": pa.array(dup_line_frac, type=pa.float64()),
+            "dup_line_char_frac": pa.array(dup_line_char_frac,
+                                           type=pa.float64()),
+            "top_token_frac": pa.array(top_token_frac, type=pa.float64()),
+            "dup_ngram_frac": pa.array(dup_ngram_frac, type=pa.float64())}

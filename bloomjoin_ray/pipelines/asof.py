@@ -261,6 +261,8 @@ def _broadcast_asof(ds_left, right_tbl: pa.Table, on: str,
 
 def _schema_of(ds) -> pa.Schema:
     schema = ds.schema()
+    if schema is None:  # fully-empty Dataset: Ray loses the schema
+        return pa.schema([])
     base = getattr(schema, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base

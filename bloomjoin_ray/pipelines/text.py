@@ -184,3 +184,53 @@ def pack_documents(ds, max_tokens: int, *, id_col: str = "doc_id",
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text", *, ngram_n: int = 2,
+                     concurrency=None):
+    """Append the Gopher-style repetition signals (Rae et al. 2021 §A1.1)
+    — ``dup_line_frac`` / ``dup_line_char_frac`` / ``top_token_frac`` /
+    ``dup_ngram_frac`` — one vectorized kernel pass per batch
+    (``functions.text.repetition_metrics``), embarrassingly parallel.
+    Exactly SQL-expressible (integer arithmetic + one float64 division
+    per metric), so the oracle pins values bit-for-bit."""
+    from ..functions.text import repetition_metrics
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for name, arr in repetition_metrics(batch.column(text_col),
+                                            ngram_n=ngram_n).items():
+            idx = batch.schema.get_field_index(name)
+            if idx >= 0:
+                batch = batch.set_column(idx, name, arr)
+            else:
+                batch = batch.append_column(name, arr)
+        return batch
+
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
+
+
+def filter_repetitive(ds, text_col: str = "text", *,
+                      max_dup_line_frac: float = 0.3,
+                      max_dup_line_char_frac: float = 0.2,
+                      max_top_token_frac: float = 0.2,
+                      max_dup_ngram_frac: float = 0.2,
+                      ngram_n: int = 2):
+    """Drop repetition-heavy documents (the Gopher repetition-filter
+    rules): a doc survives only if EVERY signal is ≤ its threshold.
+    Defaults mirror the published cutoffs' spirit; pass ``float('inf')``
+    to disable a rule."""
+    from ..functions.text import repetition_metrics
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = repetition_metrics(batch.column(text_col), ngram_n=ngram_n)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for name, cap in (("dup_line_frac", max_dup_line_frac),
+                          ("dup_line_char_frac", max_dup_line_char_frac),
+                          ("top_token_frac", max_top_token_frac),
+                          ("dup_ngram_frac", max_dup_ngram_frac)):
+            if cap != float("inf"):
+                keep &= np.asarray(m[name]) <= cap
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

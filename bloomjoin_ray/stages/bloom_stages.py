@@ -32,15 +32,21 @@ _TREE_MERGE_FANIN = 32
 
 class BloomPartialBuildFn:
     """Callable map_batches stage: block → one partial row
-    (kind: 'keys' | 'bloom', payload: bytes)."""
+    (kind: 'keys' | 'bloom', payload: bytes). ``key_hash_fn`` overrides
+    the canonical ``hash_keys32`` for columns that are ALREADY uniform
+    hashes (full-range int64 the canonicalizer would reject — e.g.
+    decontamination n-gram hashes); it must be an importable callable
+    ``(table, key_cols) -> int32 ndarray``."""
 
-    def __init__(self, key_cols: list[str], m_bits: int, k: int):
+    def __init__(self, key_cols: list[str], m_bits: int, k: int,
+                 key_hash_fn=None):
         self.key_cols = key_cols
         self.m_bits = m_bits
         self.k = k
+        self.key_hash_fn = key_hash_fn or hash_keys32
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = np.unique(hash_keys32(batch, self.key_cols))
+        keys = np.unique(self.key_hash_fn(batch, self.key_cols))
         if keys.nbytes <= self.m_bits // 8:
             kind, payload = "keys", keys.tobytes()
         else:
@@ -63,13 +69,15 @@ def _merge_rows_into(f: BloomSketch, kinds, payloads) -> BloomSketch:
 
 
 def build_bloom_filter(ds, key_cols: list[str], expected_elements: int,
-                       fpr: float, m_bits: int, k: int) -> BloomSketch:
+                       fpr: float, m_bits: int, k: int,
+                       key_hash_fn=None) -> BloomSketch:
     """Full build pass: column-pruned read → per-block partials →
-    (tree-)merge → one filter."""
+    (tree-)merge → one filter. ``key_hash_fn`` as in
+    ``BloomPartialBuildFn``."""
     import ray
 
     partials = ds.select_columns(list(key_cols)).map_batches(
-        BloomPartialBuildFn(list(key_cols), m_bits, k),
+        BloomPartialBuildFn(list(key_cols), m_bits, k, key_hash_fn),
         batch_format="pyarrow",
     ).take_all()
 

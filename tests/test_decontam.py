@@ -1,0 +1,149 @@
+"""Decontamination: exact parity with a brute-force Python oracle
+(token n-gram sets), strict-window kernel semantics, drop/flag modes,
+edge inputs (short / empty / null / whitespace docs, empty eval set)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from bloomjoin_ray.functions.text import (
+    word_ngram_hashes,
+    word_ngram_hashes_batch,
+)
+from bloomjoin_ray.pipelines.decontam import (
+    contaminated_counts,
+    decontaminate,
+    ngram_postings,
+)
+
+RNG = np.random.default_rng(7)
+VOCAB = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+         "kilo lima mike november oscar papa").split()
+
+
+def _doc(n_tok):
+    return " ".join(RNG.choice(VOCAB, size=n_tok))
+
+
+def _corpus(n_docs, lo=3, hi=30):
+    return [_doc(int(RNG.integers(lo, hi))) for _ in range(n_docs)]
+
+
+def _grams(text, n):
+    toks = (text or "").lower().split()
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_counts(train, test, n):
+    eval_grams = set().union(*(_grams(t, n) for t in test)) if test else set()
+    return {i: len(_grams(t, n) & eval_grams)
+            for i, t in enumerate(train) if _grams(t, n) & eval_grams}
+
+
+# ------------------------------------------------ strict-window kernel ----
+
+def test_strict_kernel_matches_single_doc():
+    texts = pa.array(["a b c d", "x y", "", None, "   ", "q q q"],
+                     type=pa.string())
+    flat, offs = word_ngram_hashes_batch(texts, 3, pad=False)
+    for i, t in enumerate(texts.to_pylist()):
+        single = word_ngram_hashes(t, 3, pad=False)
+        assert np.array_equal(np.sort(single), flat[offs[i]:offs[i + 1]])
+    # docs with < n tokens yield NOTHING under strict windows
+    assert offs[2] == offs[1]          # 2-token doc
+    assert offs[-1] - offs[-2] == 1    # "q q q" → one gram
+
+
+def test_strict_kernel_never_pads():
+    # a short doc must not share a gram with another short doc via padding
+    texts = pa.array(["foo bar", "baz qux"], type=pa.string())
+    flat, offs = word_ngram_hashes_batch(texts, 3, pad=False)
+    assert len(flat) == 0 and offs.tolist() == [0, 0, 0]
+
+
+def test_ngram_postings_per_doc_unique(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 0, "text": "w w w w w"},
+                        {"doc_id": 1, "text": "a b a b a b"}])
+    posts = ngram_postings(ds, n=2).to_pandas()
+    # per-doc unique: doc 0 has ONE distinct 2-gram, doc 1 has two
+    assert posts.groupby("doc_id").size().to_dict() == {0: 1, 1: 2}
+
+
+# ------------------------------------------------ end-to-end parity -------
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_counts_match_bruteforce(ray_session, n):
+    import ray.data as rd
+
+    train = _corpus(120)
+    test = _corpus(15)
+    expected = _brute_counts(train, test, n)
+    ds_train = rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(train)]).repartition(7)
+    ds_test = rd.from_items([{"text": t} for t in test]).repartition(3)
+    got = contaminated_counts(ds_train, ds_test, n=n).to_pandas()
+    assert dict(zip(got.doc_id, got.n_contaminated)) == expected
+
+
+def test_drop_and_flag_modes(ray_session):
+    import ray.data as rd
+
+    train = _corpus(80)
+    test = _corpus(10)
+    expected = _brute_counts(train, test, 3)
+    ds_train = rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(train)]).repartition(5)
+    ds_test = rd.from_items([{"text": t} for t in test])
+
+    dropped = decontaminate(ds_train, ds_test, n=3, mode="drop").to_pandas()
+    assert set(dropped.doc_id) == set(range(len(train))) - set(expected)
+
+    flagged = decontaminate(ds_train, ds_test, n=3, mode="flag").to_pandas()
+    assert len(flagged) == len(train)
+    by_id = flagged.set_index("doc_id")
+    for i in range(len(train)):
+        assert by_id.loc[i, "n_contaminated"] == expected.get(i, 0)
+        assert bool(by_id.loc[i, "contaminated"]) == (i in expected)
+    # schema: counts int64, flag bool, original columns preserved
+    assert str(flagged.dtypes["n_contaminated"]) == "int64"
+    assert "text" in flagged.columns
+
+    with pytest.raises(ValueError):
+        decontaminate(ds_train, ds_test, mode="purge")
+
+
+def test_edge_docs_and_empty_eval(ray_session):
+    import ray.data as rd
+
+    ds_train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["alpha bravo charlie delta",
+                          "al br",  # < n tokens: never flagged
+                          "", None, "   "], type=pa.string())}))
+    ds_test = rd.from_items([{"text": "alpha bravo charlie"}])
+    got = contaminated_counts(ds_train, ds_test, n=3).to_pandas()
+    assert dict(zip(got.doc_id, got.n_contaminated)) == {0: 1}
+
+    # eval set with no documents ⇒ nothing contaminated, drop is identity
+    empty = rd.from_items([{"text": ""}])
+    kept = decontaminate(ds_train, empty, n=3, mode="drop").to_pandas()
+    assert set(kept.doc_id) == {0, 1, 2, 3, 4}
+
+
+def test_bloom_prefilter_prunes(ray_session):
+    """The corpus-side posting stream must shrink to ~matches + fpr·grams
+    (the whole point of the Bloom pass): with a disjoint eval set and a
+    tight fpr, the survivor count is a tiny fraction of total grams."""
+    import ray.data as rd
+
+    train = _corpus(200, lo=10, hi=40)
+    # disjoint vocabulary ⇒ zero true contamination
+    test = [" ".join(RNG.choice(["zz", "yy", "xx", "ww"], size=12))
+            for _ in range(10)]
+    ds_train = rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(train)])
+    ds_test = rd.from_items([{"text": t} for t in test])
+    got = contaminated_counts(ds_train, ds_test, n=3, fpr=1e-4).to_pandas()
+    assert len(got) == 0  # exact verify removes every Bloom false positive
