@@ -299,6 +299,14 @@ def _q_decontam_docs(sf_dir: str):
     return contaminated_counts(train, ev, n=3)
 
 
+def _q_vocab_counts(sf_dir: str):
+    """Corpus vocabulary with exact token frequencies (the
+    vocabulary-builder word count) — explode + packed grouped sum."""
+    from bloomjoin_ray.pipelines.text import token_counts
+
+    return token_counts(_read(sf_dir, "documents", columns=["text"]))
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -741,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_text_stats": _q_doc_stats,
         "repetition_stats_docs": _q_repetition_docs,
         "decontam_docs": _q_decontam_docs,
+        "vocab_counts_docs": _q_vocab_counts,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
         "events_tumbling": _q_events_tumbling,
@@ -1044,6 +1053,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lstat l USING (doc_id)
             LEFT JOIN tstat t USING (doc_id)
             LEFT JOIN gstat g USING (doc_id)
+        """,
+        "vocab_counts_docs": """
+            SELECT tok AS token, count(*) AS n
+            FROM (SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS tok
+                  FROM documents)
+            GROUP BY tok
         """,
         "decontam_docs": """
             WITH toks AS (

@@ -234,3 +234,34 @@ def filter_repetitive(ds, text_col: str = "text", *,
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_counts(ds, text_col: str = "text", *, token_col: str = "token",
+                 count_col: str = "n"):
+    """Corpus-wide token frequency (the vocabulary-builder word count):
+    one vectorized Arrow lower+split explode per batch, per-block
+    pre-count + packed grouped sum (integer counts — order-independent,
+    no sort-shuffle floor). Returns Dataset[token_col, count_col].
+    Tokenization matches ``functions.text.batch_token_hashes``
+    (lowercase, ``\\s+`` split, empties dropped) so the SQL oracle
+    replicates it exactly."""
+    import pyarrow.compute as pc
+
+    from .aggregate import grouped_assoc_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")),
+                                      r"\s+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        return pa.table({token_col: flat})
+
+    posts = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    return grouped_assoc_agg(posts, [token_col], count_col=count_col)

@@ -96,3 +96,16 @@ def test_filter_repetitive(ray_session):
         max_top_token_frac=float("inf"),
         max_dup_ngram_frac=float("inf")).to_pandas()
     assert set(all_kept.doc_id) == {0, 1}
+
+
+def test_token_counts_matches_counter(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from bloomjoin_ray.pipelines.text import token_counts
+
+    docs = [_random_doc() for _ in range(60)] + ["", None, "  "]
+    exp = Counter(t for d in docs for t in (d or "").lower().split())
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, type=pa.string())}))
+    got = token_counts(ds.repartition(5)).to_pandas()
+    assert dict(zip(got.token, got.n)) == dict(exp)
