@@ -82,11 +82,17 @@ def _eval_grams(ds_eval, *, text_col: str, n: int):
 
 def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 13,
-                        fpr: float = 1e-3):
+                        fpr: float = 1e-3,
+                        max_filter_bits: int = 1 << 33):
     """Dataset[id_col, n_contaminated] — one row per contaminated train
     doc with its EXACT count of distinct n-grams shared with the eval
     set (Bloom prefilter inside the corpus explode pass; exact semi-join
-    on the survivors removes Bloom false positives)."""
+    on the survivors removes Bloom false positives).
+
+    ``max_filter_bits`` budgets the broadcast exactly like
+    ``bloom_join``'s (default 2^33 bits = 1 GiB): an eval set whose
+    filter would exceed it skips the Bloom pass and routes every posting
+    to the exact semi-join — correct, just a heavier exchange."""
     import ray
 
     from ..params import bloom_sizing
@@ -101,9 +107,12 @@ def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
     if n_grams == 0:      # eval side has no n-grams ⇒ nothing contaminated
         return _empty_counts(ds_train, id_col)
     m_bits, k = bloom_sizing(max(n_grams, 1), fpr)
-    filt = build_bloom_filter(tg, [_NGRAM_COL], max(n_grams, 1), fpr,
-                              m_bits, k, key_hash_fn=_gram_hash32)
-    filt_ref = ray.put(filt)
+    if m_bits <= max_filter_bits:
+        filt_ref = ray.put(build_bloom_filter(
+            tg, [_NGRAM_COL], max(n_grams, 1), fpr, m_bits, k,
+            key_hash_fn=_gram_hash32))
+    else:  # over budget: no broadcast — every posting pays the exact join
+        filt_ref = None
 
     from ..functions.text import word_ngram_hashes_batch
 
@@ -111,7 +120,6 @@ def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
         """Fused corpus pass: tokenize → strict n-grams → Bloom prune.
         The filter ObjectRef resolves zero-copy per task (ray.put once,
         read everywhere — never re-shipped per batch)."""
-        f = ray.get(filt_ref)
         ids = batch.column(id_col)
         ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
         flat, offs = word_ngram_hashes_batch(batch.column(text_col), n,
@@ -120,6 +128,9 @@ def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
         idx = np.repeat(np.arange(len(counts)), counts)
         posts = pa.table({id_col: ids.take(pa.array(idx)),
                           _NGRAM_COL: pa.array(flat.view(np.int64))})
+        if filt_ref is None:
+            return posts
+        f = ray.get(filt_ref)
         keep = f.contains_batch(_gram_hash32(posts, [_NGRAM_COL]))
         return posts.filter(pa.array(keep))
 

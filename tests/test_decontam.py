@@ -147,3 +147,19 @@ def test_bloom_prefilter_prunes(ray_session):
     ds_test = rd.from_items([{"text": t} for t in test])
     got = contaminated_counts(ds_train, ds_test, n=3, fpr=1e-4).to_pandas()
     assert len(got) == 0  # exact verify removes every Bloom false positive
+
+
+def test_filter_budget_fallback(ray_session):
+    """An eval set whose Bloom would exceed max_filter_bits skips the
+    broadcast and still returns exact counts via the plain semi-join."""
+    import ray.data as rd
+
+    train = _corpus(60)
+    test = _corpus(8)
+    expected = _brute_counts(train, test, 3)
+    ds_train = rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(train)]).repartition(4)
+    ds_test = rd.from_items([{"text": t} for t in test])
+    got = contaminated_counts(ds_train, ds_test, n=3,
+                              max_filter_bits=1).to_pandas()
+    assert dict(zip(got.doc_id, got.n_contaminated)) == expected
