@@ -299,6 +299,34 @@ def _q_decontam_docs(sf_dir: str):
     return contaminated_counts(train, ev, n=3)
 
 
+def _q_curation_full(sf_dir: str):
+    """End-to-end curation chain over the train split (doc_id % 20 != 0):
+    quality filter (token count / punct ratio) → repetition filter
+    (top-token share, dup-2-gram fraction) → exact dedup (keep min
+    doc_id per text) → benchmark decontamination against the eval split
+    (word 5-grams, drop mode). Every stage streams; the whole chain is
+    SQL-expressible so the oracle pins the composition end to end."""
+    from bloomjoin_ray.pipelines.decontam import decontaminate
+    from bloomjoin_ray.pipelines.dedup import exact_dedup
+    from bloomjoin_ray.pipelines.text import filter_repetitive, text_stats
+
+    train, ev = _mod20_split(sf_dir)
+    stats = text_stats(train)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.greater_equal(t["n_tokens"], 20),
+                                pc.less_equal(t["punct_ratio"], 0.05)))
+
+    filtered = filter_repetitive(
+        stats.map_batches(keep, batch_format="pyarrow"),
+        max_dup_line_frac=float("inf"),
+        max_dup_line_char_frac=float("inf"),
+        max_top_token_frac=0.15, max_dup_ngram_frac=0.06)
+    deduped = exact_dedup(filtered, "text", "doc_id")
+    clean = decontaminate(deduped, ev, n=5, mode="drop")
+    return clean.select_columns(["doc_id", "n_tokens"])
+
+
 def _q_vocab_counts(sf_dir: str):
     """Corpus vocabulary with exact token frequencies (the
     vocabulary-builder word count) — explode + packed grouped sum."""
@@ -750,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": _q_repetition_docs,
         "decontam_docs": _q_decontam_docs,
         "vocab_counts_docs": _q_vocab_counts,
+        "curation_full_docs": _q_curation_full,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
         "events_tumbling": _q_events_tumbling,
@@ -1053,6 +1082,61 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN lstat l USING (doc_id)
             LEFT JOIN tstat t USING (doc_id)
             LEFT JOIN gstat g USING (doc_id)
+        """,
+        "curation_full_docs": """
+            WITH tr AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+            s AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(text) - length(regexp_replace(
+                                   text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                               / greatest(length(text), 1)
+                          ELSE 0.0 END AS punct_ratio,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM tr),
+            tstat AS (
+              SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(ws) AS tok FROM s)
+                    GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+            gstat AS (
+              SELECT doc_id,
+                     (sum(c) - count(*))::DOUBLE / sum(c) AS dup_ngram_frac
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, ws[i] || chr(31) || ws[i+1] AS g
+                          FROM s, UNNEST(range(1, len(ws))) AS t(i)
+                          WHERE len(ws) >= 2) GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            f AS (
+              SELECT s.doc_id, s.text, s.n_tokens, s.ws
+              FROM s LEFT JOIN tstat USING (doc_id)
+                     LEFT JOIN gstat USING (doc_id)
+              WHERE s.n_tokens >= 20 AND s.punct_ratio <= 0.05
+                AND coalesce(top_token_frac, 0.0) <= 0.15
+                AND coalesce(dup_ngram_frac, 0.0) <= 0.06),
+            d AS (SELECT * FROM f WHERE doc_id IN
+                    (SELECT min(doc_id) FROM f GROUP BY text)),
+            dg AS (SELECT DISTINCT doc_id,
+                          ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2]
+                          || chr(31) || ws[i+3] || chr(31) || ws[i+4] AS g
+                   FROM d, UNNEST(range(1, len(ws) - 3)) AS t(i)
+                   WHERE len(ws) >= 5),
+            eg AS (SELECT DISTINCT
+                          ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2]
+                          || chr(31) || ws[i+3] || chr(31) || ws[i+4] AS g
+                   FROM (SELECT list_filter(regexp_split_to_array(
+                                    lower(text), '\\s+'), x -> x <> '') AS ws
+                         FROM documents WHERE doc_id % 20 = 0),
+                        UNNEST(range(1, len(ws) - 3)) AS t(i)
+                   WHERE len(ws) >= 5),
+            bad AS (SELECT DISTINCT doc_id FROM dg JOIN eg USING (g))
+            SELECT doc_id, n_tokens FROM d
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "vocab_counts_docs": """
             SELECT tok AS token, count(*) AS n
