@@ -160,16 +160,15 @@ def content_hash128(texts) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
-def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Whitespace-tokenize a whole batch and hash every token — fully
-    vectorized: one Arrow lower+split pass, then the position-wise FNV-1a
-    kernel over the flattened token array (O(total bytes), no per-token
-    Python), finished with splitmix64 for uniform bits.
+def split_tokens(texts) -> tuple[pa.Array, np.ndarray]:
+    """THE batch tokenizer (single home for the tokenization contract:
+    lowercase, ``\\s+`` split, empties dropped — SQL parity
+    ``list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <>
+    '')``). One Arrow lower+split pass for the whole batch.
 
-    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
-    are doc *i*'s token hashes (empty tokens dropped, matching
-    ``str.split()``; null text ⇒ zero tokens).
-    """
+    Returns ``(flat_tokens, offsets)``: ``flat_tokens`` is one string
+    Array, ``flat_tokens[offsets[i]:offsets[i+1]]`` are doc *i*'s tokens
+    (null text ⇒ zero tokens)."""
     texts = _as_string_array(texts)
     toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(texts, "")),
                                   r"\s+")
@@ -177,12 +176,24 @@ def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     doc_offs = np.asarray(toks.offsets).astype(np.int64)
     doc_offs = doc_offs - doc_offs[0]
     flat = toks.flatten()
-    h = splitmix64(fnv1a64_strings(flat))
     # regex split keeps empty pieces at the edges — drop them like
     # str.split() does, remapping the per-doc offsets
     keep = np.asarray(pc.binary_length(flat)) > 0
     kept_cum = np.concatenate([[0], np.cumsum(keep)])
-    return h[keep], kept_cum[doc_offs]
+    return flat.filter(pa.array(keep)), kept_cum[doc_offs]
+
+
+def batch_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Whitespace-tokenize a whole batch and hash every token — the
+    ``split_tokens`` pass followed by the position-wise FNV-1a kernel
+    over the flat token array (O(total bytes), no per-token Python),
+    finished with splitmix64 for uniform bits.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
+    are doc *i*'s token hashes.
+    """
+    flat, offs = split_tokens(texts)
+    return splitmix64(fnv1a64_strings(flat)), offs
 
 
 def simhash64_batch(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -403,7 +414,7 @@ def shingle_hashes_batch(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
     return out, np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
-def _per_doc_group_stats(seg: np.ndarray, h: np.ndarray, nd: int):
+def _per_doc_group_stats(seg: np.ndarray, h: np.ndarray):
     """Group the flat (doc-segment, value-hash) pairs and return per-GROUP
     arrays ``(gseg, gcount, first_sorted_idx)`` — one entry per distinct
     value within a doc. One C-level lexsort; no per-doc Python. 64-bit
@@ -460,7 +471,7 @@ def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
     lh = splitmix64(fnv1a64_strings(flat))
     lchars = np.asarray(pc.utf8_length(flat), dtype=np.int64)
     lseg = np.repeat(np.arange(nd), n_lines)
-    gseg, gcount, gfirst = _per_doc_group_stats(lseg, lh, nd)
+    gseg, gcount, gfirst = _per_doc_group_stats(lseg, lh)
     n_unique = np.bincount(gseg, minlength=nd)
     dup_line_frac = (n_lines - n_unique) / n_lines
     glen = lchars[gfirst]                          # all group members equal
@@ -478,7 +489,7 @@ def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
     th, toffs = batch_token_hashes(texts)
     ntok = np.diff(toffs)
     tseg = np.repeat(np.arange(nd), ntok)
-    gseg, gcount, _ = _per_doc_group_stats(tseg, th, nd)
+    gseg, gcount, _ = _per_doc_group_stats(tseg, th)
     maxc = np.zeros(nd, dtype=np.int64)
     if len(gseg):
         np.maximum.at(maxc, gseg, gcount)
@@ -486,7 +497,6 @@ def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
 
     # ---- word n-gram metric (strict windows, duplicates retained) -------
     m = np.maximum(ntok - ngram_n + 1, 0)
-    m[ntok < ngram_n] = 0
     W = int(m.sum())
     if W and len(th) >= ngram_n:
         L = len(th) - ngram_n + 1
@@ -500,7 +510,7 @@ def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
         starts = np.repeat(toffs[:-1], m) + wlocal
         gh = acc[starts]
         ngseg = np.repeat(np.arange(nd), m)
-        gseg, gcount, _ = _per_doc_group_stats(ngseg, gh, nd)
+        gseg, gcount, _ = _per_doc_group_stats(ngseg, gh)
         ng_unique = np.bincount(gseg, minlength=nd)
         dup_ngram_frac = np.where(m > 0, (m - ng_unique) / np.maximum(m, 1),
                                   0.0)

@@ -24,6 +24,13 @@ Scale shape (100 TB corpus, GB-scale eval set):
 * per-doc counts: packed grouped COUNT (order-independent, no
   sort-shuffle launch floor).
 
+Gram keys travel as TWO int64 columns (low 53 / high 11 bits of the
+64-bit gram hash): the canonical key hasher float64-canonicalizes int
+columns and rejects full-range int64, so a single-column key would
+crash the partitioned join path the moment the eval side outgrows the
+broadcast limit — the split keeps every join path canonical-safe while
+preserving all 64 bits of exactness.
+
 Tokenization matches ``functions.text.batch_token_hashes`` (lowercase,
 ``\\s+`` split, empties dropped), so the oracle replicates it with
 ``regexp_split_to_array(lower(text), '\\s+')``.
@@ -34,56 +41,80 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_NGRAM_COL = "_ngram"  # single underscore: survives the engine's hash_join
+# single underscore: these survive the engine's hash_join (which rejects
+# "__"-prefixed columns)
+_NG_LO = "_ng_lo"
+_NG_HI = "_ng_hi"
+_GRAM_COLS = [_NG_LO, _NG_HI]
+_LO_BITS = np.uint64(53)
+_LO_MASK = np.uint64((1 << 53) - 1)
+
+
+def _split64(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 gram hashes → (low-53-bit, high-11-bit) int64 halves, both
+    inside the canonical hasher's ±2^53 float64-safe range."""
+    return ((flat & _LO_MASK).astype(np.int64),
+            (flat >> _LO_BITS).astype(np.int64))
 
 
 def _gram_hash32(table: pa.Table, key_cols) -> np.ndarray:
-    """int32 bloom keys from the already-uniform 64-bit gram hashes —
-    the same xor-fold ``hash_keys32`` applies to its 64-bit finalizer.
-    (The canonical hasher float64-canonicalizes int columns and rejects
-    full-range int64, so gram hashes must bypass it.)"""
-    v = np.asarray(table.column(key_cols[0])).view(np.uint64)
+    """int32 bloom keys: recombine the split halves to the original
+    uniform 64-bit gram hash, then the same xor-fold ``hash_keys32``
+    applies to its own 64-bit finalizer. Bypasses the canonical hasher
+    (which would float64-canonicalize and reject full-range values)."""
+    lo = np.asarray(table.column(key_cols[0])).view(np.uint64)
+    hi = np.asarray(table.column(key_cols[1])).view(np.uint64)
+    v = lo | (hi << _LO_BITS)
     return (v ^ (v >> np.uint64(32))).astype(np.uint32).view(np.int32)
+
+
+def _posting_table(batch: pa.Table, id_col: str | None, text_col: str,
+                   n: int) -> pa.Table:
+    """THE posting builder (single home for the explode contract):
+    strict-window per-doc-unique word n-gram hashes → split-key posting
+    rows. ``id_col=None`` gives the eval-side shape — block-unique grams
+    only, no id column."""
+    from ..functions.text import word_ngram_hashes_batch
+
+    flat, offs = word_ngram_hashes_batch(batch.column(text_col), n,
+                                         pad=False)
+    if id_col is None:
+        lo, hi = _split64(np.unique(flat))
+        return pa.table({_NG_LO: lo, _NG_HI: hi})
+    counts = np.diff(offs)
+    idx = np.repeat(np.arange(len(counts)), counts)
+    ids = batch.column(id_col)
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    lo, hi = _split64(flat)
+    return pa.table({id_col: ids.take(pa.array(idx)),
+                     _NG_LO: lo, _NG_HI: hi})
 
 
 def ngram_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 13) -> "ray.data.Dataset":  # noqa: F821
-    """Explode documents into (id, n-gram hash) posting rows — strict
-    windows (a doc with < ``n`` tokens emits nothing), per-doc unique."""
-    from ..functions.text import word_ngram_hashes_batch
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col)
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        flat, offs = word_ngram_hashes_batch(batch.column(text_col), n,
-                                             pad=False)
-        counts = np.diff(offs)
-        idx = np.repeat(np.arange(len(counts)), counts)
-        return pa.table({id_col: ids.take(pa.array(idx)),
-                         _NGRAM_COL: pa.array(flat.view(np.int64))})
-
+    """Explode documents into (id, gram-lo, gram-hi) posting rows —
+    strict windows (a doc with < ``n`` tokens emits nothing), per-doc
+    unique. The two gram columns are the split 64-bit hash (see module
+    docstring); recombine as ``lo | hi << 53`` when a single value is
+    needed."""
     return ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pyarrow")
+        lambda b: _posting_table(b, id_col, text_col, n),
+        batch_format="pyarrow")
 
 
 def _eval_grams(ds_eval, *, text_col: str, n: int):
-    """Per-block-unique eval-side n-gram hashes, materialized (bounded by
-    the eval n-gram universe)."""
-    from ..functions.text import word_ngram_hashes_batch
-
-    def explode(batch: pa.Table) -> pa.Table:
-        flat, _ = word_ngram_hashes_batch(batch.column(text_col), n,
-                                          pad=False)
-        return pa.table({_NGRAM_COL: pa.array(np.unique(flat).view(np.int64))})
-
+    """Per-block-unique eval-side gram postings, materialized (bounded
+    by the eval n-gram universe)."""
     return ds_eval.select_columns([text_col]).map_batches(
-        explode, batch_format="pyarrow").materialize()
+        lambda b: _posting_table(b, None, text_col, n),
+        batch_format="pyarrow").materialize()
 
 
 def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 13,
                         fpr: float = 1e-3,
-                        max_filter_bits: int = 1 << 33):
+                        max_filter_bits: int = 1 << 33,
+                        broadcast_limit_rows: int | None = None):
     """Dataset[id_col, n_contaminated] — one row per contaminated train
     doc with its EXACT count of distinct n-grams shared with the eval
     set (Bloom prefilter inside the corpus explode pass; exact semi-join
@@ -92,67 +123,73 @@ def contaminated_counts(ds_train, ds_eval, *, text_col: str = "text",
     ``max_filter_bits`` budgets the broadcast exactly like
     ``bloom_join``'s (default 2^33 bits = 1 GiB): an eval set whose
     filter would exceed it skips the Bloom pass and routes every posting
-    to the exact semi-join — correct, just a heavier exchange."""
+    to the exact semi-join — correct, just a heavier exchange.
+    ``broadcast_limit_rows`` forwards to the semi-join (None = engine
+    default); the partitioned path is split-key-safe by construction."""
     import ray
 
     from ..params import bloom_sizing
     from ..stages.bloom_stages import build_bloom_filter
     from .aggregate import grouped_assoc_agg
+    from .asof import _schema_of
     from .join import hash_join
 
-    if id_col == _NGRAM_COL:
-        raise ValueError(f"id_col may not be named {_NGRAM_COL!r}")
+    if id_col in _GRAM_COLS:
+        raise ValueError(f"id_col may not be named one of {_GRAM_COLS!r}")
+    train_schema = _schema_of(ds_train)
     tg = _eval_grams(ds_eval, text_col=text_col, n=n)
     n_grams = tg.count()  # cheap: tg is materialized
     if n_grams == 0:      # eval side has no n-grams ⇒ nothing contaminated
-        return _empty_counts(ds_train, id_col)
-    m_bits, k = bloom_sizing(max(n_grams, 1), fpr)
+        return _empty_counts(train_schema, id_col)
+    m_bits, k = bloom_sizing(n_grams, fpr)
     if m_bits <= max_filter_bits:
         filt_ref = ray.put(build_bloom_filter(
-            tg, [_NGRAM_COL], max(n_grams, 1), fpr, m_bits, k,
+            tg, _GRAM_COLS, n_grams, fpr, m_bits, k,
             key_hash_fn=_gram_hash32))
     else:  # over budget: no broadcast — every posting pays the exact join
         filt_ref = None
-
-    from ..functions.text import word_ngram_hashes_batch
 
     def explode_and_probe(batch: pa.Table) -> pa.Table:
         """Fused corpus pass: tokenize → strict n-grams → Bloom prune.
         The filter ObjectRef resolves zero-copy per task (ray.put once,
         read everywhere — never re-shipped per batch)."""
-        ids = batch.column(id_col)
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-        flat, offs = word_ngram_hashes_batch(batch.column(text_col), n,
-                                             pad=False)
-        counts = np.diff(offs)
-        idx = np.repeat(np.arange(len(counts)), counts)
-        posts = pa.table({id_col: ids.take(pa.array(idx)),
-                          _NGRAM_COL: pa.array(flat.view(np.int64))})
+        posts = _posting_table(batch, id_col, text_col, n)
         if filt_ref is None:
             return posts
         f = ray.get(filt_ref)
-        keep = f.contains_batch(_gram_hash32(posts, [_NGRAM_COL]))
+        keep = f.contains_batch(_gram_hash32(posts, _GRAM_COLS))
         return posts.filter(pa.array(keep))
 
     survivors = ds_train.select_columns([id_col, text_col]).map_batches(
         explode_and_probe, batch_format="pyarrow")
-    confirmed = hash_join(survivors, tg, {_NGRAM_COL: _NGRAM_COL}, "semi")
+    # static schemas: don't pay a partial pipeline execution per join on
+    # shapes that are already known
+    gram_fields = [pa.field(_NG_LO, pa.int64()), pa.field(_NG_HI, pa.int64())]
+    surv_schema = pa.schema(
+        ([train_schema.field(id_col)] if id_col in train_schema.names else
+         [pa.field(id_col, pa.int64())]) + gram_fields)
+    join_kwargs = ({"broadcast_limit_rows": broadcast_limit_rows}
+                   if broadcast_limit_rows is not None else {})
+    confirmed = hash_join(survivors, tg,
+                          dict(zip(_GRAM_COLS, _GRAM_COLS)), "semi",
+                          x_schema=surv_schema,
+                          y_schema=pa.schema(gram_fields), **join_kwargs)
     counts = grouped_assoc_agg(confirmed.select_columns([id_col]), [id_col],
                                count_col="n_contaminated")
     schema = counts.schema()  # packed reduce already executed; cheap
     if schema is None or not schema.names:
         # zero contaminated docs: Ray lost the fully-empty schema —
         # rebuild a TYPED empty result so downstream joins keep working
-        return _empty_counts(ds_train, id_col)
+        return _empty_counts(train_schema, id_col)
     return counts
 
 
-def _empty_counts(ds_train, id_col: str):
+def _empty_counts(train_schema: pa.Schema, id_col: str):
     import ray.data as rd
 
-    from .asof import _schema_of
-
-    id_type = _schema_of(ds_train).field(id_col).type
+    # an empty train side loses its own schema too — default the id type
+    id_type = (train_schema.field(id_col).type
+               if id_col in train_schema.names else pa.int64())
     return rd.from_arrow(pa.table({
         id_col: pa.array([], type=id_type),
         "n_contaminated": pa.array([], type=pa.int64())}))
@@ -160,6 +197,8 @@ def _empty_counts(ds_train, id_col: str):
 
 def decontaminate(ds_train, ds_eval, *, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 13, fpr: float = 1e-3,
+                  max_filter_bits: int = 1 << 33,
+                  broadcast_limit_rows: int | None = None,
                   mode: str = "drop"):
     """Remove (``mode="drop"``) or annotate (``mode="flag"``) training
     documents sharing ≥ 1 word ``n``-gram with the eval set.
@@ -168,17 +207,25 @@ def decontaminate(ds_train, ds_eval, *, text_col: str = "text",
     ``id_col``); ``flag`` returns every train row plus ``n_contaminated``
     (int64, 0 for clean docs) and ``contaminated`` (bool).
     """
+    from .asof import _schema_of
     from .join import hash_join
 
     if mode not in ("drop", "flag"):
         raise ValueError("mode must be 'drop' or 'flag'")
-    counts = contaminated_counts(ds_train, ds_eval, text_col=text_col,
-                                 id_col=id_col, n=n, fpr=fpr)
+    counts = contaminated_counts(
+        ds_train, ds_eval, text_col=text_col, id_col=id_col, n=n, fpr=fpr,
+        max_filter_bits=max_filter_bits,
+        broadcast_limit_rows=broadcast_limit_rows)
+    train_schema = _schema_of(ds_train)
+    x_schema = train_schema if train_schema.names else None
+    counts_schema = _schema_of(counts)
     if mode == "drop":
         return hash_join(ds_train, counts.select_columns([id_col]),
-                         {id_col: id_col}, "anti")
+                         {id_col: id_col}, "anti", x_schema=x_schema,
+                         y_schema=pa.schema([counts_schema.field(id_col)]))
 
-    flagged = hash_join(ds_train, counts, {id_col: id_col}, "left")
+    flagged = hash_join(ds_train, counts, {id_col: id_col}, "left",
+                        x_schema=x_schema, y_schema=counts_schema)
 
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

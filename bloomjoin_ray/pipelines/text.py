@@ -14,18 +14,24 @@ from ..functions.text import (
 )
 
 
+def _merge_columns(batch: pa.Table, metrics: dict) -> pa.Table:
+    """Set-or-append each metric column (overwrite an existing column of
+    the same name) — the one shared merge policy for stat appenders."""
+    for name, arr in metrics.items():
+        idx = batch.schema.get_field_index(name)
+        if idx >= 0:
+            batch = batch.set_column(idx, name, arr)
+        else:
+            batch = batch.append_column(name, arr)
+    return batch
+
+
 def text_stats(ds, text_col: str = "text", *, concurrency=None):
     """Append n_chars / n_tokens / n_punct / avg_token_len / punct_ratio.
     Vectorized Arrow kernels; SQL-expressible for the oracle."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        for name, arr in quality_metrics(batch.column(text_col)).items():
-            idx = batch.schema.get_field_index(name)
-            if idx >= 0:  # overwrite an existing column of the same name
-                batch = batch.set_column(idx, name, arr)
-            else:
-                batch = batch.append_column(name, arr)
-        return batch
+        return _merge_columns(batch, quality_metrics(batch.column(text_col)))
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
@@ -197,14 +203,8 @@ def repetition_stats(ds, text_col: str = "text", *, ngram_n: int = 2,
     from ..functions.text import repetition_metrics
 
     def fn(batch: pa.Table) -> pa.Table:
-        for name, arr in repetition_metrics(batch.column(text_col),
-                                            ngram_n=ngram_n).items():
-            idx = batch.schema.get_field_index(name)
-            if idx >= 0:
-                batch = batch.set_column(idx, name, arr)
-            else:
-                batch = batch.append_column(name, arr)
-        return batch
+        return _merge_columns(batch, repetition_metrics(
+            batch.column(text_col), ngram_n=ngram_n))
 
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
@@ -242,24 +242,14 @@ def token_counts(ds, text_col: str = "text", *, token_col: str = "token",
     one vectorized Arrow lower+split explode per batch, per-block
     pre-count + packed grouped sum (integer counts — order-independent,
     no sort-shuffle floor). Returns Dataset[token_col, count_col].
-    Tokenization matches ``functions.text.batch_token_hashes``
-    (lowercase, ``\\s+`` split, empties dropped) so the SQL oracle
+    Tokenization is ``functions.text.split_tokens`` (the single home of
+    the lowercase + ``\\s+`` + drop-empties contract) so the SQL oracle
     replicates it exactly."""
-    import pyarrow.compute as pc
-
+    from ..functions.text import split_tokens
     from .aggregate import grouped_assoc_agg
 
     def explode(batch: pa.Table) -> pa.Table:
-        col = batch.column(text_col)
-        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        if pa.types.is_null(col.type):
-            col = col.cast(pa.string())
-        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")),
-                                      r"\s+")
-        toks = (toks.combine_chunks()
-                if isinstance(toks, pa.ChunkedArray) else toks)
-        flat = toks.flatten()
-        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        flat, _ = split_tokens(batch.column(text_col))
         return pa.table({token_col: flat})
 
     posts = ds.select_columns([text_col]).map_batches(

@@ -163,3 +163,20 @@ def test_filter_budget_fallback(ray_session):
     got = contaminated_counts(ds_train, ds_test, n=3,
                               max_filter_bits=1).to_pandas()
     assert dict(zip(got.doc_id, got.n_contaminated)) == expected
+
+
+def test_partitioned_join_path(ray_session):
+    """Force the semi-join's partitioned (non-broadcast) path: the split
+    gram keys must survive the canonical bucketing hasher (a single
+    full-range int64 key column would crash it)."""
+    import ray.data as rd
+
+    train = _corpus(100)
+    test = _corpus(12)
+    expected = _brute_counts(train, test, 3)
+    ds_train = rd.from_items([{"doc_id": i, "text": t}
+                              for i, t in enumerate(train)]).repartition(6)
+    ds_test = rd.from_items([{"text": t} for t in test])
+    got = contaminated_counts(ds_train, ds_test, n=3,
+                              broadcast_limit_rows=0).to_pandas()
+    assert dict(zip(got.doc_id, got.n_contaminated)) == expected
