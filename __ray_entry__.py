@@ -335,6 +335,27 @@ def _q_vocab_counts(sf_dir: str):
     return token_counts(_read(sf_dir, "documents", columns=["text"]))
 
 
+def _q_chunked_docs(sf_dir: str):
+    """RAG-style fixed-token chunking: 16-token windows advancing by 12
+    (overlap 4) over the corpus tokenization; chunk text re-joined with
+    single spaces. Fully vectorized (one take + one binary_join per
+    batch); oracle = DuckDB list-slice + array_to_string."""
+    from bloomjoin_ray.pipelines.text import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]),
+                           16, overlap=4)
+
+
+def _q_doc_frequency(sf_dir: str):
+    """Per-token distinct-document counts (the DF side of TF-IDF) —
+    per-batch (doc, token) dedupe via Arrow group_by, packed
+    order-independent grouped count."""
+    from bloomjoin_ray.pipelines.text import doc_frequency
+
+    return doc_frequency(_read(sf_dir, "documents", columns=["text"]))
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -778,6 +799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": _q_repetition_docs,
         "decontam_docs": _q_decontam_docs,
         "vocab_counts_docs": _q_vocab_counts,
+        "doc_frequency_docs": _q_doc_frequency,
+        "chunked_docs": _q_chunked_docs,
         "curation_full_docs": _q_curation_full,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
@@ -1145,6 +1168,39 @@ def oracle_sql() -> dict[str, str]:
                            x -> x <> '')) AS tok
                   FROM documents)
             GROUP BY tok
+        """,
+        "doc_frequency_docs": """
+            SELECT token, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, tok AS token
+                  FROM (SELECT doc_id,
+                               unnest(list_filter(regexp_split_to_array(
+                                   lower(text), '\\s+'),
+                                   x -> x <> '')) AS tok
+                        FROM documents))
+            GROUP BY token
+        """,
+        "chunked_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+            m AS (
+              SELECT doc_id, tk, len(tk) AS n,
+                     CASE WHEN len(tk) <= 16 THEN 1
+                          ELSE CAST(ceil((len(tk) - 16) / 12.0) AS BIGINT) + 1
+                     END AS nc
+              FROM toks WHERE len(tk) > 0),
+            e AS (
+              SELECT doc_id, tk, n,
+                     unnest(generate_series(0, nc - 1)) AS chunk_idx
+              FROM m)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(
+                       tk[chunk_idx*12 + 1 : chunk_idx*12 + 16],
+                       ' ') AS chunk_text,
+                   least(16, n - chunk_idx*12) AS chunk_len
+            FROM e
         """,
         "decontam_docs": """
             WITH toks AS (

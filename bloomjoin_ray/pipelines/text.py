@@ -236,6 +236,95 @@ def filter_repetitive(ds, text_col: str = "text", *,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def chunk_documents(ds, chunk_tokens: int, *, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """RAG-style fixed-token chunking with overlap: split every document
+    into windows of ``chunk_tokens`` tokens advancing by ``chunk_tokens
+    - overlap``; the last window may be shorter. Returns one row per
+    chunk: ``[id_col, chunk_idx, chunk_text, chunk_len]``. Tokenization
+    is the corpus contract (``split_tokens``: lowercase, ``\\s+``,
+    drop-empties) and ``chunk_text`` re-joins the window's tokens with
+    single spaces, so the operator is exactly SQL-expressible
+    (list-slice + ``array_to_string``) for the oracle. Zero-token
+    documents produce zero chunks.
+
+    Scale shape: embarrassingly parallel — one ``split_tokens`` pass
+    per batch, then pure index arithmetic (repeat/cumsum) to build the
+    per-chunk token gather, one ``take`` and one ``binary_join`` for
+    ALL chunks in the batch; no per-document or per-chunk Python."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    size, stride = chunk_tokens, chunk_tokens - overlap
+    from ..functions.text import split_tokens as split_tokens_fn
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat, offs = split_tokens_fn(batch.column(text_col))
+        n = np.diff(offs)                       # tokens per doc
+        nc = np.where(n <= size, 1,
+                      -(-(n - size) // stride) + 1).astype(np.int64)
+        nc[n == 0] = 0
+        total_chunks = int(nc.sum())
+        id_arr = batch.column(id_col)
+        id_arr = (id_arr.combine_chunks()
+                  if isinstance(id_arr, pa.ChunkedArray) else id_arr)
+        if total_chunks == 0:
+            return pa.table({id_col: id_arr.take(pa.array([], pa.int64())),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "chunk_len": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.arange(len(n)), nc)
+        nc_base = np.concatenate([[0], np.cumsum(nc)[:-1]])
+        ci = np.arange(total_chunks) - nc_base[doc_of]
+        start = ci * stride
+        clen = np.minimum(size, n[doc_of] - start)
+        # gather index for every token of every chunk (overlap duplicates)
+        tot = int(clen.sum())
+        chunk_of = np.repeat(np.arange(total_chunks), clen)
+        clen_base = np.concatenate([[0], np.cumsum(clen)[:-1]])
+        pos = np.arange(tot) - clen_base[chunk_of]
+        idx = offs[:-1][doc_of][chunk_of] + start[chunk_of] + pos
+        gathered = flat.take(pa.array(idx))
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(clen)]), pa.int32()),
+            gathered)
+        return pa.table({id_col: id_arr.take(pa.array(doc_of)),
+                         "chunk_idx": pa.array(ci),
+                         "chunk_text": pc.binary_join(lists, " "),
+                         "chunk_len": pa.array(clen)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_frequency(ds, text_col: str = "text", *, token_col: str = "token",
+                  df_col: str = "df"):
+    """Document frequency: for every token, the number of DISTINCT
+    documents containing it (the DF side of TF-IDF / the df-pruning
+    statistic the dedup inverted index uses). Per batch: one
+    ``split_tokens`` pass, then an Arrow ``group_by`` on (row, token)
+    dedupes within each document (a document never spans blocks, so
+    per-batch dedupe is globally exact); the per-token distinct-doc
+    counts then reduce through the packed order-independent grouped
+    aggregate — integer counts, no sort-shuffle floor. Returns
+    Dataset[token_col, df_col]."""
+    from ..functions.text import split_tokens
+    from .aggregate import grouped_assoc_agg
+
+    def explode_distinct(batch: pa.Table) -> pa.Table:
+        flat, offs = split_tokens(batch.column(text_col))
+        doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        pairs = pa.table({"__doc": pa.array(doc_idx), token_col: flat})
+        return (pairs.group_by(["__doc", token_col])
+                .aggregate([]).select([token_col]))
+
+    posts = ds.select_columns([text_col]).map_batches(
+        explode_distinct, batch_format="pyarrow")
+    return grouped_assoc_agg(posts, [token_col], count_col=df_col)
+
+
 def token_counts(ds, text_col: str = "text", *, token_col: str = "token",
                  count_col: str = "n"):
     """Corpus-wide token frequency (the vocabulary-builder word count):

@@ -67,7 +67,7 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "ann_topk_bruteforce", "ngram_jaccard_docs",
     "theta_user_overlap_by_type", "scrubbed_docs",
     "repetition_stats_docs", "decontam_docs", "vocab_counts_docs",
-    "curation_full_docs",
+    "curation_full_docs", "doc_frequency_docs", "chunked_docs",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     got = _canon(_to_df(entrymod.queries()[name](SF)))

@@ -235,3 +235,78 @@ def test_pack_documents_overlong_doc_is_alone(ray_session):
     big_pack = out.loc[out["doc_id"] == 1, "pack_id"].iloc[0]
     assert (out["pack_id"] == big_pack).sum() == 1   # truly alone
     assert len(out) == 4
+
+
+def test_chunk_documents_matches_reference(ray_session):
+    import ray
+
+    from bloomjoin_ray.pipelines.text import chunk_documents
+
+    rng = np.random.default_rng(7)
+    vocab = ["Alpha", "beta", "GAMMA", "delta,", "x"]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(0, 40))))
+            for i in range(50)] + [(50, ""), (51, None), (52, "one"),
+                                   (53, "  two   three  ")]
+    size, overlap = 7, 3
+    stride = size - overlap
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    got = sorted(chunk_documents(ds, size, overlap=overlap)
+                 .to_pandas().itertuples(index=False, name=None))
+
+    exp = []
+    for i, t in docs:
+        toks = (t or "").lower().split()
+        if not toks:
+            continue
+        nc = 1 if len(toks) <= size else -(-(len(toks) - size) // stride) + 1
+        for c in range(nc):
+            w = toks[c * stride:c * stride + size]
+            exp.append((i, c, " ".join(w), len(w)))
+    assert got == sorted(exp)
+
+    # invariants: every chunk within budget; consecutive chunks of a doc
+    # overlap by exactly `overlap`; full token coverage per doc
+    per_doc = {}
+    for doc_id, ci, text, clen in got:
+        assert clen <= size and clen == len(text.split())
+        per_doc.setdefault(doc_id, []).append((ci, text.split()))
+    for doc_id, chunks in per_doc.items():
+        chunks.sort()
+        toks = dict(docs)[doc_id].lower().split()
+        rebuilt = chunks[0][1][:]
+        for (_, prev), (_, cur) in zip(chunks, chunks[1:]):
+            assert prev[stride:] == cur[:len(prev) - stride]
+            rebuilt.extend(cur[len(prev) - stride:])
+        assert rebuilt == toks
+
+
+def test_chunk_documents_validates_params(ray_session):
+    import ray
+
+    from bloomjoin_ray.pipelines.text import chunk_documents
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
+    with pytest.raises(ValueError):
+        chunk_documents(ds, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, 4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_documents(ds, 4, overlap=-1)
+
+
+def test_doc_frequency_matches_counter(ray_session):
+    from collections import Counter
+
+    import ray
+
+    from bloomjoin_ray.pipelines.text import doc_frequency
+
+    docs = ["the the THE cat", "the dog", "", None, "cat cat", "bird the"]
+    ds = ray.data.from_items([{"text": t} for t in docs]).repartition(3)
+    got = sorted(doc_frequency(ds).to_pandas()
+                 .itertuples(index=False, name=None))
+    c = Counter()
+    for t in docs:
+        for tok in set((t or "").lower().split()):
+            c[tok] += 1
+    assert got == sorted(c.items())
