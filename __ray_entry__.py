@@ -356,6 +356,17 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(_read(sf_dir, "documents", columns=["text"]))
 
 
+def _q_tfidf_docs(sf_dir: str):
+    """Per-document top-3 TF-IDF terms — term counts ⋈ doc_frequency
+    via the engine's hash_join, then topk_rows_per_key (per-block
+    prune → packed exchange). Rational idf (N+1)/(df+1): one integer
+    product + one IEEE division, bit-exact in SQL."""
+    from bloomjoin_ray.pipelines.text import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                      3)
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -801,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_counts_docs": _q_vocab_counts,
         "doc_frequency_docs": _q_doc_frequency,
         "chunked_docs": _q_chunked_docs,
+        "tfidf_topk_docs": _q_tfidf_docs,
         "curation_full_docs": _q_curation_full,
         "asof_last_purchase": _q_asof_last_purchase,
         "sessionize_users": _q_sessionize,
@@ -1178,6 +1190,28 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS tok
                         FROM documents))
             GROUP BY token
+        """,
+        "tfidf_topk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text),
+                         '\\s+'), x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY token),
+            n AS (SELECT count(*) AS nd FROM documents),
+            s AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                         CAST(t.tf * (nd + 1) AS DOUBLE) / (d.df + 1)
+                             AS score,
+                         row_number() OVER (PARTITION BY t.doc_id
+                             ORDER BY CAST(t.tf * (nd + 1) AS DOUBLE)
+                                      / (d.df + 1) DESC,
+                                      t.token) AS rank
+                  FROM tf t JOIN df d USING (token), n)
+            SELECT doc_id, token, tf, df, score, rank
+            FROM s WHERE rank <= 3
         """,
         "chunked_docs": """
             WITH toks AS (

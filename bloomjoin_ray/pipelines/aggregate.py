@@ -632,6 +632,70 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
     return packed_bucket_map_groups(summed, key, per_key_topk)
 
 
+def topk_rows_per_key(ds, key: str | Sequence[str], order_by, k: int, *,
+                      rank_col: str = "rank"):
+    """Top-k ROWS per key under an arbitrary sort order — the SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` filter
+    (``topk_per_key`` is the frequency special case; this ranks by any
+    existing columns, e.g. a score). ``order_by`` is a list of
+    ``(col, 'ascending'|'descending')`` pairs and must be a total order
+    within each key (include a tiebreaker column) for deterministic
+    output.
+
+    Scale shape: top-k is a mergeable idempotent reduction
+    (``topk(topk(A) ∪ topk(B)) == topk(A ∪ B)``), so each block first
+    prunes itself to ≤ k rows per key it contains — only those survive
+    into the packed bucketed exchange — and the per-bucket reduce
+    re-ranks and emits the 1-based ``rank_col``. The reduce is
+    bucket-union-invariant: it re-segments by the real key hash, never
+    by bucket."""
+    import pyarrow.compute as pc
+
+    from ..functions.keys import hash_keys64_pair
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = list(order_by)
+    for _c, d in order_by:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"order_by direction must be ascending/"
+                             f"descending, got {d!r}")
+
+    def ranks(table: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        sort_keys = [(c, "ascending") for c in key] + order_by
+        idx = np.asarray(pc.sort_indices(table, sort_keys=sort_keys))
+        g = table.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, key)
+        n = len(idx)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        rank = (np.arange(n)
+                - np.repeat(starts, np.diff(np.append(starts, n))))
+        return g, rank
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g, rank = ranks(batch)
+        return g.filter(pa.array(rank < k))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return group.append_column(rank_col,
+                                       pa.array([], type=pa.int64()))
+        g, rank = ranks(group)
+        keep = rank < k
+        return g.filter(pa.array(keep)).append_column(
+            rank_col, pa.array((rank[keep] + 1).astype(np.int64)))
+
+    from .buckets import packed_bucket_map_groups
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    return packed_bucket_map_groups(pruned, key, reduce_group)
+
+
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
                      key: str | Sequence[str] | None = None,
                      seed: int = 0x5A5A):

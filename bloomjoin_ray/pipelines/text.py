@@ -325,6 +325,59 @@ def doc_frequency(ds, text_col: str = "text", *, token_col: str = "token",
     return grouped_assoc_agg(posts, [token_col], count_col=df_col)
 
 
+def tfidf_topk(ds, k: int = 5, *, id_col: str = "doc_id",
+               text_col: str = "text", n_docs: int | None = None):
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    relevance-weighting staple. Composes the engine's own operators:
+    per-batch (doc, token) term counts (a doc never spans blocks, so
+    per-batch Arrow ``group_by`` is globally exact) ⋈
+    ``doc_frequency`` via ``hash_join`` (broadcast when the vocabulary
+    fits, partitioned hash shuffle otherwise), then
+    ``topk_rows_per_key`` prunes to ≤ k rows per doc per block before
+    the final exchange. Returns
+    Dataset[id_col, token, tf, df, score, rank] with 1-based ranks.
+
+    The idf is the RATIONAL variant ``(N + 1) / (df + 1)`` — one
+    integer product and ONE IEEE division, so the score is bit-exact
+    reproducible in SQL (log-idf involves transcendental rounding that
+    differs across libm implementations; since log is monotone the
+    top-k SET under log-idf is identical — only the score column
+    differs). ``n_docs`` supplies the corpus document count and skips
+    the extra counting pass over the input lineage."""
+    from ..functions.text import split_tokens
+    from .aggregate import topk_rows_per_key
+    from .join import hash_join
+
+    n = int(ds.count()) if n_docs is None else int(n_docs)
+
+    def term_freq(batch: pa.Table) -> pa.Table:
+        flat, offs = split_tokens(batch.column(text_col))
+        id_arr = batch.column(id_col)
+        id_arr = (id_arr.combine_chunks()
+                  if isinstance(id_arr, pa.ChunkedArray) else id_arr)
+        doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        pairs = pa.table({id_col: id_arr.take(pa.array(doc_idx)),
+                          "token": flat})
+        out = pairs.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return out.rename_columns([id_col, "token", "tf"])
+
+    tf = ds.select_columns([id_col, text_col]).map_batches(
+        term_freq, batch_format="pyarrow")
+    df = doc_frequency(ds, text_col)
+    joined = hash_join(tf, df, on="token", how="inner")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = np.asarray(batch.column("tf"), dtype=np.int64)
+        dfv = np.asarray(batch.column("df"), dtype=np.int64)
+        s = (tfv * (n + 1)).astype(np.float64) / (dfv + 1)
+        return batch.append_column("score", pa.array(s))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return topk_rows_per_key(scored, id_col,
+                             [("score", "descending"),
+                              ("token", "ascending")], k)
+
+
 def token_counts(ds, text_col: str = "text", *, token_col: str = "token",
                  count_col: str = "n"):
     """Corpus-wide token frequency (the vocabulary-builder word count):

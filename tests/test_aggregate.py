@@ -269,3 +269,38 @@ def test_theta_grouped_one_sided_key(ray_session):
     assert df.loc["only_a", "jaccard"] == 0.0
     assert df.loc["x", "n_intersection"] == 1
     assert df.loc["x", "n_union"] == 2
+
+
+def test_topk_rows_per_key_matches_sql(events_ds, con):
+    """topk_rows_per_key == SQL row_number() OVER (PARTITION BY ...
+    ORDER BY ...) <= k, including the 1-based rank column, and is
+    invariant under repartitioning (per-block prune is mergeable)."""
+    from bloomjoin_ray.pipelines.aggregate import topk_rows_per_key
+
+    order = [("value", "descending"), ("event_id", "ascending")]
+    proj = events_ds.select_columns(["user_id", "event_id", "value"])
+    got = topk_rows_per_key(proj, "user_id", order, 3).to_pandas()
+    true = con.sql("""
+        SELECT user_id, event_id, value, rank FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                     ORDER BY value DESC, event_id) AS rank
+          FROM events) WHERE rank <= 3
+    """).df()
+    key = ["user_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    true = true.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[true.columns.tolist()], true, check_dtype=False)
+
+    many = topk_rows_per_key(proj.repartition(16), "user_id", order, 3)
+    got16 = (many.to_pandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got16[true.columns.tolist()], got,
+                                  check_dtype=False)
+
+
+def test_topk_rows_per_key_validates_direction(events_ds):
+    from bloomjoin_ray.pipelines.aggregate import topk_rows_per_key
+
+    with pytest.raises(ValueError, match="ascending/"):
+        topk_rows_per_key(events_ds, "user_id", [("value", "desc")], 3)

@@ -310,3 +310,42 @@ def test_doc_frequency_matches_counter(ray_session):
         for tok in set((t or "").lower().split()):
             c[tok] += 1
     assert got == sorted(c.items())
+
+
+def test_tfidf_topk_matches_sql(ray_session):
+    """tfidf_topk (rational idf (N+1)/(df+1)) == the SQL window-function
+    replica, score bit-exact, ranks 1-based and dense per doc."""
+    import pandas as pd
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import tfidf_topk
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    got = tfidf_topk(docs, 3).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                     '\\s+'), x -> x <> '')) AS token
+          FROM '{path}'),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY token),
+        n AS (SELECT count(*) AS nd FROM '{path}'),
+        s AS (SELECT t.doc_id, t.token, t.tf, d.df,
+                     CAST(t.tf * (nd + 1) AS DOUBLE) / (d.df + 1) AS score,
+                     row_number() OVER (PARTITION BY t.doc_id
+                         ORDER BY CAST(t.tf * (nd + 1) AS DOUBLE)
+                                  / (d.df + 1) DESC, t.token) AS rank
+              FROM tf t JOIN df d USING (token), n)
+        SELECT doc_id, token, tf, df, score, rank FROM s WHERE rank <= 3
+    """).df()
+    key = ["doc_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
