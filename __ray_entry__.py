@@ -215,6 +215,19 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents"), "text", "doc_id")
 
 
+def _q_dedup_lines(sf_dir: str):
+    """Corpus-level LINE dedup (CCNet/RefinedWeb boilerplate scrub):
+    drop every copy of any line occurring more than once corpus-wide,
+    rebuild texts in original order ('' when nothing survives). Count
+    via packed grouped aggregation on the 128-bit line hash; rebuild is
+    one streaming map_batches against the broadcast dup set — document
+    text never shuffles."""
+    from bloomjoin_ray.pipelines.dedup import dedup_lines
+
+    return dedup_lines(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]))
+
+
 def _q_dedup_minhash(sf_dir: str):
     from bloomjoin_ray.pipelines.dedup import minhash_dedup
 
@@ -806,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": _q_distinct_users,
         "cms_top_event_types": _q_cms_top_event_types,
         "dedup_exact_docs": _q_dedup_exact,
+        "dedup_lines_docs": _q_dedup_lines,
         "doc_text_stats": _q_doc_stats,
         "repetition_stats_docs": _q_repetition_docs,
         "decontam_docs": _q_decontam_docs,
@@ -966,6 +980,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT * FROM documents WHERE doc_id IN (
                 SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "dedup_lines_docs": """
+            WITH ex AS (
+              SELECT doc_id,
+                     unnest(str_split(text, chr(10))) AS line,
+                     unnest(range(len(str_split(text, chr(10))))) AS idx
+              FROM documents WHERE text IS NOT NULL),
+            freq AS (SELECT line, count(*) AS n FROM ex GROUP BY line),
+            kept AS (SELECT e.doc_id, e.idx, e.line FROM ex e
+                     JOIN freq f USING (line) WHERE f.n <= 1)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(string_agg(k.line, chr(10)
+                                                 ORDER BY k.idx), '')
+                   END AS text
+            FROM documents d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id, d.text
         """,
         "sessionize_users": """
             WITH flagged AS (

@@ -58,6 +58,7 @@ def __getattr__(name):
         "sketch_aggregate_global": "bloomjoin_ray.pipelines.aggregate",
         "sketch_aggregate_grouped": "bloomjoin_ray.pipelines.aggregate",
         "exact_dedup": "bloomjoin_ray.pipelines.dedup",
+        "dedup_lines": "bloomjoin_ray.pipelines.dedup",
         "minhash_dedup": "bloomjoin_ray.pipelines.dedup",
         "minhash_lsh_pairs": "bloomjoin_ray.pipelines.dedup",
         "simhash_dedup": "bloomjoin_ray.pipelines.dedup",

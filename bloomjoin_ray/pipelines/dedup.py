@@ -624,3 +624,207 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                    .drop_columns(["co", "s_id_a", "s_id_b"]))
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# -------------------------------------------------------- line dedup ----
+
+_LN_COLS = ["_ln_h0", "_ln_h1", "_ln_h2", "_ln_h3"]
+_U32 = np.uint64(0xFFFFFFFF)
+
+
+def _split_doc_lines(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(flat_lines, offsets, null_mask): ``flat[offs[i]:offs[i+1]]`` are
+    doc *i*'s lines under the SQL contract ``str_split(text, chr(10))``
+    ('' ⇒ [''], null ⇒ [''] but flagged null)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    nulls = np.asarray(pc.is_null(arr))
+    lst = pc.split_pattern(pc.fill_null(arr, ""), "\n")
+    lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+    offs = np.asarray(lst.offsets).astype(np.int64)
+    offs = offs - offs[0]
+    return lst.flatten(), offs, nulls
+
+
+def _line_hash_cols(lines: pa.Array) -> dict[str, pa.Array]:
+    """128-bit line content hash as FOUR int64 columns of 32 bits each —
+    every value < 2^32 stays inside the canonical key hasher's float64-
+    safe ±2^53 range, so the columns survive hash_join / grouped
+    aggregation on any path (full-range int64 would be rejected)."""
+    from ..functions.text import content_hash128
+
+    lo, hi = content_hash128(lines)
+    parts = [lo & _U32, lo >> np.uint64(32), hi & _U32, hi >> np.uint64(32)]
+    return {c: pa.array(p.astype(np.int64)) for c, p in zip(_LN_COLS, parts)}
+
+
+def _member128(qlo, qhi, H_lo, H_hi) -> np.ndarray:
+    """Exact membership of (qlo, qhi) pairs in the lexsorted dup set —
+    searchsorted on the low half, vectorized high-half verify for the
+    (overwhelmingly common) singleton ranges, tiny scan for low-half
+    collisions inside the dup set."""
+    i0 = np.searchsorted(H_lo, qlo, "left")
+    i1 = np.searchsorted(H_lo, qlo, "right")
+    out = np.zeros(len(qlo), dtype=bool)
+    single = (i1 - i0) == 1
+    out[single] = H_hi[i0[single]] == qhi[single]
+    for j in np.nonzero((i1 - i0) > 1)[0]:
+        out[j] = bool(np.any(H_hi[i0[j]:i1[j]] == qhi[j]))
+    return out
+
+
+def _join_kept_lines(flat: pa.Array, doc_idx: np.ndarray, keep: np.ndarray,
+                     n_docs: int) -> pa.Array:
+    """Per-doc '\\n'-join of the kept lines (zero kept ⇒ '') — one
+    bincount + one ListArray + one binary_join for the whole batch."""
+    counts = np.bincount(doc_idx[keep], minlength=n_docs)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    kept = pc.cast(flat.filter(pa.array(keep)), pa.large_string())
+    lst = pa.LargeListArray.from_arrays(pa.array(offs), kept)
+    sep = pa.scalar("\n", pa.large_string())
+    return pc.cast(pc.binary_join(lst, sep), pa.string())
+
+
+def dedup_lines(ds, *, threshold: int = 1, id_col: str = "doc_id",
+                text_col: str = "text", broadcast_limit_rows: int = 4_000_000):
+    """Corpus-level LINE deduplication (the CCNet/RefinedWeb boilerplate
+    scrub): split every document on newlines, count each distinct line's
+    occurrences across the WHOLE corpus, remove every copy of lines
+    occurring more than ``threshold`` times, and re-join the survivors
+    in original order ('' when nothing survives; null text stays null).
+    Returns Dataset[id_col, text_col].
+
+    Scale shape: lines are identified by the 128-bit sha1 pair (split
+    into four 32-bit int64 columns, see ``_line_hash_cols``), counted by
+    per-block Arrow ``group_by`` pre-aggregation + the packed exchange
+    (``grouped_assoc_agg``). The over-threshold set is usually tiny
+    (boilerplate/navigation lines), so it broadcasts via one ``ray.put``
+    and the rebuild is ONE streaming ``map_batches`` over the corpus —
+    no shuffle of document text, a doc never leaves its block. When the
+    dup set exceeds ``broadcast_limit_rows`` the rebuild switches to the
+    fully partitioned path: exploded lines LEFT-``hash_join`` the dup
+    set, then a packed per-doc regroup re-assembles texts (the marker
+    join keeps all-lines-removed docs alive).
+
+    Reference parity: this generalizes ``exact_dedup``'s whole-document
+    content-hash identity (reference R/bloomjoin.R key-hash contract) to
+    sub-document units; threshold semantics follow the SQL replica
+    ``HAVING count(*) <= threshold`` exactly."""
+    import ray
+
+    from .aggregate import grouped_assoc_agg
+
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        flat, _offs, nulls = _split_doc_lines(batch.column(text_col))
+        if nulls.any():
+            tbl = batch.filter(pa.array(~nulls))
+            flat, _offs, _ = _split_doc_lines(tbl.column(text_col))
+        return pa.table(_line_hash_cols(flat))
+
+    counts = grouped_assoc_agg(
+        ds.select_columns([text_col]).map_batches(
+            count_rows, batch_format="pyarrow"),
+        _LN_COLS, count_col="_ln_n")
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater(b.column("_ln_n"), threshold))
+                   .drop_columns(["_ln_n"]),
+        batch_format="pyarrow").materialize()
+
+    docs = ds.select_columns([id_col, text_col])
+    if dup.count() <= broadcast_limit_rows:
+        # empty exchange blocks can carry a degenerate schema — keep
+        # only non-empty blocks, projected to the hash columns
+        gathered = [t.select(_LN_COLS) for t in ray.get(dup.to_arrow_refs())
+                    if t.num_rows]
+        tbl = (pa.concat_tables(gathered) if gathered
+               else pa.table({c: pa.array([], pa.int64())
+                              for c in _LN_COLS}))
+        parts = [np.asarray(tbl.column(c)).view(np.uint64)
+                 for c in _LN_COLS]
+        d_lo = parts[0] | (parts[1] << np.uint64(32))
+        d_hi = parts[2] | (parts[3] << np.uint64(32))
+        order = np.lexsort((d_hi, d_lo))
+        dup_ref = ray.put((d_lo[order], d_hi[order]))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            from ..functions.text import content_hash128
+
+            H_lo, H_hi = ray.get(dup_ref)
+            flat, offs, nulls = _split_doc_lines(batch.column(text_col))
+            lo, hi = content_hash128(flat)
+            keep = ~_member128(lo, hi, H_lo, H_hi)
+            n = batch.num_rows
+            doc_idx = np.repeat(np.arange(n), np.diff(offs))
+            joined = _join_kept_lines(flat, doc_idx, keep, n)
+            if nulls.any():
+                joined = pc.if_else(pa.array(nulls),
+                                    pa.nulls(n, pa.string()), joined)
+            return pa.table({id_col: batch.column(id_col),
+                             text_col: joined})
+
+        return docs.map_batches(rebuild, batch_format="pyarrow")
+
+    # partitioned path: dup set too large to broadcast
+    from .buckets import packed_bucket_map_groups
+    from .join import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, offs, nulls = _split_doc_lines(batch.column(text_col))
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n), np.diff(offs))
+        ids = batch.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        cols = {id_col: ids.take(pa.array(doc_idx)),
+                "_ln_idx": pa.array(np.arange(len(doc_idx))
+                                    - np.repeat(offs[:-1], np.diff(offs))),
+                "_ln_text": flat,
+                "_ln_null": pa.array(nulls[doc_idx])}
+        cols.update(_line_hash_cols(flat))
+        return pa.table(cols)
+
+    marked = dup.map_batches(
+        lambda b: b.append_column("_ln_dup",
+                                  pa.array(np.ones(b.num_rows, np.int8))),
+        batch_format="pyarrow")
+    joined = hash_join(docs.map_batches(explode, batch_format="pyarrow"),
+                       marked, on=_LN_COLS, how="left")
+
+    from ..functions.keys import hash_keys64_pair
+
+    def regroup(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        out_schema = pa.schema([group.schema.field(id_col),
+                                pa.field(text_col, pa.string())])
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        idx = np.asarray(pc.sort_indices(
+            group, sort_keys=[(id_col, "ascending"),
+                              ("_ln_idx", "ascending")]))
+        g = group.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, [id_col])
+        n = len(idx)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        seg = np.cumsum(new) - 1
+        n_docs = int(seg[-1]) + 1
+        starts = np.nonzero(new)[0]
+        keep = np.asarray(pc.is_null(g.column("_ln_dup")))
+        flat = g.column("_ln_text")
+        flat = (flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat)
+        joined_txt = _join_kept_lines(flat, seg, keep, n_docs)
+        nulls = np.asarray(g.column("_ln_null"))[starts]
+        if nulls.any():
+            joined_txt = pc.if_else(pa.array(nulls),
+                                    pa.nulls(n_docs, pa.string()),
+                                    joined_txt)
+        ids = g.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return pa.table({id_col: ids.take(pa.array(starts)),
+                         text_col: joined_txt})
+
+    return packed_bucket_map_groups(joined, [id_col], regroup)

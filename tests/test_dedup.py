@@ -254,3 +254,77 @@ def test_dedup_by_pairs_distributed_string_ids(ray_session):
     # component {d005,d006,d007,d030} keeps d005; {d010,d011} keeps d010
     dropped = {"d006", "d007", "d030", "d011"}
     assert got == {f"d{i:03d}" for i in range(40)} - dropped
+
+
+def _dedup_lines_oracle(con, tbl_name: str, threshold: int):
+    return con.sql(f"""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(str_split(text, chr(10))) AS line,
+                 unnest(range(len(str_split(text, chr(10))))) AS idx
+          FROM {tbl_name} WHERE text IS NOT NULL),
+        freq AS (SELECT line, count(*) AS n FROM ex GROUP BY line),
+        kept AS (SELECT e.doc_id, e.idx, e.line FROM ex e
+                 JOIN freq f USING (line) WHERE f.n <= {threshold})
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(string_agg(k.line, chr(10)
+                                             ORDER BY k.idx), '')
+               END AS text
+        FROM {tbl_name} d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id, d.text
+        ORDER BY d.doc_id
+    """).df()
+
+
+def test_dedup_lines_matches_sql(ray_session):
+    """Both rebuild paths (broadcast and partitioned) == the SQL line-
+    frequency replica: cross-doc dups, within-doc dups, empty lines,
+    empty/null text, threshold > 1."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import dedup_lines
+
+    texts = [
+        "keep me\nboilerplate\nunique line one",
+        "boilerplate\nunique line two",
+        "repeated\nrepeated\nrare",          # within-doc duplicate
+        "",                                   # empty text: one '' line
+        "\n\n",                               # three '' lines
+        None,                                 # null stays null
+        "solo document with no newline",
+        "boilerplate",                        # a doc that IS the dup line
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    con = duckdb.connect()
+    con.register("docs", t)
+
+    for threshold in (1, 2):
+        want = _dedup_lines_oracle(con, "docs", threshold)
+        for limit in (4_000_000, 0):   # broadcast path, partitioned path
+            ds = rd.from_arrow(t).repartition(3)
+            got = (dedup_lines(ds, threshold=threshold,
+                               broadcast_limit_rows=limit)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False), (threshold, limit)
+
+
+def test_dedup_lines_no_duplicates_is_identity(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import dedup_lines
+
+    texts = ["alpha\nbeta", "gamma", "delta\nepsilon\nzeta"]
+    t = pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = (dedup_lines(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["text"].tolist() == texts
+
+    with pytest.raises(ValueError, match="threshold"):
+        dedup_lines(rd.from_arrow(t), threshold=0)
