@@ -380,6 +380,21 @@ def _q_tfidf_docs(sf_dir: str):
                       3)
 
 
+def _q_stratified_sample_docs(sf_dir: str):
+    """Data-mixture rebalance: deterministic per-source subsampling
+    (keep all of src0, half of src1, none of src2, 25% of the rest) via
+    the content-hash Bernoulli — partition-invariant and growth-stable
+    (rows-only: the hash is engine-internal; fraction accuracy,
+    split_by_hash consistency and salt independence are pinned in
+    tests/test_split.py)."""
+    from bloomjoin_ray.pipelines.split import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        "source", {"src0": 1.0, "src1": 0.5, "src2": 0.0}, "doc_id",
+        default=0.25)
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -838,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrubbed_docs": _q_scrubbed_docs,
         "packed_docs": _q_packed_docs,
         "split_val_docs": _q_split_val_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)

@@ -59,6 +59,8 @@ def __getattr__(name):
         "sketch_aggregate_grouped": "bloomjoin_ray.pipelines.aggregate",
         "exact_dedup": "bloomjoin_ray.pipelines.dedup",
         "dedup_lines": "bloomjoin_ray.pipelines.dedup",
+        "split_by_hash": "bloomjoin_ray.pipelines.split",
+        "stratified_sample": "bloomjoin_ray.pipelines.split",
         "minhash_dedup": "bloomjoin_ray.pipelines.dedup",
         "minhash_lsh_pairs": "bloomjoin_ray.pipelines.dedup",
         "simhash_dedup": "bloomjoin_ray.pipelines.dedup",

@@ -68,3 +68,54 @@ def split_by_hash(ds, key_cols, fractions: dict[str, float],
                                    batch_format="pyarrow")
         lo = hi
     return out
+
+
+def stratified_sample(ds, strata_col: str, fractions: dict, key_cols,
+                      *, default: float = 1.0, seed_salt: str = ""):
+    """Deterministic per-stratum subsampling — the data-mixture
+    rebalance step (keep 10% of `web`, all of `wiki`, …). ``fractions``
+    maps a stratum value of ``strata_col`` → keep fraction in [0, 1];
+    strata absent from the map keep ``default``. The draw is the same
+    content-hash Bernoulli as ``split_by_hash`` over ``key_cols`` (53-bit
+    exact-integer threshold), so the selection is partition-invariant,
+    growth-stable (new rows never flip old decisions), duplicate-safe
+    (equal keys draw identically), and ``seed_salt`` derives independent
+    resamples. One streaming filter pass: no shuffle, nothing
+    materialized, a row never leaves its block."""
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for v, f in fractions.items():
+        if not 0.0 <= float(f) <= 1.0:
+            raise ValueError(f"fraction for {v!r} must be in [0, 1], got {f}")
+    if not 0.0 <= float(default) <= 1.0:
+        raise ValueError(f"default fraction must be in [0, 1], got {default}")
+    names = list(fractions)
+    # exact 53-bit integer thresholds (see split_by_hash): a 1.0 cut is
+    # 2^53, strictly above every 53-bit hash prefix — nothing dropped
+    cuts = np.array([int(round(float(fractions[n]) * (1 << 53)))
+                     for n in names] + [int(round(float(default) * (1 << 53)))],
+                    dtype=np.int64)
+    value_set = pa.array(names)
+
+    if seed_salt:
+        from ..functions.keys import fnv1a64_strings, splitmix64
+
+        salt_h = np.uint64(splitmix64(fnv1a64_strings(
+            pa.array([seed_salt], type=pa.string())))[0])
+    else:
+        salt_h = None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = hash_keys64(batch, key_cols)
+        if salt_h is not None:
+            from ..functions.keys import mix_in, splitmix64
+
+            h = splitmix64(mix_in(
+                h, np.full(len(h), salt_h, dtype=np.uint64)))
+        h53 = (h >> np.uint64(11)).astype(np.int64)
+        idx = pc.index_in(batch.column(strata_col), value_set=value_set)
+        idx = np.asarray(pc.fill_null(idx, len(names))).astype(np.int64)
+        return batch.filter(pa.array(h53 < cuts[idx]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

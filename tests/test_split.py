@@ -61,3 +61,56 @@ def test_split_salt_and_subsample(ray_session):
 
     with pytest.raises(ValueError, match="sum"):
         split_by_hash(ds, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+def _strat_docs(n):
+    src = np.array(["web", "wiki", "code", "books"])[
+        np.arange(n) % 4]
+    return pa.table({"doc_id": pa.array(range(n), type=pa.int64()),
+                     "source": pa.array(src)})
+
+
+def test_stratified_sample_fractions_and_invariance(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.split import stratified_sample
+
+    n = 20_000
+    fr = {"web": 0.1, "wiki": 1.0, "code": 0.0}
+    a = stratified_sample(rd.from_arrow(_strat_docs(n)).repartition(3),
+                          "source", fr, "doc_id").to_pandas()
+    b = stratified_sample(rd.from_arrow(_strat_docs(n)).repartition(13),
+                          "source", fr, "doc_id").to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])   # partition invariance
+
+    per = a.groupby("source").size()
+    assert per.get("wiki", 0) == n // 4           # fraction 1.0 exact
+    assert "code" not in per.index                # fraction 0.0 exact
+    assert abs(per["web"] / (n // 4) - 0.1) < 0.03
+    assert per.get("books", 0) == n // 4          # default keeps unlisted
+
+    # default=0.0 drops unlisted strata
+    d0 = stratified_sample(rd.from_arrow(_strat_docs(n)), "source", fr,
+                           "doc_id", default=0.0).to_pandas()
+    assert set(d0["source"]) == {"web", "wiki"}
+
+    # the kept web rows are the SAME rows split_by_hash keeps at the
+    # same fraction (shared Bernoulli contract)
+    from bloomjoin_ray.pipelines.split import split_by_hash
+
+    web = rd.from_arrow(_strat_docs(n)).filter(
+        lambda r: r["source"] == "web")
+    want = set(split_by_hash(web, "doc_id", {"keep": 0.1})["keep"]
+               .to_pandas()["doc_id"])
+    assert set(a[a["source"] == "web"]["doc_id"]) == want
+
+    # salt derives an independent resample
+    s2 = stratified_sample(rd.from_arrow(_strat_docs(n)), "source", fr,
+                           "doc_id", seed_salt="epoch2").to_pandas()
+    w1 = set(a[a["source"] == "web"]["doc_id"])
+    w2 = set(s2[s2["source"] == "web"]["doc_id"])
+    assert len(w1 & w2) < 0.5 * len(w1)
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(rd.from_arrow(_strat_docs(8)), "source",
+                          {"web": 1.5}, "doc_id")
