@@ -380,6 +380,18 @@ def _q_tfidf_docs(sf_dir: str):
                       3)
 
 
+def _q_events_rank_per_user(sf_dir: str):
+    """Per-user event sequence numbering — the plain row_number()
+    window (topk_rows_per_key with k=None: no prune stage, one packed
+    bucketed rank pass)."""
+    from bloomjoin_ray.pipelines.aggregate import topk_rows_per_key
+
+    return topk_rows_per_key(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "ts"]),
+        "user_id", [("ts", "ascending"), ("event_id", "ascending")],
+        None)
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Data-mixture rebalance: deterministic per-source subsampling
     (keep all of src0, half of src1, none of src2, 25% of the rest) via
@@ -854,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_docs": _q_packed_docs,
         "split_val_docs": _q_split_val_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "events_rank_per_user": _q_events_rank_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
@@ -1237,6 +1250,12 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS tok
                         FROM documents))
             GROUP BY token
+        """,
+        "events_rank_per_user": """
+            SELECT user_id, event_id, ts,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rank
+            FROM events
         """,
         "tfidf_topk_docs": """
             WITH toks AS (

@@ -632,15 +632,17 @@ def topk_per_key(ds, key: str | Sequence[str], cols: str | Sequence[str],
     return packed_bucket_map_groups(summed, key, per_key_topk)
 
 
-def topk_rows_per_key(ds, key: str | Sequence[str], order_by, k: int, *,
-                      rank_col: str = "rank"):
+def topk_rows_per_key(ds, key: str | Sequence[str], order_by,
+                      k: int | None, *, rank_col: str = "rank"):
     """Top-k ROWS per key under an arbitrary sort order — the SQL
     ``row_number() OVER (PARTITION BY key ORDER BY ...) <= k`` filter
     (``topk_per_key`` is the frequency special case; this ranks by any
-    existing columns, e.g. a score). ``order_by`` is a list of
-    ``(col, 'ascending'|'descending')`` pairs and must be a total order
-    within each key (include a tiebreaker column) for deterministic
-    output.
+    existing columns, e.g. a score). ``k=None`` keeps EVERY row — the
+    plain ``row_number()`` window (the per-block prune is skipped: with
+    nothing to drop it would only re-sort each block). ``order_by`` is
+    a list of ``(col, 'ascending'|'descending')`` pairs and must be a
+    total order within each key (include a tiebreaker column) for
+    deterministic output.
 
     Scale shape: top-k is a mergeable idempotent reduction
     (``topk(topk(A) ∪ topk(B)) == topk(A ∪ B)``), so each block first
@@ -686,13 +688,17 @@ def topk_rows_per_key(ds, key: str | Sequence[str], order_by, k: int, *,
             return group.append_column(rank_col,
                                        pa.array([], type=pa.int64()))
         g, rank = ranks(group)
+        if k is None:
+            return g.append_column(
+                rank_col, pa.array((rank + 1).astype(np.int64)))
         keep = rank < k
         return g.filter(pa.array(keep)).append_column(
             rank_col, pa.array((rank[keep] + 1).astype(np.int64)))
 
     from .buckets import packed_bucket_map_groups
 
-    pruned = ds.map_batches(partial, batch_format="pyarrow")
+    pruned = (ds if k is None
+              else ds.map_batches(partial, batch_format="pyarrow"))
     return packed_bucket_map_groups(pruned, key, reduce_group)
 
 

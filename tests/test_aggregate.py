@@ -304,3 +304,25 @@ def test_topk_rows_per_key_validates_direction(events_ds):
 
     with pytest.raises(ValueError, match="ascending/"):
         topk_rows_per_key(events_ds, "user_id", [("value", "desc")], 3)
+
+
+def test_rank_all_rows_per_key(events_ds, con):
+    """k=None == the plain row_number() window over every row."""
+    from bloomjoin_ray.pipelines.aggregate import topk_rows_per_key
+
+    got = topk_rows_per_key(
+        events_ds.select_columns(["user_id", "event_id", "ts"]),
+        "user_id", [("ts", "ascending"), ("event_id", "ascending")],
+        None).to_pandas()
+    true = con.sql("""
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rank
+        FROM events
+    """).df()
+    key = ["user_id", "rank"]
+    got = got.sort_values(key).reset_index(drop=True)
+    true = true.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(true) == events_ds.count()
+    pd.testing.assert_frame_equal(
+        got[true.columns.tolist()], true, check_dtype=False)
