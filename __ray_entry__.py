@@ -392,6 +392,19 @@ def _q_events_rank_per_user(sf_dir: str):
         None)
 
 
+def _q_events_lag_per_user(sf_dir: str):
+    """Per-user LAG window — each event annotated with the previous
+    event's ts and value (pure reordering via one packed bucketed
+    exchange; bit-exact vs SQL lag())."""
+    from bloomjoin_ray.pipelines.windows import shift_per_key
+
+    return shift_per_key(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                         "value"]),
+        "user_id", [("ts", "ascending"), ("event_id", "ascending")],
+        ["ts", "value"])
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Data-mixture rebalance: deterministic per-source subsampling
     (keep all of src0, half of src1, none of src2, 25% of the rest) via
@@ -867,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_val_docs": _q_split_val_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "events_rank_per_user": _q_events_rank_per_user,
+        "events_lag_per_user": _q_events_lag_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
@@ -1256,6 +1270,13 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY user_id
                        ORDER BY ts, event_id) AS rank
             FROM events
+        """,
+        "events_lag_per_user": """
+            SELECT user_id, event_id, ts, value,
+                   lag(ts) OVER w AS ts_lag,
+                   lag(value) OVER w AS value_lag
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "tfidf_topk_docs": """
             WITH toks AS (

@@ -77,6 +77,7 @@ def __getattr__(name):
         "tumbling_window": "bloomjoin_ray.pipelines.windows",
         "sliding_window": "bloomjoin_ray.pipelines.windows",
         "sessionize": "bloomjoin_ray.pipelines.windows",
+        "shift_per_key": "bloomjoin_ray.pipelines.windows",
         "checkpointed_sketch_aggregate": "bloomjoin_ray.pipelines.checkpoint",
         "resumable_write": "bloomjoin_ray.pipelines.materialize",
         "transcripts_dataset": "bloomjoin_ray.sources.transcripts",

@@ -152,3 +152,71 @@ def sessionize(ds, key, ts_col: str, gap_s: int, *,
         ds.select_columns(keys + [ts_col])
           .map_batches(add_bucket, batch_format="pyarrow"),
         None, per_bucket, num_buckets=num_buckets, pre_bucketed=True)
+
+
+def shift_per_key(ds, key, order_by, cols, *, offset: int = 1,
+                  suffix: str | None = None):
+    """Per-key LAG/LEAD — the SQL ``lag(col, offset) OVER (PARTITION BY
+    key ORDER BY ...)`` family (``offset`` > 0 = lag, < 0 = lead). For
+    each column in ``cols`` a ``{col}{suffix}`` column is appended with
+    the value ``offset`` rows earlier in the key's ``order_by`` order
+    (null when the window falls outside the key's rows). Pure
+    reordering, no arithmetic — results are bit-exact vs the SQL window
+    for any column type.
+
+    Scale shape: one packed bucketed exchange on ``key`` (every row of
+    a key must meet its neighbors), then per-bucket lexsort + one
+    vectorized take per shifted column. The reduce is
+    bucket-union-invariant (re-segments by the real key hash).
+    ``order_by`` must be a total order within each key for
+    deterministic output."""
+    from ..functions.keys import hash_keys64_pair
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    order_by = list(order_by)
+    for _c, d in order_by:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"order_by direction must be ascending/"
+                             f"descending, got {d!r}")
+    if offset == 0:
+        raise ValueError("offset must be nonzero (positive=lag, "
+                         "negative=lead)")
+    if suffix is None:
+        suffix = "_lag" if offset > 0 else "_lead"
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            for c in cols:
+                group = group.append_column(
+                    c + suffix, pa.array([], group.schema.field(c).type))
+            return group
+        sort_keys = [(c, "ascending") for c in key] + order_by
+        idx = np.asarray(pc.sort_indices(group, sort_keys=sort_keys))
+        g = group.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, key)
+        n = len(idx)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        pos = np.arange(n) - starts[seg]                  # rank within key
+        seg_len = np.diff(np.append(starts, n))[seg]
+        # take the clamped source index, then null out slots whose
+        # window falls outside the key's rows
+        valid = (pos - offset >= 0) & (pos - offset < seg_len)
+        src = np.where(valid, np.arange(n) - offset, 0)
+        for c in cols:
+            col = g.column(c)
+            col = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            shifted = col.take(pa.array(src))
+            shifted = pc.if_else(pa.array(valid), shifted,
+                                 pa.nulls(n, col.type))
+            g = g.append_column(c + suffix, shifted)
+        return g
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

@@ -87,3 +87,49 @@ def test_sessionize_vs_oracle(events):
         g[["user_id", "session_start", "session_end", "n_events"]],
         w[["user_id", "session_start", "session_end", "n_events"]],
         check_dtype=False)
+
+
+def test_shift_per_key_matches_sql(ray_session):
+    """shift_per_key == SQL lag()/lead() windows, including nulls at
+    segment edges, multi-column shifts, offset 2, and repartitioning."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import shift_per_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 40, n), type=pa.int64()),
+        "seq": pa.array(np.arange(n), type=pa.int64()),
+        "v": pa.array(rng.normal(size=n)),
+        "s": pa.array([f"x{i % 7}" for i in range(n)]),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    for offset, fn in ((1, "lag(%s, 1)"), (2, "lag(%s, 2)"),
+                       (-1, "lead(%s, 1)")):
+        suffix = "_lag" if offset > 0 else "_lead"
+        got = (shift_per_key(rd.from_arrow(t).repartition(7), "u",
+                             [("seq", "ascending")], ["v", "s"],
+                             offset=offset)
+               .to_pandas().sort_values(["u", "seq"])
+               .reset_index(drop=True))
+        want = con.sql(f"""
+            SELECT u, seq, v, s,
+                   {fn % 'v'} OVER w AS v{suffix},
+                   {fn % 's'} OVER w AS s{suffix}
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY seq)
+            ORDER BY u, seq
+        """).df()
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
+
+    with pytest.raises(ValueError, match="offset"):
+        shift_per_key(rd.from_arrow(t), "u", [("seq", "ascending")],
+                      ["v"], offset=0)
