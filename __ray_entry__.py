@@ -405,6 +405,17 @@ def _q_events_lag_per_user(sf_dir: str):
         ["ts", "value"])
 
 
+def _q_events_value_norm(sf_dir: str):
+    """Per-user min-max feature scaling of event values — exact packed
+    min/max stats joined back via hash_join, one streaming scoring
+    pass; bit-exact vs the SQL window replica."""
+    from bloomjoin_ray.pipelines.aggregate import normalize_per_key
+
+    return normalize_per_key(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        "user_id", "value")
+
+
 def _q_stratified_sample_docs(sf_dir: str):
     """Data-mixture rebalance: deterministic per-source subsampling
     (keep all of src0, half of src1, none of src2, 25% of the rest) via
@@ -881,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
+        "events_value_norm": _q_events_value_norm,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
@@ -1277,6 +1289,15 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER w AS value_lag
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_value_norm": """
+            SELECT user_id, event_id, value,
+                   CASE WHEN mx = mn THEN 0.0
+                        ELSE (value - mn) / (mx - mn) END AS value_norm
+            FROM (SELECT user_id, event_id, value,
+                         min(value) OVER (PARTITION BY user_id) AS mn,
+                         max(value) OVER (PARTITION BY user_id) AS mx
+                  FROM events)
         """,
         "tfidf_topk_docs": """
             WITH toks AS (

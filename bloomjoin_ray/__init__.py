@@ -53,6 +53,8 @@ def __getattr__(name):
         "distinct_exact": "bloomjoin_ray.pipelines.aggregate",
         "topk_exact": "bloomjoin_ray.pipelines.aggregate",
         "topk_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "topk_rows_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "normalize_per_key": "bloomjoin_ray.pipelines.aggregate",
         "grouped_sums": "bloomjoin_ray.pipelines.aggregate",
         "reservoir_sample": "bloomjoin_ray.pipelines.aggregate",
         "sketch_aggregate_global": "bloomjoin_ray.pipelines.aggregate",

@@ -855,3 +855,48 @@ def topk_exact(ds, cols: str | Sequence[str], k: int, *,
     summed = grouped_assoc_agg(ds.select_columns(cols), cols,
                                count_col=count_col)
     return summed.sort(count_col, descending=True).limit(k)
+
+
+def normalize_per_key(ds, key: str | Sequence[str], col: str, *,
+                      out_col: str | None = None):
+    """Per-key min-max feature scaling — append ``(v - min) / (max -
+    min)`` of ``col`` within each key (0.0 when the key is constant).
+    min/max are exact order-independent aggregates, and the score is
+    one IEEE subtraction + one division, so the result is bit-exact
+    reproducible in SQL.
+
+    Scale shape: per-block pre-aggregated min/max partials through the
+    packed exchange (``grouped_assoc_agg`` — the stats table is one row
+    per key), then the engine's ``hash_join`` ships the stats back
+    (broadcast when they fit, partitioned otherwise); the scoring pass
+    is a streaming ``map_batches``. The input dataset is traversed
+    twice (stats + score) — at scale, read pruning keeps both passes
+    column-narrow."""
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    key = [key] if isinstance(key, str) else list(key)
+    out_col = out_col or f"{col}_norm"
+
+    def dup(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        return batch.select(key + [col]).append_column("_mm_dup", c)
+
+    stats = grouped_assoc_agg(
+        ds.map_batches(dup, batch_format="pyarrow"), key,
+        {col: ("min", "_mm_min"), "_mm_dup": ("max", "_mm_max")})
+
+    joined = hash_join(ds, stats, on=key, how="left")
+
+    def score(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col), dtype=np.float64)
+        mn = np.asarray(batch.column("_mm_min"), dtype=np.float64)
+        mx = np.asarray(batch.column("_mm_max"), dtype=np.float64)
+        span = mx - mn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(span == 0.0, 0.0, (v - mn) / span)
+        return (batch.drop_columns(["_mm_min", "_mm_max"])
+                     .append_column(out_col, pa.array(s)))
+
+    return joined.map_batches(score, batch_format="pyarrow")

@@ -326,3 +326,39 @@ def test_rank_all_rows_per_key(events_ds, con):
     assert len(got) == len(true) == events_ds.count()
     pd.testing.assert_frame_equal(
         got[true.columns.tolist()], true, check_dtype=False)
+
+
+def test_normalize_per_key_matches_sql(events_ds, con):
+    """normalize_per_key == SQL min-max window scaling, bit-exact
+    (exact min/max + one subtraction + one division)."""
+    from bloomjoin_ray.pipelines.aggregate import normalize_per_key
+
+    got = normalize_per_key(
+        events_ds.select_columns(["user_id", "event_id", "value"]),
+        "user_id", "value").to_pandas()
+    true = con.sql("""
+        SELECT user_id, event_id, value,
+               CASE WHEN mx = mn THEN 0.0
+                    ELSE (value - mn) / (mx - mn) END AS value_norm
+        FROM (SELECT user_id, event_id, value,
+                     min(value) OVER (PARTITION BY user_id) AS mn,
+                     max(value) OVER (PARTITION BY user_id) AS mx
+              FROM events)
+    """).df()
+    key = ["user_id", "event_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    true = true.sort_values(key).reset_index(drop=True)
+    assert (got["value_norm"] == true["value_norm"]).all()   # bit-exact
+    pd.testing.assert_frame_equal(got[true.columns.tolist()], true,
+                                  check_dtype=False)
+
+
+def test_normalize_per_key_constant_key(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import normalize_per_key
+
+    t = pa.table({"g": ["a", "a", "b"], "v": [5.0, 5.0, 1.0]})
+    out = (normalize_per_key(rd.from_arrow(t), "g", "v")
+           .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
+    assert out["v_norm"].tolist() == [0.0, 0.0, 0.0]
