@@ -1,0 +1,45 @@
+"""End-to-end drive of the deployable job CLIs (fresh subprocess — each
+job owns its own Ray session, separate from the test fixture's)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(*argv):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate_docs_job.py"),
+         *argv],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.slow
+def test_curate_docs_job_runs_and_resumes(tmp_path):
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+
+    s1 = _run_job("--input", src, "--out", out)
+    assert s1["resumed"] is False
+    assert 0 < s1["n_output"] < s1["n_input"] == 500
+    assert s1["stages"] == ["quality_filter", "repetition_filter",
+                            "exact_dedup", "line_dedup"]
+    # the written partitioned parquet is readable and row-complete
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{s1['out']}/*.parquet')"
+    ).fetchone()[0]
+    assert n == s1["n_output"]
+
+    # identical inputs → job-level resume, bit-identical summary
+    s2 = _run_job("--input", src, "--out", out)
+    assert s2["resumed"] is True
+    assert s2["n_output"] == s1["n_output"]
