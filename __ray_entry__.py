@@ -405,6 +405,17 @@ def _q_events_lag_per_user(sf_dir: str):
         ["ts", "value"])
 
 
+def _q_distinct_types_per_user(sf_dir: str):
+    """EXACT per-user distinct event-type counts (the exact sibling of
+    hll_event_types_by_user): per-block pair dedupe, one packed
+    exchange, vectorized per-key unique-pair count."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_distinct_exact
+
+    return grouped_distinct_exact(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
 def _q_events_value_norm(sf_dir: str):
     """Per-user min-max feature scaling of event values — exact packed
     min/max stats joined back via hash_join, one streaming scoring
@@ -893,6 +904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,
+        "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         # approximate / heuristic — rows-only checks (bounds pinned in tests/)
@@ -1298,6 +1310,10 @@ def oracle_sql() -> dict[str, str]:
                          min(value) OVER (PARTITION BY user_id) AS mn,
                          max(value) OVER (PARTITION BY user_id) AS mx
                   FROM events)
+        """,
+        "distinct_types_per_user": """
+            SELECT user_id, count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id
         """,
         "tfidf_topk_docs": """
             WITH toks AS (

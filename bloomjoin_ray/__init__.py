@@ -54,6 +54,7 @@ def __getattr__(name):
         "topk_exact": "bloomjoin_ray.pipelines.aggregate",
         "topk_per_key": "bloomjoin_ray.pipelines.aggregate",
         "topk_rows_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "grouped_distinct_exact": "bloomjoin_ray.pipelines.aggregate",
         "normalize_per_key": "bloomjoin_ray.pipelines.aggregate",
         "grouped_sums": "bloomjoin_ray.pipelines.aggregate",
         "reservoir_sample": "bloomjoin_ray.pipelines.aggregate",
@@ -76,6 +77,17 @@ def __getattr__(name):
         "language_id": "bloomjoin_ray.pipelines.text",
         "fingerprints": "bloomjoin_ray.pipelines.text",
         "filter_by_quality": "bloomjoin_ray.pipelines.text",
+        "scrub_text": "bloomjoin_ray.pipelines.text",
+        "pack_documents": "bloomjoin_ray.pipelines.text",
+        "chunk_documents": "bloomjoin_ray.pipelines.text",
+        "token_counts": "bloomjoin_ray.pipelines.text",
+        "doc_frequency": "bloomjoin_ray.pipelines.text",
+        "tfidf_topk": "bloomjoin_ray.pipelines.text",
+        "repetition_stats": "bloomjoin_ray.pipelines.text",
+        "filter_repetitive": "bloomjoin_ray.pipelines.text",
+        "decontaminate": "bloomjoin_ray.pipelines.decontam",
+        "contaminated_counts": "bloomjoin_ray.pipelines.decontam",
+        "knn_join": "bloomjoin_ray.pipelines.ann",
         "tumbling_window": "bloomjoin_ray.pipelines.windows",
         "sliding_window": "bloomjoin_ray.pipelines.windows",
         "sessionize": "bloomjoin_ray.pipelines.windows",

@@ -900,3 +900,60 @@ def normalize_per_key(ds, key: str | Sequence[str], col: str, *,
                      .append_column(out_col, pa.array(s)))
 
     return joined.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_distinct_exact(ds, key: str | Sequence[str],
+                           cols: str | Sequence[str], *,
+                           out_col: str = "n_distinct"):
+    """EXACT per-key distinct count — SQL ``count(DISTINCT cols) GROUP
+    BY key`` (``hll_distinct(key=...)`` is the approximate sibling; this
+    pays an exchange of deduped pairs for exactness). Returns
+    Dataset[key…, out_col].
+
+    Scale shape: each block first collapses to its distinct
+    (key, cols) pairs (Arrow hash aggregate — the only rows that ever
+    shuffle), then ONE packed bucketed exchange on ``key`` brings each
+    key's surviving pairs together; the reduce lexsorts the 128-bit
+    (key, pair) hash pairs once and counts unique pairs per key segment
+    with a reduceat — no Python per key. Skewed keys concentrate their
+    pair sets on one reducer; if a single key's distinct set outgrows a
+    reducer, route through ``hll_distinct`` instead (documented
+    tradeoff)."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    from ..functions.keys import hash_keys64_pair
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    both = key + cols
+
+    def dedupe_block(batch: pa.Table) -> pa.Table:
+        return (batch.select(both).group_by(both).aggregate([])
+                .rename_columns(both))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return (group.select(key)
+                    .append_column(out_col, pa.array([], pa.int64())))
+        kh1, kh2 = hash_keys64_pair(group, key)
+        ph1, ph2 = hash_keys64_pair(group, both)
+        order = np.lexsort((ph2, ph1, kh2, kh1))
+        kh1, kh2 = kh1[order], kh2[order]
+        ph1, ph2 = ph1[order], ph2[order]
+        n = len(order)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = (kh1[1:] != kh1[:-1]) | (kh2[1:] != kh2[:-1])
+        new_pair = np.empty(n, dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (ph1[1:] != ph1[:-1]) | (ph2[1:] != ph2[:-1])
+        starts = np.nonzero(new_key)[0]
+        counts = np.add.reduceat(new_pair.astype(np.int64), starts)
+        out = group.take(pa.array(order[starts])).select(key)
+        return out.append_column(out_col, pa.array(counts))
+
+    partials = ds.select_columns(both).map_batches(
+        dedupe_block, batch_format="pyarrow")
+    return packed_bucket_map_groups(partials, key, reduce_group)

@@ -362,3 +362,25 @@ def test_normalize_per_key_constant_key(ray_session):
     out = (normalize_per_key(rd.from_arrow(t), "g", "v")
            .to_pandas().sort_values(["g", "v"]).reset_index(drop=True))
     assert out["v_norm"].tolist() == [0.0, 0.0, 0.0]
+
+
+def test_grouped_distinct_exact_matches_sql(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import grouped_distinct_exact
+
+    got = (grouped_distinct_exact(events_ds, "user_id", "event_type")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    true = con.sql("""
+        SELECT user_id, count(DISTINCT event_type) AS n_distinct
+        FROM events GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(got, true, check_dtype=False)
+
+    # multi-column distinct + repartition invariance
+    got2 = (grouped_distinct_exact(events_ds.repartition(16), "event_type",
+                                   ["user_id", "value"])
+            .to_pandas().sort_values("event_type").reset_index(drop=True))
+    true2 = con.sql("""
+        SELECT event_type, count(DISTINCT (user_id, value)) AS n_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).df()
+    pd.testing.assert_frame_equal(got2, true2, check_dtype=False)
