@@ -442,6 +442,20 @@ def _q_stratified_sample_docs(sf_dir: str):
         default=0.25)
 
 
+def _q_quantile_filter_docs(sf_dir: str):
+    """Percentile quality gate: keep documents whose length is at or
+    above the approximate corpus-wide 80th percentile (KLL threshold
+    pass + exact vectorized filter pass). Rows-only: the threshold
+    carries KLL rank error; kept-fraction and exactness-given-threshold
+    bounds are pinned in tests/test_aggregate.py."""
+    from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+
+    kept, _thr = filter_by_quantile(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "n_chars", 0.8, keep="ge")
+    return kept
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -901,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_docs": _q_packed_docs,
         "split_val_docs": _q_split_val_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
+        "quantile_filter_docs": _q_quantile_filter_docs,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,

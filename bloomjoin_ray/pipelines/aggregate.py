@@ -401,6 +401,45 @@ def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
                                     input_cols=[col], salt=salt)
 
 
+def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge",
+                       method: str = "kll", delta: int = 200, k: int = 200):
+    """Keep rows on one side of the approximate global ``q``-quantile of
+    ``col`` — the "drop the bottom X% by quality score" curation step.
+
+    Two streaming passes: a column-pruned sketch pass (KLL / t-digest
+    partials, no shuffle) computes the threshold, then a vectorized
+    filter pass streams the full rows. The upstream lineage executes
+    twice, so feed it a read-from-storage Dataset, not an expensive
+    unmaterialized pipeline. Null values never survive the cut.
+
+    ``keep``: ``'ge' | 'gt' | 'le' | 'lt'`` — the comparison rows must
+    satisfy against the threshold. Returns ``(filtered_ds, threshold)``;
+    the threshold carries the sketch's rank error (bounds pinned in
+    ``tests/test_aggregate.py``), so the kept fraction is approximately
+    ``1 - q`` (for ``'ge'``), not exactly.
+    """
+    import pyarrow.compute as pc
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    ops = {"ge": pc.greater_equal, "gt": pc.greater,
+           "le": pc.less_equal, "lt": pc.less}
+    if keep not in ops:
+        raise ValueError(f"keep must be one of {sorted(ops)}, got {keep!r}")
+    op = ops[keep]
+
+    thr = float(approx_quantiles(ds, col, [q], method=method,
+                                 delta=delta, k=k)[0])
+    if np.isnan(thr):  # empty input: nothing can pass the cut
+        return ds.limit(0), thr
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = op(t.column(col).cast(pa.float64()), thr)
+        return t.filter(mask)  # null mask entries drop
+
+    return ds.map_batches(flt, batch_format="pyarrow"), thr
+
+
 def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,
                width: int = 4096) -> CountMinSketch:
     """Global count–min sketch over the given key columns."""

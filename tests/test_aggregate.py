@@ -77,6 +77,41 @@ def test_quantiles_grouped(events_ds, con):
         assert abs(r - 0.5) < 0.05
 
 
+def test_filter_by_quantile(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+
+    n = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    kept, thr = filter_by_quantile(events_ds, "value", 0.9, keep="ge")
+    t = kept.to_pandas()
+    # every survivor satisfies the cut, and the kept fraction is within
+    # the sketch's rank error of 1 - q
+    assert (t["value"] >= thr).all()
+    assert abs(len(t) / n - 0.1) < 0.03
+    # exact survivor set given the threshold (the filter pass is exact)
+    true = con.sql(f"SELECT count(*) FROM events WHERE value >= {thr}").fetchone()[0]
+    assert len(t) == true
+
+    kept_lt, thr_lt = filter_by_quantile(events_ds, "value", 0.25, keep="lt")
+    t_lt = kept_lt.to_pandas()
+    assert (t_lt["value"] < thr_lt).all()
+    assert abs(len(t_lt) / n - 0.25) < 0.03
+
+    with pytest.raises(ValueError):
+        filter_by_quantile(events_ds, "value", 0.5, keep="between")
+    with pytest.raises(ValueError):
+        filter_by_quantile(events_ds, "value", 1.5)
+
+
+def test_filter_by_quantile_empty(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+
+    empty = rd.from_arrow(pa.table({"v": pa.array([], type=pa.float64())}))
+    kept, thr = filter_by_quantile(empty, "v", 0.5)
+    assert np.isnan(thr) and kept.count() == 0
+
+
 def test_cms_heavy_hitters_match_exact(events_ds, con):
     from bloomjoin_ray.pipelines.aggregate import cms_heavy_hitters
 
