@@ -456,6 +456,20 @@ def _q_quantile_filter_docs(sf_dir: str):
     return kept
 
 
+def _q_quantile_filter_by_source(sf_dir: str):
+    """Per-domain percentile gate: keep documents at or above their own
+    SOURCE's approximate median length — per-key KLL thresholds broadcast
+    once (ray.put), vectorized hash-lookup filter pass. Rows-only:
+    thresholds carry rank error; per-group bounds pinned in
+    tests/test_aggregate.py::test_filter_by_quantile_grouped."""
+    from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+
+    kept, _thr_tbl = filter_by_quantile(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        "n_chars", 0.5, key="source", keep="ge")
+    return kept
+
+
 def _q_split_val_docs(sf_dir: str):
     """Deterministic 80/10/10 content-hash split; returns the val split
     (rows-only: the hash is engine-internal; disjointness/stability
@@ -916,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_val_docs": _q_split_val_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "quantile_filter_docs": _q_quantile_filter_docs,
+        "quantile_filter_by_source": _q_quantile_filter_by_source,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,

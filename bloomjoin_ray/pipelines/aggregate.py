@@ -401,23 +401,35 @@ def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
                                     input_cols=[col], salt=salt)
 
 
-def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge",
-                       method: str = "kll", delta: int = 200, k: int = 200):
-    """Keep rows on one side of the approximate global ``q``-quantile of
+def filter_by_quantile(ds, col: str, q: float, *, key=None,
+                       keep: str = "ge", method: str = "kll",
+                       delta: int = 200, k: int = 200,
+                       max_keys: int = 4_000_000):
+    """Keep rows on one side of the approximate ``q``-quantile of
     ``col`` — the "drop the bottom X% by quality score" curation step.
+    With ``key`` the threshold is computed PER KEY GROUP ("keep the top
+    20% per source/domain"), otherwise it is a single global cut.
 
     Two streaming passes: a column-pruned sketch pass (KLL / t-digest
-    partials, no shuffle) computes the threshold, then a vectorized
-    filter pass streams the full rows. The upstream lineage executes
-    twice, so feed it a read-from-storage Dataset, not an expensive
-    unmaterialized pipeline. Null values never survive the cut.
+    partials, no shuffle of rows) computes the threshold(s), then a
+    vectorized filter pass streams the full rows. The upstream lineage
+    executes twice, so feed it a read-from-storage Dataset, not an
+    expensive unmaterialized pipeline. Null values never survive the cut.
 
     ``keep``: ``'ge' | 'gt' | 'le' | 'lt'`` — the comparison rows must
-    satisfy against the threshold. Returns ``(filtered_ds, threshold)``;
-    the threshold carries the sketch's rank error (bounds pinned in
-    ``tests/test_aggregate.py``), so the kept fraction is approximately
-    ``1 - q`` (for ``'ge'``), not exactly.
+    satisfy against their threshold. Returns ``(filtered_ds, threshold)``
+    where threshold is a float (global) or a ``pa.Table`` of key columns
+    + ``threshold`` (grouped). Thresholds carry the sketch's rank error
+    (bounds pinned in ``tests/test_aggregate.py``), so the kept fraction
+    is approximately ``1 - q`` (for ``'ge'``), not exactly.
+
+    Grouped scale contract: one threshold row per distinct key must fit
+    on the driver and broadcast (``ray.put`` once, read per task) —
+    guarded at ``max_keys``. Lookup in the filter pass is a vectorized
+    searchsorted on the canonical 64-bit key hash.
     """
+    import operator
+
     import pyarrow.compute as pc
 
     if not 0.0 <= q <= 1.0:
@@ -426,18 +438,63 @@ def filter_by_quantile(ds, col: str, q: float, *, keep: str = "ge",
            "le": pc.less_equal, "lt": pc.less}
     if keep not in ops:
         raise ValueError(f"keep must be one of {sorted(ops)}, got {keep!r}")
-    op = ops[keep]
 
-    thr = float(approx_quantiles(ds, col, [q], method=method,
-                                 delta=delta, k=k)[0])
-    if np.isnan(thr):  # empty input: nothing can pass the cut
-        return ds.limit(0), thr
+    if key is None:
+        op = ops[keep]
+        thr = float(approx_quantiles(ds, col, [q], method=method,
+                                     delta=delta, k=k)[0])
+        if np.isnan(thr):  # empty input: nothing can pass the cut
+            return ds.limit(0), thr
 
-    def flt(t: pa.Table) -> pa.Table:
-        mask = op(t.column(col).cast(pa.float64()), thr)
-        return t.filter(mask)  # null mask entries drop
+        def flt(t: pa.Table) -> pa.Table:
+            mask = op(t.column(col).cast(pa.float64()), thr)
+            return t.filter(mask)  # null mask entries drop
 
-    return ds.map_batches(flt, batch_format="pyarrow"), thr
+        return ds.map_batches(flt, batch_format="pyarrow"), thr
+
+    # grouped: per-key thresholds, broadcast once, hash-lookup per batch
+    import ray
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+    qcol = f"q{round(q * 100)}"
+    grouped = approx_quantiles(ds, col, [q], key=key, method=method,
+                               delta=delta, k=k)
+    blocks = ray.get(grouped.to_arrow_refs())
+    if not blocks:
+        return ds.limit(0), pa.table(
+            {c: [] for c in key_cols + ["threshold"]})
+    thr_tbl = pa.concat_tables(blocks, promote_options="default")
+    if thr_tbl.num_rows > max_keys:
+        raise ValueError(
+            f"{thr_tbl.num_rows} distinct keys exceed max_keys={max_keys}; "
+            "a per-key threshold table must be broadcastable")
+    thr_tbl = (thr_tbl.select(key_cols + [qcol])
+               .rename_columns(key_cols + ["threshold"])
+               .combine_chunks())
+    if thr_tbl.num_rows == 0:
+        return ds.limit(0), thr_tbl
+
+    hashes = hash_keys64(thr_tbl, key_cols)
+    order = np.argsort(hashes, kind="stable")
+    ref = ray.put((hashes[order],
+                   thr_tbl.column("threshold").to_numpy(
+                       zero_copy_only=False)[order]))
+    np_op = {"ge": operator.ge, "gt": operator.gt,
+             "le": operator.le, "lt": operator.lt}[keep]
+
+    def flt_grouped(t: pa.Table) -> pa.Table:
+        sorted_h, sorted_thr = ray.get(ref)
+        h = hash_keys64(t, key_cols)
+        pos = np.searchsorted(sorted_h, h)
+        pos_c = np.minimum(pos, len(sorted_h) - 1)
+        found = sorted_h[pos_c] == h
+        vals = np.asarray(t.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        with np.errstate(invalid="ignore"):
+            mask = found & np_op(vals, sorted_thr[pos_c])  # NaN → False
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(flt_grouped, batch_format="pyarrow"), thr_tbl
 
 
 def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,

@@ -102,6 +102,29 @@ def test_filter_by_quantile(events_ds, con):
         filter_by_quantile(events_ds, "value", 1.5)
 
 
+def test_filter_by_quantile_grouped(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+
+    kept, thr_tbl = filter_by_quantile(events_ds, "value", 0.75,
+                                       key="event_type", keep="ge")
+    t = kept.to_pandas()
+    thr = thr_tbl.to_pandas().set_index("event_type")["threshold"]
+    true_counts = con.sql(
+        "SELECT event_type, count(*) n FROM events GROUP BY 1"
+    ).df().set_index("event_type")["n"]
+    assert set(thr.index) == set(true_counts.index)
+    for et, g in t.groupby("event_type"):
+        # every survivor clears ITS group's threshold...
+        assert (g["value"] >= thr[et]).all()
+        # ...the survivor set is exact given the threshold...
+        exact = con.sql(
+            f"SELECT count(*) FROM events WHERE event_type = '{et}' "
+            f"AND value >= {thr[et]}").fetchone()[0]
+        assert len(g) == exact
+        # ...and the per-group kept fraction is ~1-q within rank error
+        assert abs(len(g) / true_counts[et] - 0.25) < 0.05
+
+
 def test_filter_by_quantile_empty(ray_session):
     import ray.data as rd
 
