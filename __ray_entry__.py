@@ -236,6 +236,19 @@ def _q_dedup_minhash(sf_dir: str):
                          threshold=0.7)
 
 
+def _q_dedup_minhash_keep_best(sf_dir: str):
+    """Near-dup dedup keeping the HIGHEST-QUALITY member of each MinHash
+    cluster (longest doc, min id on ties) instead of an arbitrary one —
+    the curation-grade survivor policy. Rows-only: cluster membership is
+    approximate; winner-selection parity with brute force is pinned in
+    tests/test_dedup.py::test_dedup_by_pairs_keep_best_score."""
+    from bloomjoin_ray.pipelines.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents",
+                               columns=["doc_id", "text", "n_chars"]),
+                         threshold=0.7, score_col="n_chars")
+
+
 def _q_simhash_pairs(sf_dir: str):
     from bloomjoin_ray.pipelines.dedup import simhash_pairs
 
@@ -944,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_value_by_type": _q_tdigest_by_type,
         "kll_value_quantiles": _q_kll_value,
         "dedup_minhash_docs": _q_dedup_minhash,
+        "dedup_minhash_keep_best": _q_dedup_minhash_keep_best,
         "simhash_pairs_docs": _q_simhash_pairs,
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,

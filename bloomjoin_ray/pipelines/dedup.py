@@ -312,15 +312,23 @@ DRIVER_PAIR_LIMIT = 200_000
 
 
 def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id", *,
+                   score_col: str | None = None,
                    driver_pair_limit: int = DRIVER_PAIR_LIMIT):
-    """Survivors after clustering candidate pairs: keep the min-id row of
-    each connected component; unpaired rows survive unchanged.
+    """Survivors after clustering candidate pairs: keep ONE row of each
+    connected component — the highest-``score_col`` member (min id on
+    ties) when a score column is given, else the min-id member; unpaired
+    rows survive unchanged. ``score_col`` is the "keep the best copy,
+    not an arbitrary one" curation policy (longest / highest-quality
+    member of each near-dup cluster).
 
     Small pair sets (≤ ``driver_pair_limit``) cluster via driver
-    union-find with a broadcast drop set — one `ray.put`, zero shuffles.
-    Larger pair sets (bot-spam / boilerplate corpora where pairs are NOT
-    ≪ corpus) run distributed min-label propagation and apply the drop
-    as an anti join, so nothing whole-graph ever reaches the driver."""
+    union-find with a broadcast drop set — one `ray.put`, zero shuffles
+    (with a score, one extra column-pruned pass collects the clustered
+    ids' scores, bounded by 2 × pairs). Larger pair sets (bot-spam /
+    boilerplate corpora where pairs are NOT ≪ corpus) run distributed
+    min-label propagation; the winner per label comes from the packed
+    ``topk_rows_per_key`` reduce and the drop applies as anti joins, so
+    nothing whole-graph ever reaches the driver."""
     import ray
 
     pairs = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
@@ -329,9 +337,38 @@ def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id", *,
         return ds
     if n_pairs <= driver_pair_limit:
         pair_rows = pairs.take_all()
-        cluster = _union_find_clusters(
-            [(r["id_a"], r["id_b"]) for r in pair_rows])
-        drop = {x for x, root in cluster.items() if root != x}
+        edges = [(r["id_a"], r["id_b"]) for r in pair_rows]
+        cluster = _union_find_clusters(edges)
+        if score_col is None:
+            drop = {x for x, root in cluster.items() if root != x}
+        else:
+            # _union_find_clusters maps only NON-ROOT nodes; the winner
+            # must compete among every member, roots included
+            members = {x for e in edges for x in e}
+            root_of = {x: cluster.get(x, x) for x in members}
+            ids_ref = ray.put(pa.array(sorted(members)))
+
+            def pick(batch: pa.Table) -> pa.Table:
+                s = ray.get(ids_ref)
+                return (batch.select([id_col, score_col])
+                        .filter(pc.is_in(batch.column(id_col),
+                                         value_set=s)))
+
+            scored = ds.map_batches(pick,
+                                    batch_format="pyarrow").take_all()
+            best: dict = {}  # root -> (score, id)
+            ninf = float("-inf")
+            for r in scored:
+                root = root_of[r[id_col]]
+                sc = r[score_col]
+                if sc is None or sc != sc:  # null / NaN never wins
+                    sc = ninf
+                cur = best.get(root)
+                if (cur is None or sc > cur[0]
+                        or (sc == cur[0] and r[id_col] < cur[1])):
+                    best[root] = (sc, r[id_col])
+            winners = {i for _, i in best.values()}
+            drop = members - winners
         if not drop:
             return ds
         drop_ref = ray.put(pa.array(sorted(drop)))
@@ -347,6 +384,25 @@ def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id", *,
 
     labels = connected_components(pairs)
 
+    if score_col is not None:
+        from .aggregate import topk_rows_per_key
+
+        scored = hash_join(labels, ds.select_columns([id_col, score_col]),
+                           on={"node": id_col})
+        winners = topk_rows_per_key(
+            scored, "label",
+            [(score_col, "descending"), ("node", "ascending")], 1)
+        win_ids = winners.map_batches(
+            lambda t: pa.table({"_cc_win": t.column("node")}),
+            batch_format="pyarrow")
+        drop_ds = hash_join(labels, win_ids, on={"node": "_cc_win"},
+                            how="anti")
+        drop_ds = drop_ds.map_batches(
+            lambda t: pa.table({"_cc_dropid": t.column("node")}),
+            batch_format="pyarrow")
+        return hash_join(ds, drop_ds, on={id_col: "_cc_dropid"},
+                         how="anti")
+
     def non_roots(b: pa.Table) -> pa.Table:
         sub = b.filter(pc.invert(pc.equal(b.column("node"),
                                           b.column("label"))))
@@ -358,12 +414,14 @@ def dedup_by_pairs(ds, pairs_ds, id_col: str = "doc_id", *,
 
 def minhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
                   threshold: float = 0.7, num_perm: int = 128,
-                  bands: int = 16, shingle_k: int = 5):
-    """Near-dup dedup: keep one representative per MinHash cluster."""
+                  bands: int = 16, shingle_k: int = 5,
+                  score_col: str | None = None):
+    """Near-dup dedup: keep one representative per MinHash cluster —
+    the highest-``score_col`` member when given, else the min id."""
     pairs = minhash_lsh_pairs(ds, text_col, id_col, num_perm=num_perm,
                               bands=bands, shingle_k=shingle_k,
                               threshold=threshold)
-    return dedup_by_pairs(ds, pairs, id_col)
+    return dedup_by_pairs(ds, pairs, id_col, score_col=score_col)
 
 
 # ----------------------------------------------------------- simhash ----
@@ -454,9 +512,9 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
-                  max_hamming: int = 3):
+                  max_hamming: int = 3, score_col: str | None = None):
     pairs = simhash_pairs(ds, text_col, id_col, max_hamming=max_hamming)
-    return dedup_by_pairs(ds, pairs, id_col)
+    return dedup_by_pairs(ds, pairs, id_col, score_col=score_col)
 
 
 # ------------------------------------------------- exact n-gram Jaccard ----

@@ -235,6 +235,84 @@ def test_dedup_by_pairs_planted_clique_over_threshold(ray_session):
     assert got == want
 
 
+def test_dedup_by_pairs_keep_best_score(ray_session):
+    """score_col keeps the argmax-score member per cluster (min id on
+    ties, null scores lose to any real score); unpaired rows survive.
+    Driver and distributed paths agree with a brute-force expectation."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import (_union_find_clusters,
+                                               dedup_by_pairs)
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    scores = rng.integers(0, 50, n).astype("float64")
+    # null score: must lose to any real-scored member
+    docs = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                     "quality": pa.array(scores,
+                                         mask=(np.arange(n) == 3))})
+    scores[3] = -np.inf
+    a = rng.integers(0, n, 400)
+    b = rng.integers(0, n, 400)
+    keep = a != b
+    pairs = pa.table({"id_a": pa.array(a[keep], type=pa.int64()),
+                      "id_b": pa.array(b[keep], type=pa.int64())})
+
+    edges = list(zip(a[keep].tolist(), b[keep].tolist()))
+    cluster = _union_find_clusters(edges)
+    members = {x for e in edges for x in e}
+    by_root: dict = {}
+    for i in members:
+        root = cluster.get(i, i)
+        s = scores[i]
+        cur = by_root.get(root)
+        if cur is None or s > cur[0] or (s == cur[0] and i < cur[1]):
+            by_root[root] = (s, i)
+    winners = {i for _, i in by_root.values()}
+    want = sorted((set(range(n)) - members) | winners)
+
+    ds = rd.from_arrow(docs).repartition(4)
+    pds = rd.from_arrow(pairs).repartition(4)
+    drv = sorted(dedup_by_pairs(ds, pds, "doc_id",
+                                score_col="quality").to_pandas()["doc_id"])
+    dist = sorted(dedup_by_pairs(
+        ds, pds, "doc_id", score_col="quality",
+        driver_pair_limit=0).to_pandas()["doc_id"])
+    assert drv == want
+    assert dist == want
+
+
+def test_minhash_dedup_score_col_keeps_longest(corpus):
+    """minhash_dedup(score_col=) keeps the LONGEST member of each planted
+    near-dup cluster rather than the min id."""
+    import pyarrow.compute as pc
+
+    from bloomjoin_ray.pipelines.dedup import minhash_dedup, minhash_lsh_pairs
+
+    df, ds = corpus
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "n_chars", pc.utf8_length(t.column("text"))),
+        batch_format="pyarrow")
+    kept = minhash_dedup(ds, score_col="n_chars").to_pandas()
+    pairs = minhash_lsh_pairs(ds).to_pandas()
+    assert len(pairs) > 0
+    docs = df.assign(n_chars=df["text"].str.len()).set_index(
+        "doc_id")["n_chars"]
+    from bloomjoin_ray.pipelines.dedup import _union_find_clusters
+    edges = list(zip(pairs["id_a"], pairs["id_b"]))
+    cluster = _union_find_clusters(edges)
+    roots: dict = {}
+    for i in {x for e in edges for x in e}:
+        roots.setdefault(cluster.get(i, i), []).append(i)
+    kept_ids = set(kept["doc_id"])
+    for members in roots.values():
+        surv = [i for i in members if i in kept_ids]
+        assert len(surv) == 1
+        best = max(members, key=lambda i: (docs[i], -i))
+        assert surv[0] == best
+
+
 def test_dedup_by_pairs_distributed_string_ids(ray_session):
     """String doc ids flow through Min/Max label aggregation, pointer
     jumping, and the anti-join drop."""
