@@ -469,6 +469,18 @@ def _q_quantile_filter_docs(sf_dir: str):
     return kept
 
 
+def _q_events_value_buckets(sf_dir: str):
+    """Equal-frequency quantile bucketing (curriculum / stratified-mix
+    labels): one KLL boundary pass + vectorized searchsorted labeling.
+    Rows-only: boundaries carry rank error; exactness-given-boundaries
+    and population balance pinned in tests/test_aggregate.py."""
+    from bloomjoin_ray.pipelines.aggregate import bucketize_by_quantile
+
+    labeled, _bounds = bucketize_by_quantile(
+        _read(sf_dir, "events", columns=["event_id", "value"]), "value", 4)
+    return labeled
+
+
 def _q_quantile_filter_by_source(sf_dir: str):
     """Per-domain percentile gate: keep documents at or above their own
     SOURCE's approximate median length — per-key KLL thresholds broadcast
@@ -944,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "quantile_filter_docs": _q_quantile_filter_docs,
         "quantile_filter_by_source": _q_quantile_filter_by_source,
+        "events_value_buckets": _q_events_value_buckets,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,

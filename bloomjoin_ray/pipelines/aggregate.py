@@ -497,6 +497,36 @@ def filter_by_quantile(ds, col: str, q: float, *, key=None,
     return ds.map_batches(flt_grouped, batch_format="pyarrow"), thr_tbl
 
 
+def bucketize_by_quantile(ds, col: str, n_buckets: int = 4, *,
+                          method: str = "kll", delta: int = 200,
+                          k: int = 200, out_col: str = "bucket"):
+    """Append an int32 quantile-bucket index (0 .. n_buckets-1) per row —
+    equal-frequency binning for curriculum ordering / stratified mixing.
+
+    One column-pruned sketch pass computes the n_buckets-1 interior
+    boundaries, then a vectorized ``searchsorted`` pass labels rows;
+    boundaries carry the sketch's rank error so bucket populations are
+    approximately equal, not exactly. Null values get bucket null.
+    Returns ``(labeled_ds, boundaries)`` (boundaries as float64 array).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = np.asarray(approx_quantiles(ds, col, qs, method=method,
+                                         delta=delta, k=k),
+                        dtype=np.float64)
+
+    def label(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t.column(col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        idx = np.searchsorted(bounds, vals, side="right").astype(np.int32)
+        mask = np.isnan(vals)
+        return t.append_column(
+            out_col, pa.array(idx, type=pa.int32(), mask=mask))
+
+    return ds.map_batches(label, batch_format="pyarrow"), bounds
+
+
 def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,
                width: int = 4096) -> CountMinSketch:
     """Global count–min sketch over the given key columns."""

@@ -125,6 +125,24 @@ def test_filter_by_quantile_grouped(events_ds, con):
         assert abs(len(g) / true_counts[et] - 0.25) < 0.05
 
 
+def test_bucketize_by_quantile(events_ds, con):
+    from bloomjoin_ray.pipelines.aggregate import bucketize_by_quantile
+
+    labeled, bounds = bucketize_by_quantile(events_ds, "value", 4)
+    t = labeled.to_pandas()
+    assert list(bounds) == sorted(bounds) and len(bounds) == 3
+    # bucket is exactly searchsorted(bounds, value) given the boundaries
+    want = np.searchsorted(bounds, t["value"].to_numpy(), side="right")
+    assert (t["bucket"].to_numpy() == want).all()
+    # equal-frequency within rank error
+    frac = t["bucket"].value_counts(normalize=True)
+    assert set(frac.index) == {0, 1, 2, 3}
+    assert (np.abs(frac - 0.25) < 0.04).all()
+
+    with pytest.raises(ValueError):
+        bucketize_by_quantile(events_ds, "value", 1)
+
+
 def test_filter_by_quantile_empty(ray_session):
     import ray.data as rd
 
