@@ -603,6 +603,19 @@ def _q_knn_join(sf_dir: str):
     return knn_join(corpus, queries, k=5, n_bits=3)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class prototypes / IVF seeding):
+    one partial sum-vector row per (block, label) via lexsort+reduceat,
+    packed exchange, bucket-union-invariant reduce. Rows-only: float64
+    merge order perturbs last bits; numpy parity pinned in
+    tests/test_aggregate.py::test_grouped_vector_mean."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_vector_mean
+
+    return grouped_vector_mean(
+        _read(sf_dir, "embeddings", columns=["label", "embedding"]),
+        "embedding", "label")
+
+
 def _q_embedding_dedup(sf_dir: str):
     from bloomjoin_ray.pipelines.ann import embedding_dedup_pairs
 
@@ -978,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "knn_join_embeddings": _q_knn_join,
+        "label_centroids": _q_label_centroids,
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "bloom_params_grid": _q_bloom_params,

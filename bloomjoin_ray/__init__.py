@@ -48,6 +48,7 @@ def __getattr__(name):
         "approx_quantiles": "bloomjoin_ray.pipelines.aggregate",
         "filter_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",
+        "grouped_vector_mean": "bloomjoin_ray.pipelines.aggregate",
         "cms_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
         "mg_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
         "theta_sketch": "bloomjoin_ray.pipelines.aggregate",

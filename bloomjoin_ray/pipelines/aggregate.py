@@ -527,6 +527,86 @@ def bucketize_by_quantile(ds, col: str, n_buckets: int = 4, *,
     return ds.map_batches(label, batch_format="pyarrow"), bounds
 
 
+def grouped_vector_mean(ds, vec_col: str, key: str | Sequence[str], *,
+                        out_col: str = "centroid",
+                        count_col: str = "n"):
+    """Per-key mean of an embedding column (class prototypes / topic
+    centroids / IVF seeding). Returns Dataset[keys…, out_col
+    (list<double>, all length d), count_col].
+
+    Scale shape: each block collapses to ONE partial row per in-block
+    key — (key, float64 sum-vector blob, count) via lexsort +
+    ``np.add.reduceat`` — so the packed exchange carries per-key
+    partials, never embedding rows. The reduce is bucket-union-invariant
+    (re-segments by the real key hash). Mean of float64 partial sums is
+    reduction-order-sensitive in the last bits, hence no SQL-hash oracle
+    (rows-only; numpy parity pinned in tests)."""
+    from ..stages.ann_stages import embeddings_to_matrix
+    from .buckets import packed_bucket_map_groups
+
+    key_cols = [key] if isinstance(key, str) else list(key)
+
+    def _segment(tbl: pa.Table):
+        h = hash_keys64(tbl, key_cols)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        n = len(hs)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = hs[1:] != hs[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        return order, starts, counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select(key_cols + [vec_col])
+        if batch.num_rows == 0:
+            return pa.table(
+                {**{c: batch.column(c) for c in key_cols},
+                 "__vsum": pa.array([], type=pa.large_binary()),
+                 "__vcnt": pa.array([], type=pa.int64())})
+        M = embeddings_to_matrix(batch.column(vec_col)).astype(np.float64)
+        order, starts, counts = _segment(batch)
+        sums = np.add.reduceat(M[order], starts, axis=0)
+        rep = batch.take(pa.array(order[starts]))
+        return pa.table(
+            {**{c: rep.column(c) for c in key_cols},
+             "__vsum": pa.array([s.tobytes() for s in sums],
+                                type=pa.large_binary()),
+             "__vcnt": pa.array(counts, type=pa.int64())})
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        sub = group.drop_columns(["__gbucket"])
+        d_schema = pa.float64()
+        if sub.num_rows == 0:
+            return pa.table(
+                {**{c: sub.column(c) for c in key_cols},
+                 out_col: pa.array([], type=pa.list_(d_schema)),
+                 count_col: pa.array([], type=pa.int64())})
+        blobs = sub.column("__vsum").to_pylist()
+        S = np.stack([np.frombuffer(b, dtype=np.float64) for b in blobs])
+        cnt = sub.column("__vcnt").to_numpy(zero_copy_only=False)
+        order, starts, _ = _segment(sub)
+        sums = np.add.reduceat(S[order], starts, axis=0)
+        counts = np.add.reduceat(cnt[order], starts)
+        rep = sub.take(pa.array(order[starts]))
+        means = sums / counts[:, None]
+        n_keys, d = means.shape
+        # plain list<double> (not fixed_size_list) so every reduce task —
+        # including the all-empty schema probe, where d is unknowable —
+        # emits the same Arrow type
+        offs = pa.array(np.arange(n_keys + 1, dtype=np.int32) * d)
+        cent = pa.ListArray.from_arrays(
+            offs, pa.array(means.reshape(-1), type=d_schema))
+        return pa.table(
+            {**{c: rep.column(c) for c in key_cols},
+             out_col: cent,
+             count_col: pa.array(counts, type=pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return packed_bucket_map_groups(partials, key_cols, reduce_group)
+
+
 def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,
                width: int = 4096) -> CountMinSketch:
     """Global count–min sketch over the given key columns."""

@@ -125,6 +125,30 @@ def test_filter_by_quantile_grouped(events_ds, con):
         assert abs(len(g) / true_counts[et] - 0.25) < 0.05
 
 
+def test_grouped_vector_mean(ray_session):
+    """Per-label centroids match numpy brute force (to float64 merge
+    tolerance) and are invariant to the number of partitions."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_vector_mean
+
+    emb = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    want = {int(lbl): M[emb["label"].to_numpy() == lbl].mean(axis=0)
+            for lbl in emb["label"].unique()}
+
+    for parts in (2, 9):
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet").repartition(parts)
+        got = grouped_vector_mean(ds, "embedding", "label").to_pandas()
+        assert len(got) == len(want)
+        assert got["n"].sum() == len(emb)
+        for _, row in got.iterrows():
+            np.testing.assert_allclose(
+                np.asarray(row["centroid"]), want[int(row["label"])],
+                rtol=1e-9, atol=1e-12)
+
+
 def test_bucketize_by_quantile(events_ds, con):
     from bloomjoin_ray.pipelines.aggregate import bucketize_by_quantile
 
