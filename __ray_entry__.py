@@ -603,6 +603,31 @@ def _q_knn_join(sf_dir: str):
     return knn_join(corpus, queries, k=5, n_bits=3)
 
 
+def _q_hashvec_ann_docs(sf_dir: str):
+    """Model-free text similarity search: feature-hash every document
+    into a 128-dim vector (hashing trick), then cosine top-5 of the
+    first 3 docs' vectors against the whole hashed corpus — the
+    text → embedding → ANN bridge with zero external models. Rows-only:
+    float32 scores; kernel invariants pinned in
+    tests/test_text.py::test_hashed_doc_vectors."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import ann_topk
+    from bloomjoin_ray.pipelines.text import hashed_doc_vectors
+
+    vecs = hashed_doc_vectors(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        dim=128).select_columns(["doc_id", "embedding"])
+    head = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).slice(0, 3)
+    qt = hashed_doc_vectors(rd.from_arrow(head), dim=128).take_batch(
+        3, batch_format="pyarrow")
+    Q = np.array(qt.column("embedding").to_pylist(), dtype=np.float32)
+    return ann_topk(vecs, Q, k=5, id_col="doc_id").select(
+        ["query_id", "doc_id"])
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (class prototypes / IVF seeding):
     one partial sum-vector row per (block, label) via lexsort+reduceat,
@@ -992,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": _q_embedding_dedup,
         "knn_join_embeddings": _q_knn_join,
         "label_centroids": _q_label_centroids,
+        "hashvec_ann_docs": _q_hashvec_ann_docs,
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "bloom_params_grid": _q_bloom_params,

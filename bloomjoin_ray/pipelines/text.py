@@ -397,3 +397,53 @@ def token_counts(ds, text_col: str = "text", *, token_col: str = "token",
     posts = ds.select_columns([text_col]).map_batches(
         explode, batch_format="pyarrow")
     return grouped_assoc_agg(posts, [token_col], count_col=count_col)
+
+
+def hashed_doc_vectors(ds, text_col: str = "text", *, dim: int = 256,
+                       signed: bool = True, normalize: bool = True,
+                       out_col: str = "embedding"):
+    """Append a fixed-``dim`` feature-hashed bag-of-words vector per doc
+    (the hashing trick, Weinberger et al. 2009) — a deterministic,
+    model-free embedding that feeds this engine's ANN / knn_join /
+    grouped_vector_mean / embedding-dedup operators directly.
+
+    One vectorized pass per batch: the shared token-hash kernel
+    (``batch_token_hashes``), bucket index ``h % dim``, a single
+    ``np.bincount`` over ``doc*dim + bucket`` (no per-token Python),
+    optional ±1 sign from an independent hash bit (unbiased inner
+    products), optional L2 normalization (cosine-ready). Empty docs get
+    the zero vector. Output is ``list<float>`` (length ``dim``), the
+    same layout the embeddings table uses.
+    """
+    from ..functions.text import batch_token_hashes
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def vecs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        n = batch.num_rows
+        h, offs = batch_token_hashes(texts)
+        doc = np.repeat(np.arange(n, dtype=np.int64),
+                        np.diff(offs).astype(np.int64))
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        if signed:
+            sign = 1.0 - 2.0 * ((h >> np.uint64(32)) & np.uint64(1)
+                                ).astype(np.float64)
+            M = np.bincount(doc * dim + bucket, weights=sign,
+                            minlength=n * dim)
+        else:
+            M = np.bincount(doc * dim + bucket,
+                            minlength=n * dim).astype(np.float64)
+        M = M.reshape(n, dim)
+        if normalize:
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            M = M / norms
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim)
+        vec = pa.ListArray.from_arrays(
+            offsets, pa.array(M.reshape(-1).astype(np.float32),
+                              type=pa.float32()))
+        return _merge_columns(batch, {out_col: vec})
+
+    return ds.map_batches(vecs, batch_format="pyarrow")

@@ -349,3 +349,39 @@ def test_tfidf_topk_matches_sql(ray_session):
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_hashed_doc_vectors(ray_session):
+    """Feature-hashed vectors: deterministic, unit-norm, near-dups more
+    similar than unrelated docs, empty doc is the zero vector, and the
+    output feeds embeddings_to_matrix unchanged."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import hashed_doc_vectors
+    from bloomjoin_ray.stages.ann_stages import embeddings_to_matrix
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    a_near = "the quick brown fox jumps over the lazy dog near the river"
+    b = "stochastic gradient descent converges under convex loss surfaces"
+    docs = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                     "text": [a, a_near, b, ""]})
+    out = hashed_doc_vectors(
+        rd.from_arrow(docs).repartition(2), dim=128).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    M = np.stack(out["embedding"].to_numpy()).astype(np.float64)
+    assert M.shape == (4, 128)
+    # unit norm for non-empty docs; zero vector for the empty doc
+    np.testing.assert_allclose(np.linalg.norm(M[:3], axis=1), 1.0,
+                               rtol=1e-6)
+    assert np.linalg.norm(M[3]) == 0.0
+    # near-dup pair far more similar than unrelated pair
+    assert M[0] @ M[1] > 0.9 > abs(M[0] @ M[2])
+    # deterministic across a second run with different partitioning
+    out2 = hashed_doc_vectors(
+        rd.from_arrow(docs).repartition(4), dim=128).to_pandas()
+    out2 = out2.sort_values("doc_id").reset_index(drop=True)
+    M2 = np.stack(out2["embedding"].to_numpy())
+    np.testing.assert_array_equal(M.astype(np.float32), M2)
+    # round-trips through the ANN matrix extractor
+    t = pa.Table.from_pandas(out)
+    assert embeddings_to_matrix(t.column("embedding")).shape == (4, 128)
