@@ -481,6 +481,20 @@ def _q_events_value_buckets(sf_dir: str):
     return labeled
 
 
+def _q_mixed_corpus_docs(sf_dir: str):
+    """Weighted corpus mixture (30% of one snapshot + 100% of another,
+    rows tagged with their corpus): content-hash Bernoulli per corpus
+    with the corpus name in the draw, lazy union, no shuffle. Rows-only:
+    the draw is engine-internal; fraction accuracy / independence /
+    partition invariance pinned in tests/test_split.py::test_mix_corpora."""
+    from bloomjoin_ray.pipelines.split import mix_corpora
+
+    docs = lambda: _read(sf_dir, "documents",  # noqa: E731
+                         columns=["doc_id", "n_chars"])
+    return mix_corpora([("snap_a", docs(), 0.3), ("snap_b", docs(), 1.0)],
+                       "doc_id", source_col="corpus")
+
+
 def _q_quantile_filter_by_source(sf_dir: str):
     """Per-domain percentile gate: keep documents at or above their own
     SOURCE's approximate median length — per-key KLL thresholds broadcast
@@ -995,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter_docs": _q_quantile_filter_docs,
         "quantile_filter_by_source": _q_quantile_filter_by_source,
         "events_value_buckets": _q_events_value_buckets,
+        "mixed_corpus_docs": _q_mixed_corpus_docs,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,

@@ -67,6 +67,7 @@ def __getattr__(name):
         "dedup_lines": "bloomjoin_ray.pipelines.dedup",
         "split_by_hash": "bloomjoin_ray.pipelines.split",
         "stratified_sample": "bloomjoin_ray.pipelines.split",
+        "mix_corpora": "bloomjoin_ray.pipelines.split",
         "minhash_dedup": "bloomjoin_ray.pipelines.dedup",
         "minhash_lsh_pairs": "bloomjoin_ray.pipelines.dedup",
         "simhash_dedup": "bloomjoin_ray.pipelines.dedup",

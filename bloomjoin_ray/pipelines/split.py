@@ -70,6 +70,61 @@ def split_by_hash(ds, key_cols, fractions: dict[str, float],
     return out
 
 
+def mix_corpora(parts, key_cols, *, source_col: str | None = None,
+                seed_salt: str = ""):
+    """Weighted deterministic mixture of several corpora — the
+    training-data "mix 30% of web + all of wiki + 5% of code" step.
+
+    ``parts`` is a list of ``(name, ds, fraction)``; each corpus is
+    subsampled by the same content-hash Bernoulli as ``split_by_hash``
+    (partition-invariant, growth-stable, duplicate-safe), with the
+    corpus ``name`` mixed into the draw so corpora sample independently
+    even over shared keys. ``source_col`` (optional) tags every row with
+    its corpus name. Returns the lazy union — one streaming filter per
+    corpus, no shuffle, nothing materialized. Schemas must align
+    (the usual Ray Data ``union`` contract).
+    """
+    from ..functions.keys import fnv1a64_strings, mix_in, splitmix64
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    seen = set()
+    for name, _ds, frac in parts:
+        if not 0.0 <= float(frac) <= 1.0:
+            raise ValueError(
+                f"fraction for {name!r} must be in [0, 1], got {frac}")
+        if name in seen:
+            raise ValueError(f"duplicate corpus name {name!r}")
+        seen.add(name)
+
+    def make_fn(name: str, cut: int):
+        salt_h = np.uint64(splitmix64(fnv1a64_strings(
+            pa.array([f"{seed_salt}|{name}"], type=pa.string())))[0])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            h = hash_keys64(batch, key_cols)
+            h = splitmix64(mix_in(
+                h, np.full(len(h), salt_h, dtype=np.uint64)))
+            h53 = (h >> np.uint64(11)).astype(np.int64)
+            sub = batch.filter(pa.array(h53 < cut))
+            if source_col:
+                sub = sub.append_column(
+                    source_col, pa.array([name] * sub.num_rows,
+                                         type=pa.string()))
+            return sub
+
+        return fn
+
+    pieces = [
+        ds.map_batches(
+            make_fn(name, int(round(float(frac) * (1 << 53)))),
+            batch_format="pyarrow")
+        for name, ds, frac in parts
+    ]
+    return pieces[0] if len(pieces) == 1 else pieces[0].union(*pieces[1:])
+
+
 def stratified_sample(ds, strata_col: str, fractions: dict, key_cols,
                       *, default: float = 1.0, seed_salt: str = ""):
     """Deterministic per-stratum subsampling — the data-mixture

@@ -114,3 +114,41 @@ def test_stratified_sample_fractions_and_invariance(ray_session):
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(rd.from_arrow(_strat_docs(8)), "source",
                           {"web": 1.5}, "doc_id")
+
+
+def test_mix_corpora(ray_session):
+    """Weighted mixture: per-corpus kept fraction ~ requested,
+    partition-invariant, independent draws across corpora over shared
+    keys, source tagging, and validation."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.split import mix_corpora
+
+    n = 4000
+    a, b = _docs(n), _docs(n)  # same keys in both corpora
+    parts = [("web", rd.from_arrow(a).repartition(4), 0.3),
+             ("wiki", rd.from_arrow(b).repartition(4), 1.0)]
+    out = mix_corpora(parts, "doc_id", source_col="src").to_pandas()
+    web = out[out["src"] == "web"]
+    wiki = out[out["src"] == "wiki"]
+    assert len(wiki) == n  # fraction 1.0 keeps everything
+    assert abs(len(web) / n - 0.3) < 0.03
+    # independent draws: web's kept set is NOT the hash-prefix subset
+    # wiki would give at 0.3 (same keys, different corpus salt)
+    out2 = mix_corpora([("wiki", rd.from_arrow(b), 0.3)],
+                       "doc_id").to_pandas()
+    ov = len(set(web["doc_id"]) & set(out2["doc_id"]))
+    assert ov < 0.5 * len(web)
+    # partition invariance
+    out3 = mix_corpora(
+        [("web", rd.from_arrow(a).repartition(13), 0.3)],
+        "doc_id").to_pandas()
+    assert set(out3["doc_id"]) == set(web["doc_id"])
+
+    with pytest.raises(ValueError, match="fraction"):
+        mix_corpora([("x", rd.from_arrow(a), 1.2)], "doc_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        mix_corpora([("x", rd.from_arrow(a), 0.5),
+                     ("x", rd.from_arrow(b), 0.5)], "doc_id")
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_corpora([], "doc_id")
