@@ -481,6 +481,19 @@ def _q_events_value_buckets(sf_dir: str):
     return labeled
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """CCNet-style model-free quality score: hashed-bigram LM trained on
+    the corpus itself (one packed-sum pass, state hard-bounded at
+    2×2^18 float64), broadcast once, perplexity scored vectorized.
+    Rows-only: the LM is engine-internal; separation/invariance pinned
+    in tests/test_text.py::test_ngram_perplexity."""
+    from bloomjoin_ray.pipelines.text import ngram_perplexity
+
+    return ngram_perplexity(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        buckets=1 << 18).select_columns(["doc_id", "ppl"])
+
+
 def _q_mixed_corpus_docs(sf_dir: str):
     """Weighted corpus mixture (30% of one snapshot + 100% of another,
     rows tagged with their corpus): content-hash Bernoulli per corpus
@@ -1010,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter_by_source": _q_quantile_filter_by_source,
         "events_value_buckets": _q_events_value_buckets,
         "mixed_corpus_docs": _q_mixed_corpus_docs,
+        "doc_perplexity": _q_doc_perplexity,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
         "events_value_norm": _q_events_value_norm,

@@ -88,6 +88,8 @@ def __getattr__(name):
         "doc_frequency": "bloomjoin_ray.pipelines.text",
         "tfidf_topk": "bloomjoin_ray.pipelines.text",
         "hashed_doc_vectors": "bloomjoin_ray.pipelines.text",
+        "ngram_perplexity": "bloomjoin_ray.pipelines.text",
+        "train_ngram_counts": "bloomjoin_ray.pipelines.text",
         "repetition_stats": "bloomjoin_ray.pipelines.text",
         "filter_repetitive": "bloomjoin_ray.pipelines.text",
         "decontaminate": "bloomjoin_ray.pipelines.decontam",

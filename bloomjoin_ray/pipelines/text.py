@@ -447,3 +447,133 @@ def hashed_doc_vectors(ds, text_col: str = "text", *, dim: int = 256,
         return _merge_columns(batch, {out_col: vec})
 
     return ds.map_batches(vecs, batch_format="pyarrow")
+
+
+def train_ngram_counts(ds, text_col: str = "text", *,
+                       buckets: int = 1 << 20):
+    """One streaming pass of hashed unigram + bigram counts over a
+    corpus — the training half of ``ngram_perplexity``. Token and
+    token-pair identities are feature-hashed into ``buckets`` slots
+    (collisions trade a little scoring precision for a hard bound on
+    state), each block pre-aggregates with ``np.bincount``, and the
+    packed integer-sum exchange merges partials. Returns
+    ``(unigram, bigram, total_tokens)`` as dense float64 numpy arrays
+    of length ``buckets`` — ≤ 8 MiB each at the default size, sized to
+    broadcast. Bounded by construction regardless of corpus size."""
+    import ray
+
+    from ..functions.keys import mix_in, splitmix64
+    from ..functions.text import batch_token_hashes
+
+    B = np.uint64(buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, offs = batch_token_hashes(batch.column(text_col))
+        uni = (h % B).astype(np.int64)
+        # bigram hash: mix successive token hashes, masking pairs that
+        # straddle a document boundary
+        n = len(h)
+        prev = np.empty(n, dtype=np.uint64)
+        prev[1:] = h[:-1]
+        prev[0] = 0
+        bi = (splitmix64(mix_in(prev, h)) % B).astype(np.int64)
+        first = offs[:-1][np.diff(offs) > 0]  # each doc's first token
+        valid = np.ones(n, dtype=bool)
+        valid[first] = False
+        uc = np.bincount(uni, minlength=buckets)
+        bc = np.bincount(bi[valid], minlength=buckets)
+        unz = np.flatnonzero(uc)
+        bnz = np.flatnonzero(bc)
+        return pa.table({
+            "slot": pa.array(np.concatenate([unz, bnz]), type=pa.int64()),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(unz), np.int8), np.ones(len(bnz), np.int8)])),
+            "n": pa.array(np.concatenate([uc[unz], bc[bnz]]),
+                          type=pa.int64()),
+        })
+
+    posts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    from .buckets import packed_bucket_map_groups
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        sub = group.drop_columns(["__gbucket"])
+        out = sub.group_by(["slot", "kind"]).aggregate([("n", "sum")])
+        return out.rename_columns(["slot", "kind", "n"])
+
+    summed = packed_bucket_map_groups(posts, ["slot", "kind"], reduce_group)
+    uni = np.zeros(buckets, dtype=np.float64)
+    bi = np.zeros(buckets, dtype=np.float64)
+    for blk in ray.get(summed.to_arrow_refs()):
+        if blk.num_rows == 0:
+            continue
+        slot = blk.column("slot").to_numpy(zero_copy_only=False)
+        kind = blk.column("kind").to_numpy(zero_copy_only=False)
+        cnt = blk.column("n").to_numpy(zero_copy_only=False)
+        m = kind == 0
+        uni[slot[m]] += cnt[m]
+        bi[slot[~m]] += cnt[~m]
+    return uni, bi, float(uni.sum())
+
+
+def ngram_perplexity(ds, text_col: str = "text", *, train_ds=None,
+                     buckets: int = 1 << 20, alpha: float = 0.1,
+                     out_col: str = "ppl"):
+    """Append a hashed-bigram language-model perplexity per document —
+    the CCNet-style model-free quality score (fluent text scores low,
+    gibberish/boilerplate high). Trains on ``train_ds`` (default: ``ds``
+    itself) with ``train_ngram_counts``, broadcasts the two dense count
+    tables once (``ray.put``), then scores every doc in one vectorized
+    pass: ``p(w|v) = (c(v,w)+α) / (c(v)+α·√buckets)`` add-α smoothing,
+    perplexity = exp(mean −ln p) over positions 2..n. Docs with < 2
+    tokens get null.
+
+    Two passes over the training corpus + one over ``ds`` — feed
+    read-from-storage Datasets. State is hard-bounded at 2×``buckets``
+    float64 regardless of corpus size."""
+    import ray
+
+    from ..functions.keys import mix_in, splitmix64
+    from ..functions.text import batch_token_hashes
+
+    uni, bi, _total = train_ngram_counts(
+        train_ds if train_ds is not None else ds, text_col,
+        buckets=buckets)
+    denom_slots = float(alpha) * np.sqrt(buckets)
+    ref = ray.put((uni, bi))
+    B = np.uint64(buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        u, b = ray.get(ref)  # zero-copy float64 views from the store
+        h, offs = batch_token_hashes(batch.column(text_col))
+        n = len(h)
+        nd = batch.num_rows
+        ntok = np.diff(offs)
+        if n == 0:
+            return _merge_columns(batch, {out_col: pa.array(
+                np.full(nd, np.nan), type=pa.float64(),
+                mask=np.ones(nd, dtype=bool))})
+        prev = np.empty(n, dtype=np.uint64)
+        prev[1:] = h[:-1]
+        prev[0] = 0
+        bslot = (splitmix64(mix_in(prev, h)) % B).astype(np.int64)
+        ctx = (prev % B).astype(np.int64)
+        first = offs[:-1][ntok > 0]
+        valid = np.ones(n, dtype=bool)
+        valid[first] = False
+        logp = np.zeros(n, dtype=np.float64)
+        v = valid
+        logp[v] = (np.log(b[bslot[v]] + alpha)
+                   - np.log(u[ctx[v]] + denom_slots))
+        doc = np.repeat(np.arange(nd, dtype=np.int64),
+                        ntok.astype(np.int64))
+        sums = np.bincount(doc, weights=-logp, minlength=nd)
+        npos = np.maximum(ntok - 1, 0).astype(np.float64)
+        mask = npos == 0
+        npos[mask] = 1.0
+        ppl = np.exp(sums / npos)
+        return _merge_columns(batch, {out_col: pa.array(
+            ppl, type=pa.float64(), mask=mask)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -385,3 +385,46 @@ def test_hashed_doc_vectors(ray_session):
     # round-trips through the ANN matrix extractor
     t = pa.Table.from_pandas(out)
     assert embeddings_to_matrix(t.column("embedding")).shape == (4, 128)
+
+
+def test_ngram_perplexity(ray_session):
+    """Bigram perplexity: in-distribution docs score lower than
+    token-shuffled gibberish; <2-token docs are null; scoring is
+    partition-invariant."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import ngram_perplexity
+
+    rng = np.random.default_rng(5)
+    # a corpus with strong bigram structure: fixed phrases repeated
+    phrases = ["the cat sat on the mat", "a dog ran in the park",
+               "the sun rose over the hill"]
+    fluent = [phrases[i % 3] + " " + phrases[(i + 1) % 3]
+              for i in range(60)]
+    # gibberish: same unigram distribution, shuffled order
+    def shuffle_words(s):
+        w = s.split()
+        rng.shuffle(w)
+        return " ".join(w)
+    gibberish = [shuffle_words(t) for t in fluent[:20]]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(fluent) + len(gibberish) + 2),
+                           type=pa.int64()),
+        "text": fluent + gibberish + ["", "single"],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+    out = ngram_perplexity(ds, buckets=1 << 14).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    nf = len(fluent)
+    fl = out["ppl"][:nf]
+    gb = out["ppl"][nf:nf + 20]
+    assert fl.notna().all() and gb.notna().all()
+    assert fl.mean() < 0.7 * gb.mean()
+    # degenerate docs → null
+    assert out["ppl"].iloc[-2:].isna().all()
+    # partition invariance (same training corpus, different blocks)
+    out2 = ngram_perplexity(rd.from_arrow(docs).repartition(7),
+                            buckets=1 << 14).to_pandas()
+    out2 = out2.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_allclose(out["ppl"].to_numpy(),
+                               out2["ppl"].to_numpy(), rtol=1e-12)
