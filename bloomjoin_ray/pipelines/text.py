@@ -519,7 +519,7 @@ def train_ngram_counts(ds, text_col: str = "text", *,
 
 def ngram_perplexity(ds, text_col: str = "text", *, train_ds=None,
                      buckets: int = 1 << 20, alpha: float = 0.1,
-                     out_col: str = "ppl"):
+                     out_col: str = "ppl", counts=None):
     """Append a hashed-bigram language-model perplexity per document —
     the CCNet-style model-free quality score (fluent text scores low,
     gibberish/boilerplate high). Trains on ``train_ds`` (default: ``ds``
@@ -531,15 +531,25 @@ def ngram_perplexity(ds, text_col: str = "text", *, train_ds=None,
 
     Two passes over the training corpus + one over ``ds`` — feed
     read-from-storage Datasets. State is hard-bounded at 2×``buckets``
-    float64 regardless of corpus size."""
+    float64 regardless of corpus size. Pass ``counts=(uni, bi)`` from an
+    earlier ``train_ngram_counts`` call to train once and score many
+    datasets (or many executions of one lazy pipeline) with no repeated
+    training passes."""
     import ray
 
     from ..functions.keys import mix_in, splitmix64
     from ..functions.text import batch_token_hashes
 
-    uni, bi, _total = train_ngram_counts(
-        train_ds if train_ds is not None else ds, text_col,
-        buckets=buckets)
+    if counts is not None:
+        uni, bi = counts
+        if len(uni) != buckets or len(bi) != buckets:
+            raise ValueError(
+                f"counts arrays must have length buckets={buckets}, "
+                f"got {len(uni)}/{len(bi)}")
+    else:
+        uni, bi, _total = train_ngram_counts(
+            train_ds if train_ds is not None else ds, text_col,
+            buckets=buckets)
     denom_slots = float(alpha) * np.sqrt(buckets)
     ref = ray.put((uni, bi))
     B = np.uint64(buckets)

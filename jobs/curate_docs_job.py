@@ -16,7 +16,9 @@ file) of document Parquet shards:
    ``--line-threshold`` times corpus-wide);
 5. optional benchmark decontamination against ``--eval`` (word
    ``--decontam-n``-grams, drop mode);
-6. partitioned Parquet output + a JSON summary with lineage.
+6. optional perplexity gate (``--ppl-drop-frac``): hashed-bigram LM
+   trained on the surviving corpus, worst fraction dropped;
+7. partitioned Parquet output + a JSON summary with lineage.
 
 Every stage streams block-to-block; the only exchanges are the line /
 content-hash aggregations the dedup stages need. The job is resumable at
@@ -104,7 +106,29 @@ def run(args) -> dict:
 
     out_data = os.path.join(args.out, "data")
     os.makedirs(out_data, exist_ok=True)
-    line_clean.write_parquet(out_data)
+    ppl_threshold = None
+    if args.ppl_drop_frac > 0:
+        # stage the survivors to parquet so the LM's training pass and
+        # the two scoring passes re-read storage instead of re-executing
+        # the whole curation chain per pass
+        from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
+        from bloomjoin_ray.pipelines.text import (ngram_perplexity,
+                                                  train_ngram_counts)
+
+        stage_dir = os.path.join(args.out, "pre_ppl")
+        os.makedirs(stage_dir, exist_ok=True)
+        line_clean.write_parquet(stage_dir)
+        staged = ray.data.read_parquet(stage_dir)
+        buckets = 1 << 18
+        uni, bi, _ = train_ngram_counts(staged, buckets=buckets)
+        scored = ngram_perplexity(staged, buckets=buckets,
+                                  counts=(uni, bi))
+        kept, ppl_threshold = filter_by_quantile(
+            scored, "ppl", 1.0 - args.ppl_drop_frac, keep="le")
+        kept.drop_columns(["ppl"]).write_parquet(out_data)
+        stages.append(f"perplexity_gate(drop={args.ppl_drop_frac})")
+    else:
+        line_clean.write_parquet(out_data)
     n_output = ray.data.read_parquet(out_data).count()
 
     summary = {
@@ -119,6 +143,8 @@ def run(args) -> dict:
             "max_top_token_frac": args.max_top_token_frac,
             "max_dup_ngram_frac": args.max_dup_ngram_frac,
             "line_threshold": args.line_threshold,
+            "ppl_drop_frac": args.ppl_drop_frac,
+            "ppl_threshold": ppl_threshold,
         },
         "input_signature": sig,
         "out": out_data,
@@ -147,6 +173,9 @@ def main() -> None:
     p.add_argument("--max-dup-ngram-frac", type=float, default=0.06)
     p.add_argument("--line-threshold", type=int, default=1)
     p.add_argument("--decontam-n", type=int, default=5)
+    p.add_argument("--ppl-drop-frac", type=float, default=0.0,
+                   help="drop the worst FRAC of docs by hashed-bigram "
+                        "LM perplexity (0 disables the gate)")
     p.add_argument("--force", action="store_true",
                    help="re-run even if a matching summary exists")
     args = p.parse_args()

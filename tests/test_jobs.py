@@ -43,3 +43,27 @@ def test_curate_docs_job_runs_and_resumes(tmp_path):
     s2 = _run_job("--input", src, "--out", out)
     assert s2["resumed"] is True
     assert s2["n_output"] == s1["n_output"]
+
+
+@pytest.mark.slow
+def test_curate_docs_job_ppl_gate(tmp_path):
+    """--ppl-drop-frac drops ~that fraction of the curated survivors,
+    records the gate stage + threshold, and the output loses the ppl
+    column."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    base_out = str(tmp_path / "plain")
+    s0 = _run_job("--input", src, "--out", base_out)
+
+    out = str(tmp_path / "gated")
+    s1 = _run_job("--input", src, "--out", out,
+                  "--ppl-drop-frac", "0.2")
+    assert s1["stages"][-1] == "perplexity_gate(drop=0.2)"
+    assert s1["params"]["ppl_threshold"] is not None
+    kept_frac = s1["n_output"] / s0["n_output"]
+    assert abs(kept_frac - 0.8) < 0.08
+    import duckdb
+
+    cols = duckdb.sql(
+        f"DESCRIBE SELECT * FROM read_parquet('{s1['out']}/*.parquet')"
+    ).df()["column_name"].tolist()
+    assert "ppl" not in cols

@@ -428,3 +428,30 @@ def test_ngram_perplexity(ray_session):
     out2 = out2.sort_values("doc_id").reset_index(drop=True)
     np.testing.assert_allclose(out["ppl"].to_numpy(),
                                out2["ppl"].to_numpy(), rtol=1e-12)
+
+
+def test_ngram_perplexity_counts_injection(ray_session):
+    """counts=(uni, bi) from train_ngram_counts reproduces the
+    self-trained scores exactly (train once, score many)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import (ngram_perplexity,
+                                              train_ngram_counts)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": ["the cat sat on the mat"] * 3
+                + ["a dog ran in the park"] * 3,
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    auto = ngram_perplexity(ds, buckets=1 << 12).to_pandas()
+    uni, bi, total = train_ngram_counts(ds, buckets=1 << 12)
+    assert total == uni.sum() > 0
+    inj = ngram_perplexity(ds, buckets=1 << 12,
+                           counts=(uni, bi)).to_pandas()
+    a = auto.sort_values("doc_id")["ppl"].to_numpy()
+    b = inj.sort_values("doc_id")["ppl"].to_numpy()
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError, match="buckets"):
+        ngram_perplexity(ds, buckets=1 << 13, counts=(uni, bi))
