@@ -418,6 +418,41 @@ def _q_events_lag_per_user(sf_dir: str):
         ["ts", "value"])
 
 
+def _q_events_rolling_spend(sf_dir: str):
+    """Per-user rolling spend — each event's value (in integral cents,
+    so the window sum is hash-exact vs SQL) summed over the current +
+    5 preceding events in (ts, event_id) order. One packed bucketed
+    exchange + two prefix sums per bucket; no sort-shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.windows import window_agg_per_key
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("value")) * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents))
+
+    ev = (_read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                           "value"])
+          .map_batches(add_cents, batch_format="pyarrow")
+          .drop_columns(["value"]))
+    return window_agg_per_key(
+        ev, "user_id", [("ts", "ascending"), ("event_id", "ascending")],
+        "cents", agg="sum", rows_preceding=5, out_col="cents_roll_sum")
+
+
+def _q_events_ntile_per_user(sf_dir: str):
+    """Per-user NTILE(4) value-quartile label — pure rank arithmetic,
+    bit-exact vs SQL ntile() given the (value, event_id) total order."""
+    from bloomjoin_ray.pipelines.windows import ntile_per_key
+
+    return ntile_per_key(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "value"]),
+        "user_id", [("value", "ascending"), ("event_id", "ascending")],
+        4, out_col="value_quartile")
+
+
 def _q_distinct_types_per_user(sf_dir: str):
     """EXACT per-user distinct event-type counts (the exact sibling of
     hll_event_types_by_user): per-block pair dedupe, one packed
@@ -1026,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": _q_doc_perplexity,
         "events_rank_per_user": _q_events_rank_per_user,
         "events_lag_per_user": _q_events_lag_per_user,
+        "events_rolling_spend": _q_events_rolling_spend,
+        "events_ntile_per_user": _q_events_ntile_per_user,
         "events_value_norm": _q_events_value_norm,
         "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
@@ -1427,6 +1464,21 @@ def oracle_sql() -> dict[str, str]:
                    lag(value) OVER w AS value_lag
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_rolling_spend": """
+            SELECT user_id, event_id, ts, cents,
+                   CAST(sum(cents) OVER w AS BIGINT) AS cents_roll_sum
+            FROM (SELECT user_id, event_id, ts,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "events_ntile_per_user": """
+            SELECT user_id, event_id, value,
+                   ntile(4) OVER (PARTITION BY user_id
+                       ORDER BY value, event_id) AS value_quartile
+            FROM events
         """,
         "events_value_norm": """
             SELECT user_id, event_id, value,

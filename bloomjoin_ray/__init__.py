@@ -99,6 +99,8 @@ def __getattr__(name):
         "sliding_window": "bloomjoin_ray.pipelines.windows",
         "sessionize": "bloomjoin_ray.pipelines.windows",
         "shift_per_key": "bloomjoin_ray.pipelines.windows",
+        "window_agg_per_key": "bloomjoin_ray.pipelines.windows",
+        "ntile_per_key": "bloomjoin_ray.pipelines.windows",
         "checkpointed_sketch_aggregate": "bloomjoin_ray.pipelines.checkpoint",
         "resumable_write": "bloomjoin_ray.pipelines.materialize",
         "transcripts_dataset": "bloomjoin_ray.sources.transcripts",

@@ -220,3 +220,142 @@ def shift_per_key(ds, key, order_by, cols, *, offset: int = 1,
         return g
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def _sorted_key_segments(group: pa.Table, key: list[str], order_by):
+    """Lexsort a bucket's rows by ``key + order_by`` and segment on the
+    real key (128-bit hash pair, so bucket unions re-segment correctly).
+    Returns ``(g, starts, seg)``: the sorted table, segment-start row
+    indices, and each row's segment id."""
+    from ..functions.keys import hash_keys64_pair
+
+    sort_keys = [(c, "ascending") for c in key] + list(order_by)
+    idx = np.asarray(pc.sort_indices(group, sort_keys=sort_keys))
+    g = group.take(pa.array(idx))
+    h1, h2 = hash_keys64_pair(g, key)
+    n = len(idx)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.nonzero(new)[0]
+    seg = np.cumsum(new) - 1
+    return g, starts, seg
+
+
+def window_agg_per_key(ds, key, order_by, col, *, agg: str = "sum",
+                       rows_preceding: int | None = None,
+                       out_col: str | None = None):
+    """Per-key running / rolling aggregate — the SQL ``agg(col) OVER
+    (PARTITION BY key ORDER BY ... ROWS BETWEEN N PRECEDING AND CURRENT
+    ROW)`` family. ``rows_preceding=None`` is the cumulative frame
+    (``UNBOUNDED PRECEDING``); an integer ``N`` keeps the current row
+    plus the ``N`` rows before it within the key. ``agg`` is one of
+    ``sum`` / ``mean`` / ``count`` (COUNT(col): non-null rows in the
+    frame). SUM/MEAN are null when the frame holds no non-null value,
+    matching SQL; integer sums stay int64 (caller owns overflow).
+
+    Scale shape: one packed bucketed exchange on ``key``, then one
+    lexsort + two prefix sums per bucket — no per-row Python, no
+    sort-shuffle. Frames are rank-based, so ``order_by`` must be a
+    total order within each key for deterministic output. Float sums
+    accumulate in frame order (ties with SQL engines only up to fp
+    associativity; exact on integral data)."""
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = list(order_by)
+    for _c, d in order_by:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"order_by direction must be ascending/"
+                             f"descending, got {d!r}")
+    if agg not in ("sum", "mean", "count"):
+        raise ValueError(f"agg must be sum/mean/count, got {agg!r}")
+    if rows_preceding is not None and rows_preceding < 0:
+        raise ValueError("rows_preceding must be None or >= 0")
+    if out_col is None:
+        frame = "cum" if rows_preceding is None else "roll"
+        out_col = f"{col}_{frame}_{agg}"
+
+    def _out_type(in_type: pa.DataType) -> pa.DataType:
+        if agg == "count":
+            return pa.int64()
+        if agg == "mean":
+            return pa.float64()
+        return pa.int64() if pa.types.is_integer(in_type) else pa.float64()
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return group.append_column(
+                out_col,
+                pa.array([], _out_type(group.schema.field(col).type)))
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        arr = g.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        valid = np.asarray(pc.is_valid(arr))
+        is_int = pa.types.is_integer(arr.type)
+        x = np.asarray(pc.fill_null(arr, 0).cast(
+            pa.int64() if is_int else pa.float64()))  # nulls add nothing
+        # prefix sums with a leading 0 so frame sums are two lookups
+        cs = np.concatenate(([0], np.cumsum(x)))
+        cn = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        i = np.arange(n)
+        if rows_preceding is None:
+            w = starts[seg]
+        else:
+            w = np.maximum(starts[seg], i - rows_preceding)
+        wsum = cs[i + 1] - cs[w]
+        wcnt = cn[i + 1] - cn[w]
+        if agg == "count":
+            out = pa.array(wcnt, pa.int64())
+        elif agg == "sum":
+            out = pa.array(wsum, mask=wcnt == 0)
+        else:
+            mean = wsum.astype(np.float64) / np.maximum(wcnt, 1)
+            out = pa.array(mean, pa.float64(), mask=wcnt == 0)
+        return g.append_column(out_col, out)
+
+    return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def ntile_per_key(ds, key, order_by, n_tiles: int, *,
+                  out_col: str = "ntile"):
+    """Per-key NTILE — the SQL ``ntile(n) OVER (PARTITION BY key ORDER
+    BY ...)`` bucket label (1-based; the first ``count % n`` buckets get
+    the extra row, exactly SQL's distribution). Pure integer arithmetic
+    on each row's rank, so results are bit-exact vs any SQL engine given
+    a total ``order_by`` within each key.
+
+    Scale shape: one packed bucketed exchange on ``key`` + one lexsort
+    per bucket; no per-row Python."""
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = list(order_by)
+    for _c, d in order_by:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"order_by direction must be ascending/"
+                             f"descending, got {d!r}")
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return group.append_column(out_col, pa.array([], pa.int64()))
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        pos = np.arange(n) - starts[seg]
+        seg_len = np.diff(np.append(starts, n))[seg]
+        small = seg_len // n_tiles                 # base bucket size
+        rem = seg_len % n_tiles                    # buckets with +1 row
+        boundary = rem * (small + 1)               # rows in the big buckets
+        in_big = pos < boundary
+        tile = np.where(
+            in_big,
+            pos // (small + 1),
+            rem + (pos - boundary) // np.maximum(small, 1)) + 1
+        return g.append_column(out_col, pa.array(tile, pa.int64()))
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

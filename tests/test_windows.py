@@ -133,3 +133,112 @@ def test_shift_per_key_matches_sql(ray_session):
     with pytest.raises(ValueError, match="offset"):
         shift_per_key(rd.from_arrow(t), "u", [("seq", "ascending")],
                       ["v"], offset=0)
+
+
+def test_window_agg_per_key_matches_sql(ray_session):
+    """window_agg_per_key == SQL sum/avg/count() OVER (... ROWS BETWEEN
+    N PRECEDING AND CURRENT ROW), cumulative + rolling frames, nulls,
+    int and float inputs, across repartitioning (bucket unions)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import window_agg_per_key
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    v = rng.integers(0, 100, n).astype(float)
+    v[rng.random(n) < 0.15] = np.nan
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 31, n), type=pa.int64()),
+        "seq": pa.array(np.arange(n), type=pa.int64()),
+        "v": pa.array(v, from_pandas=True),            # nullable float
+        "vi": pa.array(np.where(np.isnan(v), None, v)).cast(pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    ob = [("seq", "ascending")]
+
+    cases = [
+        # (col, agg, rows_preceding, sql frame, sql fn, cast)
+        ("vi", "sum", None, "ROWS UNBOUNDED PRECEDING",
+         "CAST(sum(vi) OVER w AS BIGINT)", None),
+        ("v", "sum", 5, "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW",
+         "sum(v) OVER w", None),
+        ("v", "mean", 3, "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+         "avg(v) OVER w", None),
+        ("v", "count", 10, "ROWS BETWEEN 10 PRECEDING AND CURRENT ROW",
+         "count(v) OVER w", None),
+        ("v", "count", None, "ROWS UNBOUNDED PRECEDING",
+         "count(v) OVER w", None),
+        ("vi", "mean", None, "ROWS UNBOUNDED PRECEDING",
+         "avg(vi) OVER w", None),
+    ]
+    for col, agg, np_, frame, fn, _ in cases:
+        out = window_agg_per_key(rd.from_arrow(t).repartition(9), "u", ob,
+                                 col, agg=agg, rows_preceding=np_,
+                                 out_col="o")
+        got = (out.to_pandas().sort_values(["u", "seq"])
+               .reset_index(drop=True))
+        want = con.sql(f"""
+            SELECT u, seq, {fn} AS o
+            FROM t WINDOW w AS (PARTITION BY u ORDER BY seq {frame})
+            ORDER BY u, seq
+        """).df()
+        pd.testing.assert_series_equal(got["o"], want["o"],
+                                       check_dtype=False)
+
+    # default out_col naming + frame kind
+    assert "v_roll_sum" in window_agg_per_key(
+        rd.from_arrow(t), "u", ob, "v", rows_preceding=2).schema().names
+    assert "v_cum_sum" in window_agg_per_key(
+        rd.from_arrow(t), "u", ob, "v").schema().names
+
+    with pytest.raises(ValueError, match="agg"):
+        window_agg_per_key(rd.from_arrow(t), "u", ob, "v", agg="median")
+    with pytest.raises(ValueError, match="rows_preceding"):
+        window_agg_per_key(rd.from_arrow(t), "u", ob, "v",
+                           rows_preceding=-1)
+
+
+def test_ntile_per_key_matches_sql(ray_session):
+    """ntile_per_key == SQL ntile(n) bit-exactly, including keys with
+    fewer rows than tiles and single-tile degenerate case."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import ntile_per_key
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table({
+        # key 999 gets exactly 2 rows (< n_tiles) via the tail append
+        "u": pa.array(np.concatenate([rng.integers(0, 25, n - 2),
+                                      [999, 999]]), type=pa.int64()),
+        "seq": pa.array(np.arange(n), type=pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    for nt in (1, 4, 7):
+        got = (ntile_per_key(rd.from_arrow(t).repartition(5), "u",
+                             [("seq", "ascending")], nt)
+               .to_pandas().sort_values(["u", "seq"])
+               .reset_index(drop=True))
+        want = con.sql(f"""
+            SELECT u, seq, ntile({nt}) OVER (PARTITION BY u
+                ORDER BY seq) AS ntile
+            FROM t ORDER BY u, seq
+        """).df()
+        pd.testing.assert_series_equal(got["ntile"], want["ntile"],
+                                       check_dtype=False)
+
+    with pytest.raises(ValueError, match="n_tiles"):
+        ntile_per_key(rd.from_arrow(t), "u", [("seq", "ascending")], 0)
