@@ -418,6 +418,29 @@ def _q_events_lag_per_user(sf_dir: str):
         ["ts", "value"])
 
 
+def _q_exact_quantiles_by_type(sf_dir: str):
+    """EXACT per-event-type value quantiles (discrete mode — gathers
+    actual elements, bit-identical to SQL quantile_disc; the exact
+    sibling of tdigest_value_by_type). One packed exchange of
+    (event_type, value) rows, one lexsort per bucket."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_quantile_exact
+
+    return grouped_quantile_exact(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.25, 0.5, 0.9], interpolation="disc")
+
+
+def _q_events_type_pivot(sf_dir: str):
+    """Per-user event-type pivot — the count(*) FILTER wide feature
+    table (one indicator pass per block, partials-only shuffle)."""
+    from bloomjoin_ray.pipelines.aggregate import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"], prefix="n_")
+
+
 def _q_events_rolling_spend(sf_dir: str):
     """Per-user rolling spend — each event's value (in integral cents,
     so the window sum is hash-exact vs SQL) summed over the current +
@@ -1063,6 +1086,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_per_user": _q_events_lag_per_user,
         "events_rolling_spend": _q_events_rolling_spend,
         "events_ntile_per_user": _q_events_ntile_per_user,
+        "exact_quantiles_by_type": _q_exact_quantiles_by_type,
+        "events_type_pivot": _q_events_type_pivot,
         "events_value_norm": _q_events_value_norm,
         "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
@@ -1479,6 +1504,22 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY user_id
                        ORDER BY value, event_id) AS value_quartile
             FROM events
+        """,
+        "exact_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.50) AS q50,
+                   quantile_disc(value, 0.90) AS q90
+            FROM events GROUP BY event_type
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
         """,
         "events_value_norm": """
             SELECT user_id, event_id, value,

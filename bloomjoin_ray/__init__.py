@@ -46,6 +46,8 @@ def __getattr__(name):
         "range_join": "bloomjoin_ray.pipelines.range_join",
         "hll_distinct": "bloomjoin_ray.pipelines.aggregate",
         "approx_quantiles": "bloomjoin_ray.pipelines.aggregate",
+        "grouped_quantile_exact": "bloomjoin_ray.pipelines.aggregate",
+        "pivot_counts": "bloomjoin_ray.pipelines.aggregate",
         "filter_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "grouped_vector_mean": "bloomjoin_ray.pipelines.aggregate",

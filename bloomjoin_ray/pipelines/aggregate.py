@@ -401,6 +401,88 @@ def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
                                     input_cols=[col], salt=salt)
 
 
+def grouped_quantile_exact(ds, key, col: str, qs: Sequence[float], *,
+                           interpolation: str = "linear",
+                           out_prefix: str = "q"):
+    """EXACT per-key quantiles — the precise sibling of the grouped
+    t-digest/KLL path, for when the key cardinality is shuffle-sized but
+    each key's values must be exact. One row per key with a
+    ``{out_prefix}{round(q*100)}`` column per quantile.
+
+    ``interpolation="linear"`` matches ``np.quantile`` /
+    ``quantile_cont`` (float64 output); ``"disc"`` returns the actual
+    element at index ``ceil(n·q) − 1`` — bit-identical to SQL
+    ``quantile_disc`` and type-preserving, so results hash-match an
+    oracle exactly. Nulls are ignored per key (all-null keys yield null).
+
+    Scale shape: one packed bucketed exchange on ``key`` carrying only
+    ``key + col``, then ONE lexsort per bucket; every quantile of every
+    key is two vectorized gathers on the sorted column. Unlike the
+    sketch path the raw values do shuffle — use the sketch path when a
+    single key's values exceed a reducer."""
+    from .buckets import packed_bucket_map_groups
+    from .windows import _sorted_key_segments
+
+    key = [key] if isinstance(key, str) else list(key)
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty with 0 <= q <= 1")
+    if interpolation not in ("linear", "disc"):
+        raise ValueError("interpolation must be 'linear' or 'disc'")
+    names = [f"{out_prefix}{round(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"qs collide after rounding to {names}")
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        group = group.drop_columns(["__gbucket"]).select(key + [col])
+        in_type = group.schema.field(col).type
+        out_type = in_type if interpolation == "disc" else pa.float64()
+        if group.num_rows == 0:
+            t = group.select(key)
+            for nm in names:
+                t = t.append_column(nm, pa.array([], out_type))
+            return t
+        # nulls sort to the end of each key's run (arrow default), so a
+        # segment's non-null values are its leading prefix
+        g, starts, seg = _sorted_key_segments(
+            group, key, [(col, "ascending")])
+        n = g.num_rows
+        arr = g.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        valid = np.asarray(pc.is_valid(arr))
+        cn = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+        bounds = np.append(starts, n)
+        m = cn[bounds[1:]] - cn[bounds[:-1]]          # non-nulls per key
+        out = g.take(pa.array(starts)).select(key)
+        empty = m == 0
+        safe_m = np.maximum(m, 1)
+        if interpolation == "disc":
+            for q, nm in zip(qs, names):
+                idx = np.clip(np.ceil(safe_m * q).astype(np.int64) - 1,
+                              0, safe_m - 1)
+                vals = arr.take(pa.array(starts + idx))
+                if empty.any():
+                    vals = pc.if_else(pa.array(~empty), vals,
+                                      pa.nulls(len(m), in_type))
+                out = out.append_column(nm, vals)
+            return out
+        v = np.asarray(pc.fill_null(arr.cast(pa.float64()), np.nan))
+        for q, nm in zip(qs, names):
+            pos = q * (safe_m - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, safe_m - 1)
+            frac = pos - lo
+            vals = v[starts + lo] * (1 - frac) + v[starts + hi] * frac
+            out = out.append_column(
+                nm, pa.array(vals, pa.float64(), mask=empty))
+        return out
+
+    return packed_bucket_map_groups(ds.select_columns(key + [col]), key,
+                                    reduce_group)
+
+
 def filter_by_quantile(ds, col: str, q: float, *, key=None,
                        keep: str = "ge", method: str = "kll",
                        delta: int = 200, k: int = 200,
@@ -1050,6 +1132,64 @@ def grouped_sums(ds, keys: Sequence[str], sum_cols: dict[str, str], *,
     if count_col:
         aggs.append(Sum("__p_count", alias_name=count_col))
     return partials.groupby(keys).aggregate(*aggs)
+
+
+def pivot_counts(ds, key, cat_col: str, categories: Sequence | None = None,
+                 *, value_col: str | None = None, prefix: str = ""):
+    """Grouped pivot on a LOW-CARDINALITY categorical column — the
+    feature-engineering ``count(*) FILTER (WHERE cat = c)`` (or
+    ``sum(value) FILTER``) wide table, one output column per category.
+    ``categories=None`` discovers them with an exact distinct pass
+    first (each category becomes a COLUMN — keep it small; pass the
+    list explicitly on hot paths to skip the extra pass).
+
+    Scale shape: one vectorized indicator-column pass per block, then
+    the grouped-sums partial shuffle (one row per in-block key) — rows
+    never shuffle. Unseen categories yield 0 (count) / null-free 0.0
+    (sum), matching the SQL FILTER aggregate over the same rows."""
+    import pyarrow.compute as pc
+
+    key = [key] if isinstance(key, str) else list(key)
+    if categories is None:
+        # per-block dedupe, driver union — bounded by blocks × #cats,
+        # no sort-shuffle launch floor
+        parts = (ds.select_columns([cat_col])
+                 .map_batches(lambda b: b.group_by([cat_col]).aggregate([]),
+                              batch_format="pyarrow")
+                 .take_all())
+        categories = sorted({r[cat_col] for r in parts
+                             if r[cat_col] is not None})
+    categories = list(categories)
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    names = [f"{prefix}{c}" for c in categories]
+    if len(set(names)) != len(names):
+        raise ValueError("category names collide after prefixing")
+    in_cols = [cat_col] + ([value_col] if value_col else [])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cat = batch.column(cat_col)
+        cat = cat.combine_chunks() if isinstance(cat, pa.ChunkedArray) else cat
+        if value_col:
+            val = batch.column(value_col)
+            if not pa.types.is_integer(val.type):
+                val = val.cast(pa.float64())
+            zero = pa.scalar(0, val.type) if pa.types.is_integer(val.type) \
+                else pa.scalar(0.0, pa.float64())
+        out = batch.select(key)
+        for c, nm in zip(categories, names):
+            hit = pc.equal(cat, pa.scalar(c, cat.type))
+            hit = pc.fill_null(hit, False)            # null cat matches none
+            if value_col:
+                col = pc.if_else(hit, pc.fill_null(val, zero), zero)
+            else:
+                col = hit.cast(pa.int64())
+            out = out.append_column(nm, col)
+        return out
+
+    wide = ds.select_columns(key + in_cols).map_batches(
+        indicators, batch_format="pyarrow")
+    return grouped_sums(wide, key, {nm: nm for nm in names})
 
 
 def topk_exact(ds, cols: str | Sequence[str], k: int, *,

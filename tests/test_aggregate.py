@@ -484,3 +484,106 @@ def test_grouped_distinct_exact_matches_sql(events_ds, con):
         FROM events GROUP BY event_type ORDER BY event_type
     """).df()
     pd.testing.assert_frame_equal(got2, true2, check_dtype=False)
+
+
+def test_grouped_quantile_exact_matches_sql(ray_session):
+    """disc mode is bit-exact vs quantile_disc (type-preserving gather);
+    linear mode matches np.nanquantile; nulls ignored per key, all-null
+    keys yield null; bucket unions re-segment correctly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_quantile_exact
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    v = rng.random(n) * 100
+    v[rng.random(n) < 0.12] = np.nan
+    k = rng.integers(0, 33, n)
+    k[:8] = 999                               # one all-null key
+    v[:8] = np.nan
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, from_pandas=True)})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = (grouped_quantile_exact(rd.from_arrow(t).repartition(9), "k",
+                                  "v", [0.0, 0.25, 0.5, 0.9, 1.0],
+                                  interpolation="disc")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = con.sql("""
+        SELECT k, quantile_disc(v, 0.00) AS q0,
+               quantile_disc(v, 0.25) AS q25,
+               quantile_disc(v, 0.50) AS q50,
+               quantile_disc(v, 0.90) AS q90,
+               quantile_disc(v, 1.00) AS q100
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    assert np.isnan(got.loc[got.k == 999, "q50"]).all()
+
+    lin = (grouped_quantile_exact(rd.from_arrow(t), "k", "v", [0.5])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    keys = sorted(set(k.tolist()))
+    ref = [np.nanquantile(v[k == kk], 0.5) if not np.isnan(v[k == kk]).all()
+           else np.nan for kk in keys]
+    np.testing.assert_allclose(lin["q50"], ref, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="interpolation"):
+        grouped_quantile_exact(rd.from_arrow(t), "k", "v", [0.5],
+                               interpolation="nearest")
+    with pytest.raises(ValueError, match="qs"):
+        grouped_quantile_exact(rd.from_arrow(t), "k", "v", [])
+
+
+def test_pivot_counts_matches_sql(ray_session):
+    """pivot_counts == count(*)/sum(v) FILTER wide aggregates, incl.
+    category auto-discovery, explicit unseen categories (0), null
+    categories matching nothing, and prefixed column names."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import pivot_counts
+
+    rng = np.random.default_rng(29)
+    n = 4000
+    cats = rng.choice(["x", "y", "z"], n).astype(object)
+    cats[rng.random(n) < 0.05] = None
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 21, n), pa.int64()),
+        "c": pa.array(cats),
+        "v": pa.array(rng.integers(0, 50, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = (pivot_counts(rd.from_arrow(t).repartition(6), "k", "c")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = con.sql("""
+        SELECT k, count(*) FILTER (c='x') AS x,
+               count(*) FILTER (c='y') AS y,
+               count(*) FILTER (c='z') AS z
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    # explicit categories incl. one unseen; integer value sums
+    gs = (pivot_counts(rd.from_arrow(t), "k", "c", ["x", "missing"],
+                       value_col="v", prefix="s_")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    ws = con.sql("""
+        SELECT k, coalesce(sum(v) FILTER (c='x'), 0) AS s_x
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_series_equal(gs["s_x"], ws["s_x"],
+                                   check_dtype=False)
+    assert (gs["s_missing"] == 0).all()
