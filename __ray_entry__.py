@@ -733,6 +733,20 @@ def _q_embedding_dedup(sf_dir: str):
                                  n_bits=3)
 
 
+def _q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup survivors over the embeddings table: k-means clusters
+    (deterministic content-hash sample) + within-cluster cosine pairs +
+    connected-component keep-one. Approximate by construction (cluster
+    boundaries gate which pairs are compared) — exhaustive-equivalence
+    and planted-group oracles are pinned in tests/test_ann.py and
+    tests/test_dedup.py."""
+    from bloomjoin_ray.pipelines.dedup import semdedup
+
+    return semdedup(_read(sf_dir, "embeddings"), threshold=0.45,
+                    n_clusters=8, sample_rows=512).select_columns(
+        ["vec_id", "label"])
+
+
 def _transcript_convs_for(sf_dir: str) -> int:
     scale = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 20000}
     return scale.get(os.path.basename(os.path.normpath(sf_dir)), 2000)
@@ -1106,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
+        "semdedup_embeddings": _q_semdedup_embeddings,
         "knn_join_embeddings": _q_knn_join,
         "label_centroids": _q_label_centroids,
         "hashvec_ann_docs": _q_hashvec_ann_docs,

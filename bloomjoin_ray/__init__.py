@@ -79,6 +79,10 @@ def __getattr__(name):
         "lsh_ann_topk": "bloomjoin_ray.pipelines.ann",
         "ivf_ann_topk": "bloomjoin_ray.pipelines.ann",
         "embedding_dedup_pairs": "bloomjoin_ray.pipelines.ann",
+        "kmeans_fit": "bloomjoin_ray.pipelines.ann",
+        "assign_clusters": "bloomjoin_ray.pipelines.ann",
+        "semdedup_pairs": "bloomjoin_ray.pipelines.ann",
+        "semdedup": "bloomjoin_ray.pipelines.dedup",
         "text_stats": "bloomjoin_ray.pipelines.text",
         "language_id": "bloomjoin_ray.pipelines.text",
         "fingerprints": "bloomjoin_ray.pipelines.text",

@@ -482,23 +482,22 @@ def _infer_dim(ds, vec_col: str) -> int:
     return embeddings_to_matrix(first.column(vec_col)).shape[1]
 
 
-def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
-                          id_col: str = "vec_id", vec_col: str = "embedding",
-                          n_bits: int = 6, seed: int = 0xA11,
-                          dim: int | None = None):
-    """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH bucket
-    + in-bucket exact verification. Returns Dataset[id_a, id_b, cosine]."""
-    if dim is None:
-        dim = _infer_dim(ds, vec_col)
-    stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
-
+def _bucket_cosine_pairs(bucketed, *, threshold: float, id_col: str,
+                         vec_col: str, bucket_col: str = "bucket"):
+    """Shared verify stage for near-dup pair generation: within every
+    value of ``bucket_col`` (an LSH cell or a k-means cluster id),
+    all-pairs cosine over the members, emitting ``(id_a, id_b, cosine)``
+    rows for pairs at or above ``threshold``. One packed bucketed
+    exchange; pair volume is quadratic only in BUCKET occupancy, never
+    in corpus size — the caller controls occupancy via ``n_bits`` /
+    ``n_clusters``."""
     from .buckets import (numeric_segments, packed_bucket_map_groups,
                           dedupe_pairs)
 
     def verify(group: pa.Table) -> pa.Table:
-        """One reduce task per hash bucket of LSH cells (not one Python
-        dispatch per cell — the cell count grows with ``n_bits``); only
-        multi-member cells get an all-pairs cosine check."""
+        """One reduce task per hash bucket of cells (not one Python
+        dispatch per cell — the cell count grows with the bucketing
+        resolution); only multi-member cells get an all-pairs check."""
         id_type = group.column(id_col).type
 
         def empty():
@@ -512,7 +511,7 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
 
         import pyarrow.compute as pc
 
-        cells = np.asarray(group.column("bucket"), dtype=np.int64)
+        cells = np.asarray(group.column(bucket_col), dtype=np.int64)
         order, bounds = numeric_segments([cells])
         sizes = np.diff(bounds)
         # every within-cell pair at once: one triangle expansion and one
@@ -538,8 +537,96 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
         })
         return out.filter(pc.not_equal(a_ids, b_ids))
 
-    pairs = packed_bucket_map_groups(
+    pairs = packed_bucket_map_groups(bucketed, [bucket_col], verify)
+    return dedupe_pairs(pairs, {"cosine": "min"})
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_bits: int = 6, seed: int = 0xA11,
+                          dim: int | None = None):
+    """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH bucket
+    + in-bucket exact verification. Returns Dataset[id_a, id_b, cosine]."""
+    if dim is None:
+        dim = _infer_dim(ds, vec_col)
+    stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
+    return _bucket_cosine_pairs(
         ds.select_columns([id_col, vec_col])
           .map_batches(stage, batch_format="pyarrow"),
-        ["bucket"], verify)
-    return dedupe_pairs(pairs, {"cosine": "min"})
+        threshold=threshold, id_col=id_col, vec_col=vec_col)
+
+
+def kmeans_fit(ds, *, vec_col: str = "embedding", n_clusters: int = 16,
+               sample_rows: int = 4096, seed: int = 0x1FF,
+               iters: int = 10) -> np.ndarray:
+    """Fit spherical k-means centroids over an embedding column:
+    corpus-wide unbiased content-hash sample (partition-invariant, the
+    same draw IVF training uses) + deterministic seeded Lloyd iterations
+    on the driver. Returns an L2-normalized ``(n_clusters, dim)``
+    float32 matrix — broadcast it with ``ray.put`` and assign with
+    ``assign_clusters``. Only ``sample_rows`` vectors ever reach the
+    driver; the corpus streams."""
+    smp = _even_sample_matrix(ds, vec_col, sample_rows)
+    if len(smp) == 0:
+        raise ValueError("kmeans_fit on an empty dataset")
+    return _minibatch_kmeans(smp, n_clusters, seed, iters=iters)
+
+
+def assign_clusters(ds, centroids: np.ndarray, *,
+                    vec_col: str = "embedding",
+                    cluster_col: str = "cluster_id",
+                    sim_col: str | None = None):
+    """Append each row's nearest-centroid id (int32 argmax of cosine
+    against the broadcast centroid matrix; ties break to the lowest id)
+    and optionally the cosine itself (``sim_col`` — SemDeDup's
+    keep-most-/least-typical policies key on it). One ``ray.put`` of the
+    centroids, one vectorized matmul per block; no shuffle."""
+    import ray
+
+    C = _normalize(np.ascontiguousarray(centroids, dtype=np.float32))
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        if batch.num_rows == 0:
+            out = batch.append_column(cluster_col,
+                                      pa.array([], type=pa.int32()))
+            if sim_col:
+                out = out.append_column(sim_col,
+                                        pa.array([], type=pa.float32()))
+            return out
+        V = _normalize(embeddings_to_matrix(
+            batch.column(vec_col)).astype(np.float32))
+        sims = V @ cents.T
+        cells = np.argmax(sims, axis=1)
+        out = batch.append_column(cluster_col,
+                                  pa.array(cells.astype(np.int32)))
+        if sim_col:
+            best = sims[np.arange(len(cells)), cells]
+            out = out.append_column(sim_col, pa.array(best, pa.float32()))
+        return out
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_pairs(ds, *, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_clusters: int = 16, sample_rows: int = 4096,
+                   seed: int = 0x5EED, centroids: np.ndarray | None = None):
+    """SemDeDup-style near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then exact
+    all-pairs cosine WITHIN each cluster only. Complements
+    ``embedding_dedup_pairs``: k-means cells follow the data's density
+    (hot LSH buckets split; sparse ones merge), and the same fitted
+    ``centroids`` can be reused across corpus snapshots for stable cell
+    boundaries. Pair volume is quadratic in cluster occupancy — size
+    ``n_clusters ≈ corpus_rows / target_cluster_size``. Returns
+    Dataset[id_a, id_b, cosine]."""
+    if centroids is None:
+        centroids = kmeans_fit(ds, vec_col=vec_col, n_clusters=n_clusters,
+                               sample_rows=sample_rows, seed=seed)
+    bucketed = assign_clusters(ds.select_columns([id_col, vec_col]),
+                               centroids, vec_col=vec_col,
+                               cluster_col="bucket")
+    return _bucket_cosine_pairs(bucketed, threshold=threshold,
+                                id_col=id_col, vec_col=vec_col)

@@ -517,6 +517,27 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id", *,
     return dedup_by_pairs(ds, pairs, id_col, score_col=score_col)
 
 
+def semdedup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_clusters: int = 16,
+             sample_rows: int = 4096, seed: int = 0x5EED,
+             centroids=None, score_col: str | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates by k-means-clustering the embedding column and
+    keeping one representative of each within-cluster cosine-≥-threshold
+    component. ``score_col`` picks the best member (e.g. a quality
+    score) instead of the min-id one; pass pre-fitted ``centroids``
+    (from ``kmeans_fit``) for stable cells across corpus snapshots.
+    Survivors stream back as full rows — nothing whole-corpus reaches
+    the driver (pairs → ``dedup_by_pairs``'s bounded drop machinery)."""
+    from .ann import semdedup_pairs
+
+    pairs = semdedup_pairs(ds, threshold=threshold, id_col=id_col,
+                           vec_col=vec_col, n_clusters=n_clusters,
+                           sample_rows=sample_rows, seed=seed,
+                           centroids=centroids)
+    return dedup_by_pairs(ds, pairs, id_col, score_col=score_col)
+
+
 # ------------------------------------------------- exact n-gram Jaccard ----
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,

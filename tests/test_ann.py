@@ -391,3 +391,56 @@ def test_knn_join_hot_cell_stays_bounded(ray_session):
     assert got["query_id"].tolist() == want["query_id"].astype("int64").tolist()
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
     assert np.allclose(got["score"], want["score"], atol=1e-6)
+
+
+def test_kmeans_fit_deterministic_and_normalized(emb):
+    from bloomjoin_ray.pipelines.ann import kmeans_fit
+
+    ds, V, ids = emb
+    C1 = kmeans_fit(ds, n_clusters=8, sample_rows=256, seed=3)
+    C2 = kmeans_fit(ds.repartition(5), n_clusters=8, sample_rows=256, seed=3)
+    assert C1.shape == (8, V.shape[1]) and C1.dtype == np.float32
+    # content-hash sample → identical centroids under any partitioning
+    np.testing.assert_array_equal(C1, C2)
+    np.testing.assert_allclose(np.linalg.norm(C1, axis=1), 1.0, atol=1e-5)
+
+
+def test_assign_clusters_matches_numpy_argmax(emb):
+    from bloomjoin_ray.pipelines.ann import assign_clusters, kmeans_fit
+
+    ds, V, ids = emb
+    C = kmeans_fit(ds, n_clusters=8, sample_rows=256, seed=3)
+    got = (assign_clusters(ds, C, sim_col="centroid_sim").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn[np.argsort(ids)] @ C.T
+    want = np.argmax(sims, axis=1)
+    np.testing.assert_array_equal(got["cluster_id"], want)
+    np.testing.assert_allclose(got["centroid_sim"],
+                               sims[np.arange(len(want)), want], atol=1e-5)
+    assert got["cluster_id"].dtype == np.int32
+
+
+def test_semdedup_pairs_single_cluster_is_exhaustive(ray_session):
+    """n_clusters=1 puts everything in one cell, so semdedup_pairs must
+    equal the brute-force all-pairs cosine-threshold set exactly."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((80, 16)).astype(np.float32)
+    V[40:44] = V[0] + 0.001 * rng.standard_normal((4, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(80), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+
+    got = semdedup_pairs(ds, threshold=0.9, n_clusters=1,
+                         sample_rows=80).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"]))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = {(a, b) for a in range(80) for b in range(a + 1, 80)
+            if S[a, b] >= 0.9}
+    assert got_set == want and len(want) >= 10

@@ -406,3 +406,57 @@ def test_dedup_lines_no_duplicates_is_identity(ray_session):
 
     with pytest.raises(ValueError, match="threshold"):
         dedup_lines(rd.from_arrow(t), threshold=0)
+
+
+def test_semdedup_drops_planted_semantic_dups(ray_session):
+    """semdedup keeps all mutually-dissimilar rows and exactly one
+    representative (min id, or best score_col) per planted near-dup
+    group; result is partition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(23)
+    dim = 32
+    uniq = rng.standard_normal((120, dim)).astype(np.float32)
+    # 3 planted groups of 5 near-identical vectors each
+    groups = []
+    for g in range(3):
+        base = rng.standard_normal(dim).astype(np.float32)
+        groups.append(np.tile(base, (5, 1)) +
+                      1e-3 * rng.standard_normal((5, dim)).astype(np.float32))
+    V = np.concatenate([uniq] + groups)
+    n = len(V)
+    ids = np.arange(n)
+    quality = rng.random(n)
+    t = pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+        "quality": pa.array(quality),
+    })
+
+    kept = (semdedup(rd.from_arrow(t).repartition(6), threshold=0.95,
+                     n_clusters=6, sample_rows=n)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # uniques survive (random 32-d gaussians are far below 0.95 cosine)
+    assert set(range(120)) <= set(kept["vec_id"])
+    # exactly one survivor per planted group — the min id
+    for g in range(3):
+        lo = 120 + 5 * g
+        members = kept[(kept.vec_id >= lo) & (kept.vec_id < lo + 5)]
+        assert members["vec_id"].tolist() == [lo]
+
+    kept2 = (semdedup(rd.from_arrow(t).repartition(2), threshold=0.95,
+                      n_clusters=6, sample_rows=n)
+             .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert kept["vec_id"].tolist() == kept2["vec_id"].tolist()
+
+    best = (semdedup(rd.from_arrow(t), threshold=0.95, n_clusters=6,
+                     sample_rows=n, score_col="quality")
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    for g in range(3):
+        lo = 120 + 5 * g
+        members = best[(best.vec_id >= lo) & (best.vec_id < lo + 5)]
+        assert members["vec_id"].tolist() == [lo + int(np.argmax(
+            quality[lo:lo + 5]))]
