@@ -430,6 +430,48 @@ def _q_exact_quantiles_by_type(sf_dir: str):
         "event_type", "value", [0.25, 0.5, 0.9], interpolation="disc")
 
 
+def _q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (event_type, user_id): spend + count at every
+    prefix level plus the grand total, one packed exchange of cascaded
+    per-block partials (integral cents so the sums are hash-exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.aggregate import rollup_agg
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("value")) * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents))
+
+    ev = (_read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+          .map_batches(add_cents, batch_format="pyarrow")
+          .drop_columns(["value"]))
+    return rollup_agg(ev, ["event_type", "user_id"], {"cents": "spend"},
+                      count_col="n")
+
+
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, user_id): spend + count for every key
+    SUBSET (4 grouping sets), one packed exchange of per-block partials
+    (integral cents so the sums are hash-exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.aggregate import cube_agg
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(batch.column("value")) * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents))
+
+    ev = (_read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+          .map_batches(add_cents, batch_format="pyarrow")
+          .drop_columns(["value"]))
+    return cube_agg(ev, ["event_type", "user_id"], {"cents": "spend"},
+                    count_col="n")
+
+
 def _q_events_type_pivot(sf_dir: str):
     """Per-user event-type pivot — the count(*) FILTER wide feature
     table (one indicator pass per block, partials-only shuffle)."""
@@ -1102,6 +1144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile_per_user": _q_events_ntile_per_user,
         "exact_quantiles_by_type": _q_exact_quantiles_by_type,
         "events_type_pivot": _q_events_type_pivot,
+        "events_rollup": _q_events_rollup,
+        "events_cube": _q_events_cube,
         "events_value_norm": _q_events_value_norm,
         "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
@@ -1526,6 +1570,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.50) AS q50,
                    quantile_disc(value, 0.90) AS q90
             FROM events GROUP BY event_type
+        """,
+        "events_rollup": """
+            SELECT event_type, user_id,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS spend,
+                   count(*) AS n
+            FROM events GROUP BY ROLLUP (event_type, user_id)
+        """,
+        "events_cube": """
+            SELECT event_type, user_id,
+                   sum(CAST(floor(value * 100) AS BIGINT)) AS spend,
+                   count(*) AS n
+            FROM events GROUP BY CUBE (event_type, user_id)
         """,
         "events_type_pivot": """
             SELECT user_id,

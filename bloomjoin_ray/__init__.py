@@ -47,6 +47,9 @@ def __getattr__(name):
         "hll_distinct": "bloomjoin_ray.pipelines.aggregate",
         "approx_quantiles": "bloomjoin_ray.pipelines.aggregate",
         "grouped_quantile_exact": "bloomjoin_ray.pipelines.aggregate",
+        "rollup_agg": "bloomjoin_ray.pipelines.aggregate",
+        "cube_agg": "bloomjoin_ray.pipelines.aggregate",
+        "grouping_sets_agg": "bloomjoin_ray.pipelines.aggregate",
         "pivot_counts": "bloomjoin_ray.pipelines.aggregate",
         "filter_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",

@@ -741,7 +741,8 @@ def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
         pa.ipc.open_stream(pa.BufferReader(bytes(r["cands"]))).read_all()
         for r in rows
     ])
-    cands = cands.group_by(cols).aggregate([])  # dedupe candidate values
+    from .buckets import group_agg
+    cands = group_agg(cands, cols, [])  # dedupe candidate values (null-safe)
     est = merged.query_batch(hash_keys64(cands, cols))
     order = np.argsort(est, kind="stable")[::-1][:topk]
     out = cands.take(pa.array(order))
@@ -1045,11 +1046,13 @@ def distinct_exact(ds, cols: str | Sequence[str]) -> int:
 
     cols = [cols] if isinstance(cols, str) else list(cols)
 
+    from .buckets import group_agg
+
     def dedupe(batch: pa.Table) -> pa.Table:
-        return batch.group_by(cols).aggregate([])
+        return group_agg(batch, cols, [])
 
     def count_bucket(group: pa.Table) -> pa.Table:
-        n = group.drop_columns(["__gbucket"]).group_by(cols).aggregate([]).num_rows
+        n = group_agg(group.drop_columns(["__gbucket"]), cols, []).num_rows
         return pa.table({"__n": pa.array([n], type=pa.int64())})
 
     deduped = ds.select_columns(cols).map_batches(dedupe, batch_format="pyarrow")
@@ -1076,11 +1079,13 @@ def grouped_assoc_agg(ds, keys: Sequence[str],
                              f" for {c!r}")
     aliases = [alias for _fn, alias in aggs.values()]
 
+    from .buckets import group_agg, packed_bucket_map_groups
+
     def partial(batch: pa.Table) -> pa.Table:
         specs = [(c, fn) for c, (fn, _a) in aggs.items()]
         if count_col:
             specs.append(([], "count_all"))
-        out = batch.select(keys + list(aggs)).group_by(keys).aggregate(specs)
+        out = group_agg(batch.select(keys + list(aggs)), keys, specs)
         names = keys + aliases + (["__pc"] if count_col else [])
         return out.rename_columns(names)
 
@@ -1089,11 +1094,9 @@ def grouped_assoc_agg(ds, keys: Sequence[str],
         specs = [(alias, fn) for (fn, alias) in aggs.values()]
         if count_col:
             specs.append(("__pc", "sum"))
-        out = sub.group_by(keys).aggregate(specs)
+        out = group_agg(sub, keys, specs)
         names = keys + aliases + ([count_col] if count_col else [])
         return out.rename_columns(names)
-
-    from .buckets import packed_bucket_map_groups
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return packed_bucket_map_groups(partials, keys, reduce_group)
@@ -1190,6 +1193,149 @@ def pivot_counts(ds, key, cat_col: str, categories: Sequence | None = None,
     wide = ds.select_columns(key + in_cols).map_batches(
         indicators, batch_format="pyarrow")
     return grouped_sums(wide, key, {nm: nm for nm in names})
+
+
+def grouping_sets_agg(ds, keys: Sequence[str],
+                      sets: Sequence[Sequence[str]],
+                      sum_cols: dict[str, str] | None = None,
+                      *, count_col: str | None = "n",
+                      num_buckets: int = 64):
+    """SQL ``GROUP BY GROUPING SETS ((…), …)``: one output row per
+    group per listed set, with the set's absent key columns null —
+    exactly the SQL result, including its real-null-vs-grouped-out
+    ambiguity and one duplicate row block per DUPLICATED set.
+    ``sum_cols`` maps input column → output alias; ``rollup_agg`` /
+    ``cube_agg`` are the prefix / power-set specializations.
+
+    Scale shape: ONE pass over the rows. Each block aggregates once
+    over the full key tuple, derives every set's in-block partial from
+    that (re-aggregation over partial rows, not raw rows), tags each
+    partial with its set id and a hash bucket over the set's LIVE keys,
+    and a single packed exchange reduces all sets together — raw rows
+    never shuffle, and each all-keys-grouped-out set carries one row
+    per block.
+
+    COUNT and integer SUMs are exact under any reduction order; float
+    sums are accepted but accumulate in exchange order (same caveat as
+    any distributed float sum — route through ``grouped_sums`` per set
+    if the oracle pins accumulation order)."""
+    from .buckets import group_agg, hash_raw64, packed_bucket_map_groups
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("grouping_sets_agg needs at least one key")
+    sets = [list(s) for s in sets]
+    if not sets:
+        raise ValueError("grouping_sets_agg needs at least one set")
+    for s in sets:
+        if len(set(s)) != len(s) or not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} must be a subset of "
+                             f"{keys!r} without duplicates")
+    sum_cols = dict(sum_cols or {})
+    if not sum_cols and not count_col:
+        raise ValueError("nothing to aggregate")
+    in_cols = list(sum_cols)
+    aliases = list(sum_cols.values())
+    _SET = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key_types = {k: batch.schema.field(k).type for k in keys}
+        specs = [(c, "sum") for c in in_cols]
+        if count_col:
+            specs.append(([], "count_all"))
+        base = (group_agg(batch.select(keys + in_cols), keys, specs)
+                .rename_columns(keys + aliases
+                                + (["__pc"] if count_col else [])))
+        respec = [(a, "sum") for a in aliases]
+        if count_col:
+            respec.append(("__pc", "sum"))
+        out: list[pa.Table] = []
+        for si, live in enumerate(sets):
+            if live == keys:
+                cur = base
+            elif live:
+                cur = (group_agg(base, live, respec)
+                       .rename_columns(live + aliases
+                                       + (["__pc"] if count_col else [])))
+            else:
+                flat = [pc.sum(base.column(a)) for a in aliases]
+                cols = {a: pa.array([s.as_py()], base.schema.field(a).type)
+                        for a, s in zip(aliases, flat)}
+                if count_col:
+                    cols["__pc"] = pa.array(
+                        [pc.sum(base.column("__pc")).as_py() or 0],
+                        pa.int64())
+                cur = pa.table(cols)
+            n = cur.num_rows
+            h = (hash_raw64(cur, live) if live
+                 else np.zeros(n, dtype=np.uint64))
+            h = h + _SET * np.uint64(si + 1)
+            t = pa.table({k: (cur.column(k) if k in live
+                              else pa.nulls(n, key_types[k]))
+                          for k in keys}
+                         | {a: cur.column(a) for a in aliases}
+                         | ({"__pc": cur.column("__pc")} if count_col
+                            else {})
+                         | {"__set": pa.array(np.full(n, si, np.int16)),
+                            "__gbucket": pa.array(
+                                (h % np.uint64(num_buckets))
+                                .astype(np.int32))})
+            out.append(t)
+        return pa.concat_tables(out)
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        sub = group.drop_columns(["__gbucket"])
+        respec = [(a, "sum") for a in aliases]
+        if count_col:
+            respec.append(("__pc", "sum"))
+        out = (group_agg(sub, ["__set"] + keys, respec)
+               .rename_columns(["__set"] + keys + aliases
+                               + ([count_col] if count_col else [])))
+        return out.drop_columns(["__set"]).select(
+            keys + aliases + ([count_col] if count_col else []))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return packed_bucket_map_groups(partials, None, reduce_group,
+                                    num_buckets=num_buckets,
+                                    pre_bucketed=True)
+
+
+def rollup_agg(ds, keys: Sequence[str], sum_cols: dict[str, str] | None = None,
+               *, count_col: str | None = "n", num_buckets: int = 64):
+    """SQL ``GROUP BY ROLLUP (keys…)``: one output row per group at
+    EVERY prefix level of ``keys`` — (k1..kn), (k1..kn-1), …, (k1) and
+    the grand total — with rolled-up key columns null, exactly like the
+    SQL result. The prefix specialization of ``grouping_sets_agg``
+    (see there for the scale shape and float-sum caveat)."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_agg needs at least one key")
+    sets = [keys[:lvl] for lvl in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, sum_cols,
+                             count_col=count_col, num_buckets=num_buckets)
+
+
+def cube_agg(ds, keys: Sequence[str], sum_cols: dict[str, str] | None = None,
+             *, count_col: str | None = "n", num_buckets: int = 64):
+    """SQL ``GROUP BY CUBE (keys…)``: one output row per group per
+    SUBSET of ``keys`` (2^len(keys) grouping sets). The power-set
+    specialization of ``grouping_sets_agg`` (see there for the scale
+    shape and float-sum caveat). Capped at 6 keys (64 sets) — wider
+    cubes should enumerate the sets they actually need via
+    ``grouping_sets_agg``."""
+    keys = list(keys)
+    if not keys:
+        raise ValueError("cube_agg needs at least one key")
+    if len(keys) > 6:
+        raise ValueError("cube_agg is capped at 6 keys (64 grouping "
+                         "sets); pass the needed sets to "
+                         "grouping_sets_agg instead")
+    sets = [[k for j, k in enumerate(keys) if mask >> j & 1]
+            for mask in range((1 << len(keys)) - 1, -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, sum_cols,
+                             count_col=count_col, num_buckets=num_buckets)
 
 
 def topk_exact(ds, cols: str | Sequence[str], k: int, *,

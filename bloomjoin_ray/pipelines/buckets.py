@@ -21,6 +21,68 @@ import pyarrow as pa
 from ..functions.keys import SEED, fnv1a64_strings, mix_in, splitmix64
 
 
+def group_agg(t: pa.Table, keys: list[str], specs) -> pa.Table:
+    """``t.group_by(keys).aggregate(specs)`` with EXACT null-key grouping
+    and a pinned output layout: key columns first (in ``keys`` order),
+    then one column per spec named pyarrow-style (``{col}_{fn}``,
+    ``count_all``). ``specs=[]`` returns the distinct key rows.
+
+    pyarrow 16.1's hash grouper OVER-GROUPS when any key column
+    contains nulls: identical null-keyed rows can land in several
+    output groups (repro pinned in
+    tests/test_aggregate.py::test_group_agg_null_keys). Null-free key
+    sets take the C++ fast path untouched; nullable keys are re-encoded
+    as (value with nulls filled, is-null flag) — a null-free key set
+    the grouper handles exactly — and the nulls are restored on the
+    way out. Value-column null semantics are pyarrow's own in both
+    paths (the re-encoding touches only key columns)."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    specs = list(specs)
+    spec_names = [("count_all" if not c else f"{c}_{fn}")
+                  for c, fn in specs]
+    if all(t.column(k).null_count == 0 for k in keys):
+        out = t.group_by(keys).aggregate(specs)
+        return out.select(keys + spec_names)
+
+    t2 = t
+    filled: list[str] = []    # nullable keys kept (with nulls filled)
+    all_null: list[str] = []  # keys dropped from grouping entirely
+    gkeys: list[str] = []
+    for k in keys:
+        col = t2.column(k)
+        if col.null_count == 0:
+            gkeys.append(k)
+            continue
+        flag = f"__nn_{k}"
+        valid = pc.drop_null(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+        if len(valid):
+            idx = t2.schema.get_field_index(k)
+            t2 = t2.set_column(idx, k, pc.fill_null(col, valid[0]))
+            gkeys.append(k)
+            filled.append(k)
+        else:
+            all_null.append(k)
+        t2 = t2.append_column(flag, pc.is_null(col))
+        gkeys.append(flag)
+    out = t2.group_by(gkeys).aggregate(specs)
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+    for k in keys:
+        if k in all_null:
+            cols[k] = pa.nulls(out.num_rows, t.schema.field(k).type)
+        elif k in filled:
+            cols[k] = pc.if_else(out.column(f"__nn_{k}"),
+                                 pa.scalar(None, t.schema.field(k).type),
+                                 out.column(k))
+        else:
+            cols[k] = out.column(k)
+    for nm in spec_names:
+        cols[nm] = out.column(nm)
+    return pa.table(cols)
+
+
 def hash_raw64(table: pa.Table, cols: list[str]) -> np.ndarray:
     """Raw (non-canonical) 64-bit hash of the given columns — for INTERNAL
     bucketing only. Unlike ``hash_keys64`` it never routes numerics
@@ -40,6 +102,12 @@ def hash_raw64(table: pa.Table, cols: list[str]) -> np.ndarray:
         if (pa.types.is_string(t) or pa.types.is_large_string(t)
                 or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
             comp = splitmix64(fnv1a64_strings(col))
+            if col.null_count:
+                # null slots carry arbitrary buffer bytes (group_by
+                # outputs don't normalize them) — pin to a constant so
+                # a null key routes to the SAME bucket from every block
+                comp[np.asarray(pc.is_null(col))] = splitmix64(
+                    np.uint64(SEED))
         elif pa.types.is_timestamp(t):
             comp = splitmix64(np.asarray(
                 pc.fill_null(col.cast(pa.int64()), 0)).view(np.uint64))
@@ -182,7 +250,7 @@ def dedupe_pairs(pairs, value_cols: dict[str, str] | None = None, *,
         if sub.num_rows == 0:
             return sub
         aggs = [(c, fn) for c, fn in value_cols.items()]
-        out = sub.group_by(keys).aggregate(aggs)
+        out = group_agg(sub, keys, aggs)
         renames = {f"{c}_{fn}": c for c, fn in value_cols.items()}
         out = out.rename_columns([renames.get(n, n) for n in out.column_names])
         return out.select(keys + list(value_cols))

@@ -358,7 +358,8 @@ def tfidf_topk(ds, k: int = 5, *, id_col: str = "doc_id",
         doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
         pairs = pa.table({id_col: id_arr.take(pa.array(doc_idx)),
                           "token": flat})
-        out = pairs.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        from .buckets import group_agg
+        out = group_agg(pairs, [id_col, "token"], [([], "count_all")])
         return out.rename_columns([id_col, "token", "tf"])
 
     tf = ds.select_columns([id_col, text_col]).map_batches(

@@ -587,3 +587,163 @@ def test_pivot_counts_matches_sql(ray_session):
     pd.testing.assert_series_equal(gs["s_x"], ws["s_x"],
                                    check_dtype=False)
     assert (gs["s_missing"] == 0).all()
+
+
+def test_group_agg_null_keys():
+    """pyarrow 16.1's hash grouper over-groups null-keyed rows (the
+    rollup reduce hit it: identical (lvl, key, NULL) rows split into
+    several output groups). group_agg must be exact; this also pins the
+    upstream repro so a pyarrow upgrade that fixes it is visible."""
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.buckets import group_agg
+
+    rows_a, rows_b, lvl = [], [], []
+    for _r in range(16):
+        for i in range(5):
+            rows_a.append(f"type{i}"); rows_b.append(None); lvl.append(1)
+        rows_a.append(None); rows_b.append(None); lvl.append(0)
+    t = pa.table({"__lvl": pa.array(lvl, pa.int8()),
+                  "a": pa.array(rows_a),
+                  "b": pa.array(rows_b, pa.int64()),
+                  "v": pa.array(np.arange(len(lvl)), pa.int64())})
+    keys = ["__lvl", "a", "b"]
+    true = t.to_pandas().groupby(keys, dropna=False)
+    raw = t.group_by(keys).aggregate([("v", "sum")])
+    # upstream bug repro: if this starts passing, pyarrow fixed it and
+    # group_agg's slow path can be retired
+    assert raw.num_rows > true.ngroups
+
+    out = group_agg(t, keys, [("v", "sum"), ([], "count_all")])
+    assert out.column_names == keys + ["v_sum", "count_all"]
+    got = (out.to_pandas().sort_values(keys).reset_index(drop=True))
+    want = (true.agg(v_sum=("v", "sum"), count_all=("v", "size"))
+            .reset_index().sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # distinct (specs=[]) and the all-null-column path
+    d = group_agg(t, keys, [])
+    assert d.num_rows == true.ngroups and d.column_names == keys
+    assert d.column("b").null_count == d.num_rows  # b is all-null
+
+    # null-free fast path unchanged
+    nf = pa.table({"k": pa.array(["x", "y", "x"]),
+                   "v": pa.array([1, 2, 3], pa.int64())})
+    out2 = group_agg(nf, ["k"], [("v", "sum")])
+    assert dict(zip(out2.column("k").to_pylist(),
+                    out2.column("v_sum").to_pylist())) == {"x": 4, "y": 2}
+
+    # min/max with null VALUES keep pyarrow semantics on both paths
+    mv = pa.table({"k": pa.array(["x", None, "x", None]),
+                   "v": pa.array([5, None, 2, None], pa.int64())})
+    out3 = group_agg(mv, ["k"], [("v", "min"), ("v", "max")])
+    m = {r["k"]: (r["v_min"], r["v_max"])
+         for r in out3.to_pylist()}
+    assert m == {"x": (2, 5), None: (None, None)}
+
+
+def test_rollup_agg_matches_sql(ray_session):
+    """rollup_agg == GROUP BY ROLLUP at every prefix level incl. grand
+    total, with nulls in rolled-up keys, real-null key values grouped
+    like SQL, and integer sums exact under any partitioning."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import rollup_agg
+
+    rng = np.random.default_rng(41)
+    n = 6000
+    a = rng.choice(["p", "q", "r", None], n, p=[0.4, 0.3, 0.25, 0.05])
+    b = rng.integers(0, 7, n)
+    v = rng.integers(0, 1000, n)
+    t = pa.table({"a": pa.array(a.tolist()),
+                  "b": pa.array(b, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    def norm(df):
+        return (df.sort_index(axis=1)
+                .sort_values(df.columns.sort_values().tolist())
+                .reset_index(drop=True))
+
+    got = norm(rollup_agg(rd.from_arrow(t).repartition(8), ["a", "b"],
+                          {"v": "sv"}, count_col="n").to_pandas())
+    want = norm(con.sql("""
+        SELECT a, b, sum(v) AS sv, count(*) AS n
+        FROM t GROUP BY ROLLUP (a, b)
+    """).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # count-only, single key; partition count must not matter
+    got1 = norm(rollup_agg(rd.from_arrow(t).repartition(3), ["b"],
+                           count_col="n").to_pandas())
+    want1 = norm(con.sql(
+        "SELECT b, count(*) AS n FROM t GROUP BY ROLLUP (b)").df())
+    pd.testing.assert_frame_equal(got1, want1, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        rollup_agg(rd.from_arrow(t), [])
+    with pytest.raises(ValueError):
+        rollup_agg(rd.from_arrow(t), ["a"], None, count_col=None)
+
+
+def test_cube_and_grouping_sets_match_sql(ray_session):
+    """cube_agg == GROUP BY CUBE and grouping_sets_agg == GROUP BY
+    GROUPING SETS (incl. a DUPLICATED set producing duplicate rows and
+    real-null key values), integer sums exact under any partitioning."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import (cube_agg,
+                                                   grouping_sets_agg)
+
+    rng = np.random.default_rng(43)
+    n = 5000
+    t = pa.table({
+        "a": pa.array(rng.choice(["p", "q", None], n,
+                                 p=[0.5, 0.45, 0.05]).tolist()),
+        "b": pa.array(rng.integers(0, 5, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    def norm(df):
+        return (df.sort_index(axis=1)
+                .sort_values(df.columns.sort_values().tolist())
+                .reset_index(drop=True))
+
+    got = norm(cube_agg(rd.from_arrow(t).repartition(8), ["a", "b"],
+                        {"v": "sv"}, count_col="n").to_pandas())
+    want = norm(con.sql("""
+        SELECT a, b, sum(v) AS sv, count(*) AS n
+        FROM t GROUP BY CUBE (a, b)
+    """).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # explicit sets, one duplicated — SQL emits the duplicate rows too
+    got2 = norm(grouping_sets_agg(
+        rd.from_arrow(t).repartition(5), ["a", "b"],
+        [["a"], ["b"], ["b"]], {"v": "sv"}, count_col="n").to_pandas())
+    want2 = norm(con.sql("""
+        SELECT a, b, sum(v) AS sv, count(*) AS n
+        FROM t GROUP BY GROUPING SETS ((a), (b), (b))
+    """).df())
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_arrow(t), ["a"], [])
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_arrow(t), ["a"], [["a", "a"]])
+    with pytest.raises(ValueError):
+        grouping_sets_agg(rd.from_arrow(t), ["a"], [["zz"]])
+    with pytest.raises(ValueError):
+        cube_agg(rd.from_arrow(t), list("abcdefg"))
