@@ -451,6 +451,71 @@ def _q_events_rollup(sf_dir: str):
                       count_col="n")
 
 
+def _q_lineitem_moments(sf_dir: str):
+    """Per-returnflag mean/variance/stddev/covariance/correlation of
+    (quantity, discount-cents) — int64-exact partial sums through one
+    order-pinned exchange, finalize expressions bit-reproducible in SQL
+    (see grouped_moments docstring for the pinned expression tree)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_moments
+
+    def derive(batch: pa.Table) -> pa.Table:
+        q = np.rint(np.asarray(batch.column("l_quantity"))).astype(np.int64)
+        d = np.rint(np.asarray(batch.column("l_discount")) * 100
+                    ).astype(np.int64)
+        return pa.table({"l_returnflag": batch.column("l_returnflag"),
+                         "x": pa.array(q), "y": pa.array(d)})
+
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_returnflag", "l_quantity", "l_discount"])
+          .map_batches(derive, batch_format="pyarrow"))
+    return grouped_moments(li, ["l_returnflag"], "x", "y")
+
+
+def _q_custkey_union(sf_dir: str):
+    """SQL UNION (distinct): order custkeys ∪ customer custkeys — one
+    packed dedupe exchange over the concatenated streams."""
+    from bloomjoin_ray.pipelines.setops import union_distinct
+
+    o = (_read(sf_dir, "orders", columns=["o_custkey"])
+         .map_batches(lambda b: b.rename_columns(["k"]),
+                      batch_format="pyarrow"))
+    c = (_read(sf_dir, "customer", columns=["c_custkey"])
+         .map_batches(lambda b: b.rename_columns(["k"]),
+                      batch_format="pyarrow"))
+    return union_distinct(o, c, "k")
+
+
+def _q_custkey_intersect(sf_dir: str):
+    """SQL INTERSECT: custkeys present in BOTH orders and customer —
+    distinct-then-semi-join (null==null set semantics)."""
+    from bloomjoin_ray.pipelines.setops import intersect_distinct
+
+    o = (_read(sf_dir, "orders", columns=["o_custkey"])
+         .map_batches(lambda b: b.rename_columns(["k"]),
+                      batch_format="pyarrow"))
+    c = (_read(sf_dir, "customer", columns=["c_custkey"])
+         .map_batches(lambda b: b.rename_columns(["k"]),
+                      batch_format="pyarrow"))
+    return intersect_distinct(o, c, "k")
+
+
+def _q_orderkey_except(sf_dir: str):
+    """SQL EXCEPT: orders with no lineitems —
+    distinct-then-anti-join (null==null set semantics)."""
+    from bloomjoin_ray.pipelines.setops import except_distinct
+
+    o = (_read(sf_dir, "orders", columns=["o_orderkey"])
+         .map_batches(lambda b: b.rename_columns(["k"]),
+                      batch_format="pyarrow"))
+    li = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
+          .map_batches(lambda b: b.rename_columns(["k"]),
+                       batch_format="pyarrow"))
+    return except_distinct(o, li, "k")
+
+
 def _q_events_cube(sf_dir: str):
     """GROUP BY CUBE (event_type, user_id): spend + count for every key
     SUBSET (4 grouping sets), one packed exchange of per-block partials
@@ -1146,6 +1211,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
+        "lineitem_moments": _q_lineitem_moments,
+        "custkey_union": _q_custkey_union,
+        "custkey_intersect": _q_custkey_intersect,
+        "orderkey_except": _q_orderkey_except,
         "events_value_norm": _q_events_value_norm,
         "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
@@ -1582,6 +1651,62 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value * 100) AS BIGINT)) AS spend,
                    count(*) AS n
             FROM events GROUP BY CUBE (event_type, user_id)
+        """,
+        "lineitem_moments": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), s AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(x) AS sx, sum(x*x) AS sxx,
+                       sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+                FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   CAST(sx AS DOUBLE) / n AS mean_x,
+                   (CAST(sxx AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
+                   / (n - 1) AS var_x,
+                   sqrt((CAST(sxx AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
+                   / (n - 1)) AS std_x,
+                   CAST(sy AS DOUBLE) / n AS mean_y,
+                   (CAST(syy AS DOUBLE)
+                    - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                   / (n - 1) AS var_y,
+                   sqrt((CAST(syy AS DOUBLE)
+                    - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                   / (n - 1)) AS std_y,
+                   (CAST(sxy AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                   / (n - 1) AS covar,
+                   ((CAST(sxy AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                    / (n - 1))
+                   / (sqrt((CAST(sxx AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
+                      / (n - 1))
+                      * sqrt((CAST(syy AS DOUBLE)
+                         - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
+                        / (n - 1))) AS corr
+            FROM s
+        """,
+        "custkey_union": """
+            SELECT o_custkey AS k FROM orders
+            UNION
+            SELECT c_custkey AS k FROM customer
+        """,
+        "custkey_intersect": """
+            SELECT o_custkey AS k FROM orders
+            INTERSECT
+            SELECT c_custkey AS k FROM customer
+        """,
+        "orderkey_except": """
+            SELECT o_orderkey AS k FROM orders
+            EXCEPT
+            SELECT l_orderkey AS k FROM lineitem
         """,
         "events_type_pivot": """
             SELECT user_id,

@@ -50,6 +50,11 @@ def __getattr__(name):
         "rollup_agg": "bloomjoin_ray.pipelines.aggregate",
         "cube_agg": "bloomjoin_ray.pipelines.aggregate",
         "grouping_sets_agg": "bloomjoin_ray.pipelines.aggregate",
+        "grouped_moments": "bloomjoin_ray.pipelines.aggregate",
+        "distinct_rows": "bloomjoin_ray.pipelines.setops",
+        "union_distinct": "bloomjoin_ray.pipelines.setops",
+        "intersect_distinct": "bloomjoin_ray.pipelines.setops",
+        "except_distinct": "bloomjoin_ray.pipelines.setops",
         "pivot_counts": "bloomjoin_ray.pipelines.aggregate",
         "filter_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",

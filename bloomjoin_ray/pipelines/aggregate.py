@@ -1338,6 +1338,83 @@ def cube_agg(ds, keys: Sequence[str], sum_cols: dict[str, str] | None = None,
                              count_col=count_col, num_buckets=num_buckets)
 
 
+def grouped_moments(ds, keys: Sequence[str], x: str, y: str | None = None,
+                    *, sample: bool = True):
+    """Per-key second-moment statistics — ``n, mean_x, var_x, std_x``
+    and, with ``y``, ``mean_y, var_y, std_y, covar, corr`` — from ONE
+    pass of per-block partial sums (n, Σx, Σx², …) through the
+    order-pinned ``grouped_sums`` exchange, then a vectorized driver-
+    free finalize per group.
+
+    Integer inputs keep int64-exact partial sums, so the finalize's
+    float expression tree — evaluated in the documented order
+    mean = Σx/n, var = (Σx² − (Σx·Σx)/n)/(n−1), std = √var,
+    covar = (Σxy − (Σx·Σy)/n)/(n−1), corr = covar/(std_x·std_y) —
+    is bit-reproducible against any engine computing the same
+    expressions over the same exact sums (the oracle contract).
+    Float inputs accumulate float64 partials (values then carry the
+    usual distributed-sum order caveat). ``sample=False`` divides by n
+    (population) instead of n−1. Groups with n==1 (or zero variance,
+    for corr) yield null."""
+    keys = list(keys)
+    if not x or (y is not None and y == x):
+        raise ValueError("grouped_moments needs x (and optionally a "
+                         "distinct y)")
+    in_cols = [x] + ([y] if y else [])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        xa = np.asarray(batch.column(x))
+        cols = {k: batch.column(k) for k in keys}
+        cols["__x"] = pa.array(xa)
+        cols["__xx"] = pa.array(xa * xa)
+        if y:
+            ya = np.asarray(batch.column(y))
+            cols["__y"] = pa.array(ya)
+            cols["__yy"] = pa.array(ya * ya)
+            cols["__xy"] = pa.array(xa * ya)
+        return pa.table(cols)
+
+    sums = {"__x": "sx", "__xx": "sxx"}
+    if y:
+        sums |= {"__y": "sy", "__yy": "syy", "__xy": "sxy"}
+    agg = grouped_sums(ds.select_columns(keys + in_cols).map_batches(
+        derive, batch_format="pyarrow"), keys, sums, count_col="n")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n"), dtype=np.float64)
+        d = n if not sample else n - 1.0
+        sx = np.asarray(batch.column("sx"), dtype=np.float64)
+        sxx = np.asarray(batch.column("sxx"), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_x = sx / n
+            var_x = (sxx - (sx * sx) / n) / d
+            std_x = np.sqrt(var_x)
+            out = {k: batch.column(k) for k in keys}
+            out["n"] = batch.column("n")
+            out["mean_x"] = pa.array(mean_x)
+            out["var_x"] = pa.array(np.where(d > 0, var_x, np.nan))
+            out["std_x"] = pa.array(np.where(d > 0, std_x, np.nan))
+            if y:
+                sy = np.asarray(batch.column("sy"), dtype=np.float64)
+                syy = np.asarray(batch.column("syy"), dtype=np.float64)
+                sxy = np.asarray(batch.column("sxy"), dtype=np.float64)
+                mean_y = sy / n
+                var_y = (syy - (sy * sy) / n) / d
+                std_y = np.sqrt(var_y)
+                covar = (sxy - (sx * sy) / n) / d
+                corr = covar / (std_x * std_y)
+                out["mean_y"] = pa.array(mean_y)
+                out["var_y"] = pa.array(np.where(d > 0, var_y, np.nan))
+                out["std_y"] = pa.array(np.where(d > 0, std_y, np.nan))
+                out["covar"] = pa.array(np.where(d > 0, covar, np.nan))
+                out["corr"] = pa.array(
+                    np.where((d > 0) & (var_x > 0) & (var_y > 0),
+                             corr, np.nan))
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def topk_exact(ds, cols: str | Sequence[str], k: int, *,
                count_col: str = "n"):
     """Exact top-k by frequency: per-block counts → packed grouped sum

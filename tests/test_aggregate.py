@@ -692,6 +692,72 @@ def test_rollup_agg_matches_sql(ray_session):
         rollup_agg(rd.from_arrow(t), ["a"], None, count_col=None)
 
 
+def test_grouped_moments(ray_session):
+    """grouped_moments: int inputs → BIT-exact vs the pinned SQL
+    expression tree over exact sums; float inputs → numpy parity;
+    x-only mode; n==1 and zero-variance groups yield null."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_moments
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({"k": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+                  "x": pa.array(rng.integers(0, 50, n), pa.int64()),
+                  "y": pa.array(rng.integers(0, 11, n), pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    got = (grouped_moments(rd.from_arrow(t).repartition(7), ["k"], "x", "y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = con.sql("""
+        WITH s AS (SELECT k, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                          sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+                   FROM t GROUP BY k)
+        SELECT k, n,
+               CAST(sx AS DOUBLE)/n AS mean_x,
+               (CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/n)/(n-1) AS var_x,
+               sqrt((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/n)/(n-1)) AS std_x,
+               CAST(sy AS DOUBLE)/n AS mean_y,
+               (CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))/n)/(n-1) AS var_y,
+               sqrt((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))/n)/(n-1)) AS std_y,
+               (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/n)/(n-1) AS covar,
+               ((CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/n)/(n-1))
+               / (sqrt((CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/n)/(n-1))
+                  * sqrt((CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))/n)/(n-1))) AS corr
+        FROM s ORDER BY k
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # float inputs: numpy parity (order caveat → tolerance)
+    tf = pa.table({"k": pa.array(["a"] * 500 + ["b"] * 500),
+                   "x": pa.array(rng.normal(0, 3, 1000)),
+                   "y": pa.array(rng.normal(5, 2, 1000))})
+    gf = (grouped_moments(rd.from_arrow(tf).repartition(4), ["k"], "x", "y")
+          .to_pandas().set_index("k"))
+    df = tf.to_pandas()
+    for k, grp in df.groupby("k"):
+        assert gf.loc[k, "mean_x"] == pytest.approx(grp.x.mean())
+        assert gf.loc[k, "std_y"] == pytest.approx(grp.y.std())
+        assert gf.loc[k, "corr"] == pytest.approx(grp.x.corr(grp.y))
+
+    # x-only mode, n==1 group, zero-variance group
+    t1 = pa.table({"k": pa.array(["solo", "flat", "flat"]),
+                   "x": pa.array([7, 4, 4], pa.int64())})
+    g1 = (grouped_moments(rd.from_arrow(t1), ["k"], "x")
+          .to_pandas().set_index("k"))
+    assert "covar" not in g1.columns
+    assert g1.loc["solo", "n"] == 1 and np.isnan(g1.loc["solo", "var_x"])
+    assert g1.loc["flat", "var_x"] == 0.0
+
+    with pytest.raises(ValueError):
+        grouped_moments(rd.from_arrow(t1), ["k"], "x", "x")
+
+
 def test_cube_and_grouping_sets_match_sql(ray_session):
     """cube_agg == GROUP BY CUBE and grouping_sets_agg == GROUP BY
     GROUPING SETS (incl. a DUPLICATED set producing duplicate rows and
