@@ -451,6 +451,28 @@ def _q_events_rollup(sf_dir: str):
                       count_col="n")
 
 
+def _q_embedding_unnest(sf_dir: str):
+    """SQL UNNEST: one row per embedding element — zero-copy list
+    flatten + parent-row take per block, no shuffle."""
+    from bloomjoin_ray.pipelines.reshape import explode_column
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return explode_column(emb, "embedding", out_col="v")
+
+
+def _q_lineitem_unpivot(sf_dir: str):
+    """SQL UNPIVOT / melt: (quantity, discount, tax) stacked to
+    one row per (lineitem, measure) — pure per-block reshape."""
+    from bloomjoin_ray.pipelines.reshape import unpivot
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_quantity", "l_discount", "l_tax"])
+    return unpivot(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_discount", "l_tax"],
+                   var_col="measure", val_col="value")
+
+
 def _q_lineitem_moments(sf_dir: str):
     """Per-returnflag mean/variance/stddev/covariance/correlation of
     (quantity, discount-cents) — int64-exact partial sums through one
@@ -1212,6 +1234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
         "lineitem_moments": _q_lineitem_moments,
+        "embedding_unnest": _q_embedding_unnest,
+        "lineitem_unpivot": _q_lineitem_unpivot,
         "custkey_union": _q_custkey_union,
         "custkey_intersect": _q_custkey_intersect,
         "orderkey_except": _q_orderkey_except,
@@ -1692,6 +1716,20 @@ def oracle_sql() -> dict[str, str]:
                          - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / n)
                         / (n - 1))) AS corr
             FROM s
+        """,
+        "embedding_unnest": """
+            SELECT vec_id, unnest(embedding) AS v FROM embeddings
+        """,
+        "lineitem_unpivot": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+            FROM lineitem
         """,
         "custkey_union": """
             SELECT o_custkey AS k FROM orders

@@ -55,6 +55,8 @@ def __getattr__(name):
         "union_distinct": "bloomjoin_ray.pipelines.setops",
         "intersect_distinct": "bloomjoin_ray.pipelines.setops",
         "except_distinct": "bloomjoin_ray.pipelines.setops",
+        "explode_column": "bloomjoin_ray.pipelines.reshape",
+        "unpivot": "bloomjoin_ray.pipelines.reshape",
         "pivot_counts": "bloomjoin_ray.pipelines.aggregate",
         "filter_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",
