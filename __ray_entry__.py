@@ -1666,13 +1666,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_rollup": """
             SELECT event_type, user_id,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS spend,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS spend,
                    count(*) AS n
             FROM events GROUP BY ROLLUP (event_type, user_id)
         """,
         "events_cube": """
             SELECT event_type, user_id,
-                   sum(CAST(floor(value * 100) AS BIGINT)) AS spend,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                        AS BIGINT) AS spend,
                    count(*) AS n
             FROM events GROUP BY CUBE (event_type, user_id)
         """,

@@ -1271,7 +1271,8 @@ def grouping_sets_agg(ds, keys: Sequence[str],
             n = cur.num_rows
             h = (hash_raw64(cur, live) if live
                  else np.zeros(n, dtype=np.uint64))
-            h = h + _SET * np.uint64(si + 1)
+            with np.errstate(over="ignore"):  # wraparound intended
+                h = h + _SET * np.uint64(si + 1)
             t = pa.table({k: (cur.column(k) if k in live
                               else pa.nulls(n, key_types[k]))
                           for k in keys}
