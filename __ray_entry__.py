@@ -418,6 +418,74 @@ def _q_events_lag_per_user(sf_dir: str):
         ["ts", "value"])
 
 
+def _q_tpch_q3_top_orders(sf_dir: str):
+    """TPC-H Q3-shaped composite: BUILDING customers ⋈ pre-cutoff
+    orders ⋈ post-cutoff lineitems → revenue per order → top 10.
+    Exercises the whole engine in one chain: two Bloom-prefiltered
+    joins (each build side shrinks the probe scan), integral-cents
+    revenue partial sums, and an exact deterministic top-k."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_sums
+    from bloomjoin_ray.pipelines.join import bloom_join
+
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .drop_columns(["c_mktsegment"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow")
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t.column("l_extendedprice"), dtype=np.float64)
+            * (1.0 - np.asarray(t.column("l_discount"), dtype=np.float64))
+            * 100.0).astype(np.int64)
+        return (t.append_column("revenue_cents", pa.array(cents))
+                .drop_columns(["l_extendedprice", "l_discount",
+                               "l_shipdate"]))
+
+    ords, _ = bloom_join(orders, cust, {"o_custkey": "c_custkey"}, "semi")
+    j, _ = bloom_join(li.map_batches(add_revenue, batch_format="pyarrow"),
+                      ords.drop_columns(["o_custkey"]),
+                      {"l_orderkey": "o_orderkey"}, "inner")
+    rev = grouped_sums(j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                       {"revenue_cents": "revenue_cents"})
+
+    def recast(t: pa.Table) -> pa.Table:
+        # Ray's groupby round-trips date-granular keys through numpy,
+        # downcasting timestamp[us] → [s]; restore the input unit
+        i = t.schema.get_field_index("o_orderdate")
+        return t.set_column(i, "o_orderdate",
+                            t.column("o_orderdate").cast(pa.timestamp("us")))
+
+    return (rev.sort(["revenue_cents", "l_orderkey"],
+                     descending=[True, False]).limit(10)
+            .map_batches(recast, batch_format="pyarrow"))
+
+
+def _q_user_type_sequences(sf_dir: str):
+    """Conversation assembly — SQL ``string_agg(event_type ORDER BY ts,
+    event_id)`` per user: one row per user with their full ordered
+    event-type sequence plus turn count. One packed exchange; the join
+    is a single vectorized binary_join over a zero-copy ListArray."""
+    from bloomjoin_ray.pipelines.aggregate import collect_per_key
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return collect_per_key(ev, "user_id", "event_type",
+                           ["ts", "event_id"], sep=",",
+                           out_col="types_seq", count_col="n_turns")
+
+
 def _q_exact_quantiles_by_type(sf_dir: str):
     """EXACT per-event-type value quantiles (discrete mode — gathers
     actual elements, bit-identical to SQL quantile_disc; the exact
@@ -1230,6 +1298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_spend": _q_events_rolling_spend,
         "events_ntile_per_user": _q_events_ntile_per_user,
         "exact_quantiles_by_type": _q_exact_quantiles_by_type,
+        "user_type_sequences": _q_user_type_sequences,
+        "tpch_q3_top_orders": _q_tpch_q3_top_orders,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1656,6 +1726,28 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY user_id
                        ORDER BY value, event_id) AS value_quartile
             FROM events
+        """,
+        "tpch_q3_top_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, l_orderkey
+            LIMIT 10
+        """,
+        "user_type_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id)
+                       AS types_seq,
+                   count(*) AS n_turns
+            FROM events GROUP BY user_id
         """,
         "exact_quantiles_by_type": """
             SELECT event_type,

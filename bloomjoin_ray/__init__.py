@@ -70,6 +70,7 @@ def __getattr__(name):
         "topk_per_key": "bloomjoin_ray.pipelines.aggregate",
         "topk_rows_per_key": "bloomjoin_ray.pipelines.aggregate",
         "grouped_distinct_exact": "bloomjoin_ray.pipelines.aggregate",
+        "collect_per_key": "bloomjoin_ray.pipelines.aggregate",
         "normalize_per_key": "bloomjoin_ray.pipelines.aggregate",
         "grouped_sums": "bloomjoin_ray.pipelines.aggregate",
         "reservoir_sample": "bloomjoin_ray.pipelines.aggregate",

@@ -1527,3 +1527,78 @@ def grouped_distinct_exact(ds, key: str | Sequence[str],
     partials = ds.select_columns(both).map_batches(
         dedupe_block, batch_format="pyarrow")
     return packed_bucket_map_groups(partials, key, reduce_group)
+
+
+def collect_per_key(ds, key: str | Sequence[str], col: str, order_by, *,
+                    out_col: str | None = None, sep: str | None = None,
+                    count_col: str | None = None):
+    """SQL ``array_agg(col ORDER BY …) GROUP BY key`` (``sep=None``:
+    one list row per key) or ``string_agg(col, sep ORDER BY …)``
+    (``sep`` given: one joined string per key, nulls skipped, all-null
+    keys yield a null string — SQL semantics). The transcript-assembly
+    primitive: turns one-row-per-turn event logs back into
+    one-row-per-conversation sequences. ``order_by`` is a list of
+    column names or ``(name, "ascending"|"descending")`` pairs and must
+    be a total order within each key for deterministic output.
+    ``count_col`` adds the per-key row count (SQL ``count(*)``).
+
+    Scale shape: one packed bucketed exchange on ``key`` carrying only
+    the projected columns, ONE lexsort per reduce task, then the list
+    column is a single zero-copy ``ListArray.from_arrays`` over the
+    sorted values (``binary_join`` on top for ``sep``) — no Python per
+    key or per element. A single key's collected values must fit one
+    reducer (inherent to the operator's output row)."""
+    import pyarrow.compute as pc
+
+    from .buckets import packed_bucket_map_groups
+    from .windows import _sorted_key_segments
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = [(o, "ascending") if isinstance(o, str) else (o[0], o[1])
+                for o in order_by]
+    out_col = out_col or (f"{col}_agg" if sep is not None else f"{col}_list")
+    proj = list(dict.fromkeys(key + [c for c, _ in order_by] + [col]))
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        val_type = group.schema.field(col).type
+        if sep is not None and not (pa.types.is_string(val_type)
+                                    or pa.types.is_large_string(val_type)):
+            raise TypeError(f"sep= needs a string column, got {val_type}")
+        if group.num_rows == 0:
+            t = group.select(key)
+            empty_t = (pa.string() if sep is not None
+                       else pa.list_(val_type))
+            t = t.append_column(out_col, pa.array([], empty_t))
+            if count_col:
+                t = t.append_column(count_col, pa.array([], pa.int64()))
+            return t
+        g, starts, _seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        bounds = np.append(starts, n).astype(np.int64)
+        vals = g.column(col)
+        vals = (vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+                else vals)
+        out = g.take(pa.array(starts)).select(key)
+        if sep is None:
+            lists = pa.ListArray.from_arrays(
+                pa.array(bounds, pa.int32()), vals)
+            out = out.append_column(out_col, lists)
+        else:
+            valid = np.asarray(pc.is_valid(vals))
+            cn = np.concatenate(([0], np.cumsum(valid.astype(np.int64))))
+            m = cn[bounds[1:]] - cn[bounds[:-1]]      # non-nulls per key
+            offs = np.concatenate(([0], np.cumsum(m)))
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), vals.drop_null())
+            joined = pc.binary_join(lists, sep)
+            joined = pc.if_else(pa.array(m > 0), joined,
+                                pa.nulls(len(m), joined.type))
+            out = out.append_column(out_col, joined)
+        if count_col:
+            out = out.append_column(
+                count_col, pa.array(bounds[1:] - bounds[:-1]))
+        return out
+
+    return packed_bucket_map_groups(ds.select_columns(proj), key,
+                                    reduce_group)

@@ -813,3 +813,68 @@ def test_cube_and_grouping_sets_match_sql(ray_session):
         grouping_sets_agg(rd.from_arrow(t), ["a"], [["zz"]])
     with pytest.raises(ValueError):
         cube_agg(rd.from_arrow(t), list("abcdefg"))
+
+
+def test_collect_per_key_matches_sql(ray_session):
+    """array_agg / string_agg (ORDER BY) vs DuckDB, incl. null values,
+    an all-null key, and multi-block invariance."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import collect_per_key
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = rng.integers(0, 150, n)
+    seq = rng.permutation(n)                      # unique total order
+    vals = rng.choice(["a", "b", "c", None], n,
+                      p=[0.4, 0.3, 0.25, 0.05]).tolist()
+    # key 149: all-null values → string_agg must yield NULL
+    vals = [None if k == 149 else v for k, v in zip(keys, vals)]
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "o": pa.array(seq, pa.int64()),
+                  "v": pa.array(vals, pa.string())})
+    con = duckdb.connect()
+    con.register("t", t)
+    ds = rd.from_arrow(t).repartition(7)
+
+    # string_agg mode (+ count_col)
+    got = (collect_per_key(ds, "k", "v", ["o"], sep=",",
+                           out_col="s", count_col="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = con.sql("""
+        SELECT k, string_agg(v, ',' ORDER BY o) AS s, count(*) AS n
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got.loc[got.k == 149, "s"].isna().all()
+
+    # array_agg mode: nulls kept in place, order exact
+    gl = (collect_per_key(ds, "k", "v", ["o"], out_col="xs")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    wl = con.sql("""
+        SELECT k, list(v ORDER BY o) AS xs FROM t GROUP BY k ORDER BY k
+    """).df()
+    assert list(gl.k) == list(wl.k)
+    for a, b in zip(gl["xs"], wl["xs"]):
+        assert [x if x is not None else None for x in a.tolist()] == \
+            [x if x == x else None for x in list(b)]
+
+    # descending order + non-string list payload
+    t2 = pa.table({"k": pa.array(keys % 9, pa.int64()),
+                   "o": pa.array(seq, pa.int64()),
+                   "v": pa.array(rng.integers(0, 50, n), pa.int64())})
+    con.register("t2", t2)
+    g2 = (collect_per_key(rd.from_arrow(t2).repartition(4), "k", "v",
+                          [("o", "descending")], out_col="xs")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    w2 = con.sql("""
+        SELECT k, list(v ORDER BY o DESC) AS xs FROM t2 GROUP BY k
+        ORDER BY k
+    """).df()
+    for a, b in zip(g2["xs"], w2["xs"]):
+        assert a.tolist() == list(b)
+
+    with pytest.raises((TypeError, Exception)):
+        collect_per_key(rd.from_arrow(t2), "k", "v", ["o"],
+                        sep=",").to_pandas()  # int col in sep mode
