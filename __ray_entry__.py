@@ -472,6 +472,21 @@ def _q_tpch_q3_top_orders(sf_dir: str):
             .map_batches(recast, batch_format="pyarrow"))
 
 
+def _q_props_k_by_type(sf_dir: str):
+    """JSON field extraction + aggregate: pull the numeric ``k`` field
+    out of the flat-JSON ``props`` column (one vectorized re2
+    extract_regex per batch — no per-row json.loads) and sum it per
+    event type."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_sums
+    from bloomjoin_ray.pipelines.text import json_extract_scalar
+
+    ev = json_extract_scalar(
+        _read(sf_dir, "events", columns=["event_type", "props"]),
+        "props", "k", out_col="k", cast=pa.int64())
+    return grouped_sums(ev.drop_columns(["props"]), ["event_type"],
+                        {"k": "sum_k"}, count_col="n")
+
+
 def _q_user_type_sequences(sf_dir: str):
     """Conversation assembly — SQL ``string_agg(event_type ORDER BY ts,
     event_id)`` per user: one row per user with their full ordered
@@ -1300,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_by_type": _q_exact_quantiles_by_type,
         "user_type_sequences": _q_user_type_sequences,
         "tpch_q3_top_orders": _q_tpch_q3_top_orders,
+        "props_k_by_type": _q_props_k_by_type,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1726,6 +1742,13 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY user_id
                        ORDER BY value, event_id) AS value_quartile
             FROM events
+        """,
+        "props_k_by_type": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "tpch_q3_top_orders": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,

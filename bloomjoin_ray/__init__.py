@@ -98,6 +98,7 @@ def __getattr__(name):
         "language_id": "bloomjoin_ray.pipelines.text",
         "fingerprints": "bloomjoin_ray.pipelines.text",
         "filter_by_quality": "bloomjoin_ray.pipelines.text",
+        "json_extract_scalar": "bloomjoin_ray.pipelines.text",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

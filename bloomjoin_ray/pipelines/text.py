@@ -588,3 +588,49 @@ def ngram_perplexity(ds, text_col: str = "text", *, train_ds=None,
             ppl, type=pa.float64(), mask=mask)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def json_extract_scalar(ds, col: str, key: str, *, out_col: str | None = None,
+                        cast: "pa.DataType | None" = None):
+    """Extract a top-level scalar field from a flat-JSON string column —
+    SQL ``json_extract_string(col, '$.key')`` for the metadata/props
+    blobs every event log carries. Fully vectorized: ONE re2
+    ``extract_regex`` per batch plus Arrow string kernels (no per-row
+    json.loads). Missing keys and JSON ``null`` yield null; quoted
+    strings are unquoted with ``\\"`` / ``\\\\`` unescaped.
+
+    Envelope (documented, tested): the target field must be a scalar
+    (string / number / bool / null) at the TOP level of a JSON object —
+    nested objects/arrays as the value, duplicate keys, or ``\\uXXXX``
+    escapes in the matched string are outside it (a per-row json.loads
+    stage is the fallback for full JSON). ``cast`` applies a final
+    ``pc.cast`` (e.g. ``pa.int64()`` for numeric fields)."""
+    import json as _json
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{col}_{key}"
+    # the key as it appears inside the JSON text, with regex chars escaped
+    kq = _re.escape(_json.dumps(key)[1:-1])
+    pat = (f'"{kq}"\\s*:\\s*'
+           '(?P<v>"(?:[^"\\\\]|\\\\.)*"|-?[0-9][0-9.eE+-]*|true|false|null)')
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        raw = pc.struct_field(pc.extract_regex(s, pat), "v")
+        raw = pc.if_else(pc.equal(raw, "null"),
+                         pa.nulls(len(raw), raw.type), raw)
+        quoted = pc.starts_with(raw, '"')
+        inner = pc.replace_substring_regex(raw, '^"|"$', "")
+        # unescape \\ first via a sentinel so \\" doesn't read as \"
+        inner = pc.replace_substring(inner, "\\\\", "\x00")
+        inner = pc.replace_substring(inner, '\\"', '"')
+        inner = pc.replace_substring(inner, "\x00", "\\")
+        vals = pc.if_else(quoted, inner, raw)
+        if cast is not None:
+            vals = pc.cast(vals, cast)
+        return batch.append_column(out_col, vals)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -455,3 +455,67 @@ def test_ngram_perplexity_counts_injection(ray_session):
 
     with pytest.raises(ValueError, match="buckets"):
         ngram_perplexity(ds, buckets=1 << 13, counts=(uni, bi))
+
+
+def test_json_extract_scalar_matches_sql(ray_session):
+    """Vectorized flat-JSON field extraction vs DuckDB json_extract:
+    strings (incl. \\" and \\\\ escapes), ints, floats, bools, null
+    literals, and missing keys."""
+    import json
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import json_extract_scalar
+
+    rng = np.random.default_rng(23)
+    rows = []
+    pool = ["plain", 'with "quotes"', "back\\slash", 'mix \\ then "q"',
+            "", "unicode é·ü"]
+    for i in range(600):
+        d = {"other": int(rng.integers(0, 9))}
+        r = rng.integers(0, 6)
+        if r == 0:
+            d["k"] = pool[int(rng.integers(0, len(pool)))]
+        elif r == 1:
+            d["k"] = int(rng.integers(-1000, 1000))
+        elif r == 2:
+            d["k"] = round(float(rng.normal()) * 100, 3)
+        elif r == 3:
+            d["k"] = bool(rng.integers(0, 2))
+        elif r == 4:
+            d["k"] = None
+        # r == 5: key absent
+        rows.append(json.dumps(d, ensure_ascii=False))
+    t = pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                  "props": pa.array(rows, pa.string())})
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = (json_extract_scalar(rd.from_arrow(t).repartition(4),
+                               "props", "k", out_col="v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT id, json_extract_string(props, '$.k') AS v
+        FROM t ORDER BY id
+    """).df()
+    # duckdb renders bools as 'true'/'false' strings — ours match raw
+    pd.testing.assert_series_equal(got["v"], want["v"], check_names=False)
+
+    # numeric cast path
+    t2 = pa.table({"id": pa.array(range(50), pa.int64()),
+                   "props": pa.array(
+                       [json.dumps({"k": int(i) * 7}) for i in range(50)])})
+    con.register("t2", t2)
+    g2 = (json_extract_scalar(rd.from_arrow(t2), "props", "k",
+                              out_col="v", cast=pa.int64())
+          .to_pandas()[["id", "v"]]
+          .sort_values("id").reset_index(drop=True))
+    w2 = con.sql("""
+        SELECT id, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+        FROM t2 ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
