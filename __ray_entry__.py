@@ -472,6 +472,25 @@ def _q_tpch_q3_top_orders(sf_dir: str):
             .map_batches(recast, batch_format="pyarrow"))
 
 
+def _q_events_rank_family(sf_dir: str):
+    """SQL rank()/dense_rank()/percent_rank()/cume_dist() per user over
+    integral value buckets (floor forces ties so peer semantics are
+    actually exercised). Bit-exact: ranks are tie-run arithmetic,
+    ratios are single divisions of exact integers."""
+    from bloomjoin_ray.pipelines.windows import rank_per_key
+
+    def add_vf(t: pa.Table) -> pa.Table:
+        vf = np.floor(np.asarray(t.column("value"),
+                                 dtype=np.float64)).astype(np.int64)
+        return (t.append_column("vf", pa.array(vf))
+                .drop_columns(["value"]))
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "value"]).map_batches(
+        add_vf, batch_format="pyarrow")
+    return rank_per_key(ev, "user_id", ["vf"])
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON field extraction + aggregate: pull the numeric ``k`` field
     out of the flat-JSON ``props`` column (one vectorized re2
@@ -1316,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_sequences": _q_user_type_sequences,
         "tpch_q3_top_orders": _q_tpch_q3_top_orders,
         "props_k_by_type": _q_props_k_by_type,
+        "events_rank_family": _q_events_rank_family,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1742,6 +1762,19 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY user_id
                        ORDER BY value, event_id) AS value_quartile
             FROM events
+        """,
+        "events_rank_family": """
+            WITH b AS (
+                SELECT user_id, event_id,
+                       CAST(floor(value) AS BIGINT) AS vf
+                FROM events
+            )
+            SELECT user_id, event_id, vf,
+                   rank() OVER w AS rank,
+                   dense_rank() OVER w AS dense_rank,
+                   percent_rank() OVER w AS percent_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM b WINDOW w AS (PARTITION BY user_id ORDER BY vf)
         """,
         "props_k_by_type": """
             SELECT event_type,

@@ -359,3 +359,71 @@ def ntile_per_key(ds, key, order_by, n_tiles: int, *,
         return g.append_column(out_col, pa.array(tile, pa.int64()))
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def rank_per_key(ds, key, order_by, *,
+                 ranks=("rank", "dense_rank", "percent_rank", "cume_dist")):
+    """Per-key SQL rank family — ``rank() / dense_rank() /
+    percent_rank() / cume_dist() OVER (PARTITION BY key ORDER BY …)``
+    with exact SQL tie semantics (peers share a rank; nulls are peers
+    of nulls). ``ranks`` selects which columns to append, named after
+    the SQL functions. All four are integer/ratio arithmetic on tie-run
+    boundaries, so results are bit-exact vs any SQL engine.
+
+    Scale shape: one packed bucketed exchange on ``key``, one lexsort
+    per reduce task; tie runs are segmented by the canonical 128-bit
+    order-key hash (collision odds ~2^-128), everything else is
+    cumsum/gather — no per-row Python."""
+    from ..functions.keys import hash_keys64_pair
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = [(o, "ascending") if isinstance(o, str) else (o[0], o[1])
+                for o in order_by]
+    allowed = ("rank", "dense_rank", "percent_rank", "cume_dist")
+    ranks = tuple(ranks)
+    if not ranks or any(r not in allowed for r in ranks):
+        raise ValueError(f"ranks must be a non-empty subset of {allowed}")
+    order_cols = [c for c, _ in order_by]
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            t = group
+            for r in ranks:
+                t = t.append_column(
+                    r, pa.array([], pa.float64()
+                                if r in ("percent_rank", "cume_dist")
+                                else pa.int64()))
+            return t
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        oh1, oh2 = hash_keys64_pair(g, order_cols)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (oh1[1:] != oh1[:-1]) | (oh2[1:] != oh2[:-1])
+        new_run[starts] = True                    # runs never span keys
+        run_starts = np.nonzero(new_run)[0]
+        rid = np.cumsum(new_run) - 1
+        seg_start = starts[seg]
+        seg_len = np.diff(np.append(starts, n))[seg]
+        t = g
+        if "rank" in ranks or "percent_rank" in ranks:
+            rank = run_starts[rid] - seg_start + 1
+        if "rank" in ranks:
+            t = t.append_column("rank", pa.array(rank, pa.int64()))
+        if "dense_rank" in ranks:
+            dcum = np.cumsum(new_run)
+            dense = dcum - dcum[seg_start] + 1
+            t = t.append_column("dense_rank", pa.array(dense, pa.int64()))
+        if "percent_rank" in ranks:
+            denom = np.maximum(seg_len - 1, 1)
+            pr = (rank - 1) / denom               # single row → 0.0
+            t = t.append_column("percent_rank", pa.array(pr, pa.float64()))
+        if "cume_dist" in ranks:
+            run_ends = np.append(run_starts[1:], n)
+            cd = (run_ends[rid] - seg_start) / seg_len
+            t = t.append_column("cume_dist", pa.array(cd, pa.float64()))
+        return t
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

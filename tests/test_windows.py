@@ -242,3 +242,58 @@ def test_ntile_per_key_matches_sql(ray_session):
 
     with pytest.raises(ValueError, match="n_tiles"):
         ntile_per_key(rd.from_arrow(t), "u", [("seq", "ascending")], 0)
+
+
+def test_rank_per_key_matches_sql(ray_session):
+    """rank/dense_rank/percent_rank/cume_dist vs DuckDB with heavy
+    ties, multi-column order, nulls-as-peers, and single-row keys."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import rank_per_key
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(np.concatenate([rng.integers(0, 80, n - 1), [999]]),
+                      pa.int64()),            # key 999: single row
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if x == 0 else int(x)
+                       for x in rng.integers(0, 8, n)], pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    got = (rank_per_key(rd.from_arrow(t).repartition(6), "k", ["v", "id"])
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    want = con.sql("""
+        SELECT k, id, v,
+               rank() OVER w AS rank,
+               dense_rank() OVER w AS dense_rank,
+               percent_rank() OVER w AS percent_rank,
+               cume_dist() OVER w AS cume_dist
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v NULLS LAST, id)
+        ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    # ties only on v (id dropped from order): peers share rank/cume
+    got2 = (rank_per_key(rd.from_arrow(t).repartition(3), "k", ["v"],
+                         ranks=("rank", "cume_dist"))
+            .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    want2 = con.sql("""
+        SELECT k, id, v,
+               rank() OVER w AS rank,
+               cume_dist() OVER w AS cume_dist
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY v NULLS LAST)
+        ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got2[want2.columns.tolist()], want2,
+                                  check_dtype=False)
+
+    with pytest.raises(ValueError):
+        rank_per_key(rd.from_arrow(t), "k", ["v"], ranks=("median",))
