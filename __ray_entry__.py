@@ -491,6 +491,18 @@ def _q_events_rank_family(sf_dir: str):
     return rank_per_key(ev, "user_id", ["vf"])
 
 
+def _q_events_first_last(sf_dir: str):
+    """SQL first_value/last_value/nth_value over the full-partition
+    frame: each event annotated with its user's first, latest, and
+    third event_type in time order. Pure index gathers — bit-exact."""
+    from bloomjoin_ray.pipelines.windows import first_last_per_key
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+    return first_last_per_key(ev, "user_id", ["ts", "event_id"],
+                              "event_type", nth=3)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON field extraction + aggregate: pull the numeric ``k`` field
     out of the flat-JSON ``props`` column (one vectorized re2
@@ -1336,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_top_orders": _q_tpch_q3_top_orders,
         "props_k_by_type": _q_props_k_by_type,
         "events_rank_family": _q_events_rank_family,
+        "events_first_last": _q_events_first_last,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1775,6 +1788,16 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() OVER w AS percent_rank,
                    cume_dist() OVER w AS cume_dist
             FROM b WINDOW w AS (PARTITION BY user_id ORDER BY vf)
+        """,
+        "events_first_last": """
+            SELECT user_id, event_id, ts, event_type,
+                   first_value(event_type) OVER w AS first_event_type,
+                   last_value(event_type) OVER w AS last_event_type,
+                   nth_value(event_type, 3) OVER w AS nth3_event_type
+            FROM events WINDOW w AS (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
         """,
         "props_k_by_type": """
             SELECT event_type,

@@ -100,6 +100,7 @@ def __getattr__(name):
         "filter_by_quality": "bloomjoin_ray.pipelines.text",
         "json_extract_scalar": "bloomjoin_ray.pipelines.text",
         "rank_per_key": "bloomjoin_ray.pipelines.windows",
+        "first_last_per_key": "bloomjoin_ray.pipelines.windows",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -297,3 +297,73 @@ def test_rank_per_key_matches_sql(ray_session):
 
     with pytest.raises(ValueError):
         rank_per_key(rd.from_arrow(t), "k", ["v"], ranks=("median",))
+
+
+def test_first_last_per_key_matches_sql(ray_session):
+    """first_value/last_value/nth_value over the full-partition frame
+    vs DuckDB, incl. nulls (both RESPECT and IGNORE), an all-null key,
+    nth beyond the partition size, and string payloads."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import first_last_per_key
+
+    rng = np.random.default_rng(11)
+    n = 2500
+    k = np.concatenate([rng.integers(0, 60, n - 2), [777, 777]])
+    v = [None if rng.random() < 0.25 else f"s{int(x)}"
+         for x in rng.integers(0, 50, n)]
+    v[-2:] = [None, None]                      # key 777: all-null
+    t = pa.table({
+        "k": pa.array(k, pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(v, pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+
+    got = (first_last_per_key(rd.from_arrow(t).repartition(5), "k",
+                              ["id"], "v", nth=2)
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    want = con.sql("""
+        SELECT k, id, v,
+               first_value(v) OVER w AS first_v,
+               last_value(v) OVER w AS last_v,
+               nth_value(v, 2) OVER w AS nth2_v
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    got2 = (first_last_per_key(rd.from_arrow(t).repartition(3), "k",
+                               ["id"], "v", ignore_nulls=True)
+            .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    want2 = con.sql("""
+        SELECT k, id, v,
+               first_value(v IGNORE NULLS) OVER w AS first_v,
+               last_value(v IGNORE NULLS) OVER w AS last_v
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got2[want2.columns.tolist()], want2,
+                                  check_dtype=False)
+
+    # nth far beyond every partition: all null
+    got3 = (first_last_per_key(rd.from_arrow(t), "k", ["id"], "v",
+                               values=(), nth=10**6)
+            .to_pandas())
+    assert got3[f"nth{10**6}_v"].isna().all()
+
+    with pytest.raises(ValueError):
+        first_last_per_key(rd.from_arrow(t), "k", ["id"], "v",
+                           values=("median",))
+    with pytest.raises(ValueError):
+        first_last_per_key(rd.from_arrow(t), "k", ["id"], "v",
+                           values=(), nth=None)
