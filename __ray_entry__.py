@@ -503,6 +503,16 @@ def _q_events_first_last(sf_dir: str):
                               "event_type", nth=3)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width histogram of event values: exact per-bin counts with
+    explicit [0, 1000] range so the SQL oracle evaluates the identical
+    IEEE bucket expression. Partials-only shuffle, ≤ bins output rows."""
+    from bloomjoin_ray.pipelines.aggregate import histogram
+
+    ev = _read(sf_dir, "events", columns=["value"])
+    return histogram(ev, "value", 20, lo=0.0, hi=1000.0)
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON field extraction + aggregate: pull the numeric ``k`` field
     out of the flat-JSON ``props`` column (one vectorized re2
@@ -1349,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type": _q_props_k_by_type,
         "events_rank_family": _q_events_rank_family,
         "events_first_last": _q_events_first_last,
+        "value_histogram": _q_value_histogram,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1798,6 +1809,19 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING)
+        """,
+        "value_histogram": """
+            SELECT CAST(least(floor((value - 0.0) / ((1000.0 - 0.0) / 20)),
+                              20 - 1) AS BIGINT) AS bin,
+                   count(*) AS n,
+                   0.0 + CAST(least(floor((value - 0.0) / ((1000.0 - 0.0)
+                        / 20)), 20 - 1) AS BIGINT)
+                        * ((1000.0 - 0.0) / 20) AS bin_start,
+                   0.0 + (CAST(least(floor((value - 0.0) / ((1000.0 - 0.0)
+                        / 20)), 20 - 1) AS BIGINT) + 1)
+                        * ((1000.0 - 0.0) / 20) AS bin_end
+            FROM events WHERE value >= 0.0 AND value <= 1000.0
+            GROUP BY 1
         """,
         "props_k_by_type": """
             SELECT event_type,

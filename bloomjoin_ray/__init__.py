@@ -101,6 +101,7 @@ def __getattr__(name):
         "json_extract_scalar": "bloomjoin_ray.pipelines.text",
         "rank_per_key": "bloomjoin_ray.pipelines.windows",
         "first_last_per_key": "bloomjoin_ray.pipelines.windows",
+        "histogram": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -1602,3 +1602,80 @@ def collect_per_key(ds, key: str | Sequence[str], col: str, order_by, *,
 
     return packed_bucket_map_groups(ds.select_columns(proj), key,
                                     reduce_group)
+
+
+def histogram(ds, col: str, bins: int, *, lo: float | None = None,
+              hi: float | None = None):
+    """Equi-width histogram of a numeric column: exact counts per bin.
+    Bins are ``[lo + i*w, lo + (i+1)*w)`` with ``w = (hi - lo) / bins``;
+    the last bin is closed (values equal to ``hi`` land in it, numpy /
+    SQL ``LEAST(floor((v - lo)/w), bins - 1)`` convention) and values
+    outside ``[lo, hi]``, nulls, and NaNs are dropped. Empty bins are
+    omitted (the output is Dataset[bin, bin_start, bin_end, n], one row
+    per NON-empty bin). When ``lo``/``hi`` are omitted they come from an
+    extra exact min/max pass over the column.
+
+    Scale shape: one streaming pass maps each block to ≤ ``bins``
+    partial-count rows (vectorized mask + floor), then the packed
+    count exchange merges them — the shuffle moves bin partials, never
+    rows, and the result is ≤ ``bins`` rows regardless of input size.
+    Bit-exact vs SQL when lo/hi/bins are given explicitly (identical
+    IEEE expressions)."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if lo is None or hi is None:
+        mn, mx = _minmax_pass(ds, col)
+        lo = mn if lo is None else lo
+        hi = mx if hi is None else hi
+    lo = float(lo)
+    hi = float(hi)
+    if not hi >= lo:
+        raise ValueError(f"need hi >= lo, got [{lo}, {hi}]")
+    w = (hi - lo) / bins
+
+    def to_bins(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column(col)
+        v = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()),
+                       dtype=np.float64)
+        m = (v >= lo) & (v <= hi)                  # NaN fails both
+        v = v[m]
+        if w > 0:
+            b = np.minimum(np.floor((v - lo) / w), bins - 1).astype(np.int64)
+        else:                                      # degenerate lo == hi
+            b = np.zeros(len(v), dtype=np.int64)
+        return pa.table({"bin": pa.array(b)})
+
+    binned = ds.select_columns([col]).map_batches(
+        to_bins, batch_format="pyarrow")
+    counts = grouped_assoc_agg(binned, ["bin"], count_col="n")
+
+    def add_edges(t: pa.Table) -> pa.Table:
+        b = np.asarray(t.column("bin"), dtype=np.float64)
+        return (t.append_column("bin_start", pa.array(lo + b * w))
+                 .append_column("bin_end", pa.array(lo + (b + 1) * w)))
+
+    return counts.map_batches(add_edges, batch_format="pyarrow")
+
+
+def _minmax_pass(ds, col: str) -> tuple[float, float]:
+    """Exact global (min, max) of a numeric column in one streaming
+    pass: per-block extremes → tiny driver reduce (one row per block)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column(col)
+        valid = pc.drop_null(arr)
+        if len(valid) == 0:
+            return pa.table({"__lo": pa.array([], pa.float64()),
+                             "__hi": pa.array([], pa.float64())})
+        return pa.table({
+            "__lo": pa.array([pc.min(valid).as_py()], pa.float64()),
+            "__hi": pa.array([pc.max(valid).as_py()], pa.float64())})
+
+    rows = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError(f"histogram: column {col!r} has no non-null values")
+    return (min(r["__lo"] for r in rows), max(r["__hi"] for r in rows))

@@ -878,3 +878,63 @@ def test_collect_per_key_matches_sql(ray_session):
     with pytest.raises((TypeError, Exception)):
         collect_per_key(rd.from_arrow(t2), "k", "v", ["o"],
                         sep=",").to_pandas()  # int col in sep mode
+
+
+def test_histogram_matches_sql(ray_session):
+    """Equi-width histogram vs DuckDB (same IEEE bucket expression),
+    incl. out-of-range values, nulls, NaN, the hi-inclusive last bin,
+    auto-range vs numpy, and the degenerate lo == hi case."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import histogram
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(50.0, 20.0, 5000)
+    v[:50] = np.nan
+    vals = [None] * 30 + [float(x) for x in v]
+    vals.append(80.0)                            # exactly hi → last bin
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    lo, hi, bins = 10.0, 80.0, 7
+
+    got = (histogram(rd.from_arrow(t).repartition(6), "v", bins,
+                     lo=lo, hi=hi)
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(f"""
+        SELECT CAST(least(floor((v - {lo}) / (({hi} - {lo}) / {bins})),
+                          {bins} - 1) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM t WHERE v >= {lo} AND v <= {hi}
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    pd.testing.assert_frame_equal(got[["bin", "n"]], want,
+                                  check_dtype=False)
+    w = (hi - lo) / bins
+    assert np.allclose(got["bin_start"], lo + got["bin"] * w)
+    assert np.allclose(got["bin_end"], lo + (got["bin"] + 1) * w)
+
+    # auto-range == numpy histogram over the full finite data
+    finite = v[np.isfinite(v)]
+    got2 = (histogram(rd.from_arrow(pa.table({"v": finite})), "v", 10)
+            .to_pandas().sort_values("bin"))
+    np_counts, _ = np.histogram(finite, bins=10,
+                                range=(finite.min(), finite.max()))
+    nz = np.nonzero(np_counts)[0]
+    assert got2["bin"].tolist() == nz.tolist()
+    assert got2["n"].tolist() == np_counts[nz].tolist()
+
+    # degenerate lo == hi: everything in bin 0
+    same = pa.table({"v": pa.array([3.0] * 11)})
+    got3 = histogram(rd.from_arrow(same), "v", 5).to_pandas()
+    assert got3["bin"].tolist() == [0] and got3["n"].tolist() == [11]
+
+    with pytest.raises(ValueError):
+        histogram(rd.from_arrow(t), "v", 0)
+    with pytest.raises(ValueError):
+        histogram(rd.from_arrow(t), "v", 4, lo=5.0, hi=1.0)
