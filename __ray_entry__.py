@@ -513,6 +513,16 @@ def _q_value_histogram(sf_dir: str):
     return histogram(ev, "value", 20, lo=0.0, hi=1000.0)
 
 
+def _q_docs_source_extract(sf_dir: str):
+    """Generic named-group regex extraction (SQL regexp_extract): parse
+    the numeric suffix out of each document's source tag. One re2 pass
+    per batch, no shuffle."""
+    from bloomjoin_ray.pipelines.text import regex_extract
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return regex_extract(docs, "source", r"^src(?P<src_num>[0-9]+)$")
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON field extraction + aggregate: pull the numeric ``k`` field
     out of the flat-JSON ``props`` column (one vectorized re2
@@ -1360,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_family": _q_events_rank_family,
         "events_first_last": _q_events_first_last,
         "value_histogram": _q_value_histogram,
+        "docs_source_extract": _q_docs_source_extract,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1822,6 +1833,13 @@ def oracle_sql() -> dict[str, str]:
                         * ((1000.0 - 0.0) / 20) AS bin_end
             FROM events WHERE value >= 0.0 AND value <= 1000.0
             GROUP BY 1
+        """,
+        "docs_source_extract": """
+            SELECT doc_id, source,
+                   CASE WHEN regexp_matches(source, '^src([0-9]+)$')
+                        THEN regexp_extract(source, '^src([0-9]+)$', 1)
+                   END AS src_num
+            FROM documents
         """,
         "props_k_by_type": """
             SELECT event_type,

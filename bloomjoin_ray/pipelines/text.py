@@ -634,3 +634,39 @@ def json_extract_scalar(ds, col: str, key: str, *, out_col: str | None = None,
         return batch.append_column(out_col, vals)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def regex_extract(ds, col: str, pattern: str, *, drop_unmatched: bool = False):
+    """Generic vectorized regex extraction — SQL ``regexp_extract`` /
+    Hive ``regexp_extract_all``-style field parsing for log lines, URLs,
+    and semi-structured strings. ``pattern`` is an RE2 regex whose NAMED
+    groups ``(?P<name>…)`` each become an output column holding the
+    group's text from the first match (null when the row doesn't match,
+    or when the group didn't participate). ``drop_unmatched=True``
+    additionally filters to matching rows (the common parse-or-drop log
+    pipeline). One re2 ``extract_regex`` call per batch — no per-row
+    Python, no shuffle, streams block by block.
+
+    RE2 envelope (same engine as DuckDB): no backreferences/lookaround;
+    unnamed groups are allowed in the pattern but only named ones are
+    emitted."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    names = _re.findall(r"\(\?P<([^>]+)>", pattern)
+    if not names:
+        raise ValueError("pattern needs at least one named group (?P<name>…)")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        st = pc.extract_regex(s, pattern)     # struct or null per row
+        out = batch
+        for name in names:
+            out = out.append_column(name, pc.struct_field(st, name))
+        if drop_unmatched:
+            out = out.filter(pc.is_valid(st))
+        return out
+
+    return ds.map_batches(extract, batch_format="pyarrow")

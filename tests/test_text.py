@@ -519,3 +519,49 @@ def test_json_extract_scalar_matches_sql(ray_session):
         FROM t2 ORDER BY id
     """).df()
     pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+
+
+def test_regex_extract_matches_sql(ray_session):
+    """Named-group extraction vs DuckDB regexp_extract (both RE2):
+    multi-group patterns, unmatched rows → null, optional groups,
+    nulls in, and drop_unmatched filtering."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import regex_extract
+
+    rows = ["GET /api/v1/users 200", "POST /login 403", "garbage line",
+            None, "PUT /api/v1/items 201 extra", "get /lower 500"]
+    t = pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                  "line": pa.array(rows, pa.string())})
+    pat = r"^(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>[0-9]{3})"
+
+    got = (regex_extract(rd.from_arrow(t).repartition(3), "line", pat)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(r"""
+        SELECT id, line,
+               CASE WHEN regexp_matches(line, '^([A-Z]+) (\S+) ([0-9]{3})')
+                    THEN regexp_extract(line, '^([A-Z]+) (\S+) ([0-9]{3})', 1)
+               END AS verb,
+               CASE WHEN regexp_matches(line, '^([A-Z]+) (\S+) ([0-9]{3})')
+                    THEN regexp_extract(line, '^([A-Z]+) (\S+) ([0-9]{3})', 2)
+               END AS path,
+               CASE WHEN regexp_matches(line, '^([A-Z]+) (\S+) ([0-9]{3})')
+                    THEN regexp_extract(line, '^([A-Z]+) (\S+) ([0-9]{3})', 3)
+               END AS code
+        FROM t ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    got2 = (regex_extract(rd.from_arrow(t), "line", pat,
+                          drop_unmatched=True).to_pandas())
+    assert got2["id"].tolist() == [0, 1, 4]
+
+    with pytest.raises(ValueError):
+        regex_extract(rd.from_arrow(t), "line", "[A-Z]+")
