@@ -523,6 +523,16 @@ def _q_docs_source_extract(sf_dir: str):
     return regex_extract(docs, "source", r"^src(?P<src_num>[0-9]+)$")
 
 
+def _q_mode_type_per_user(sf_dir: str):
+    """Per-user modal event_type (deterministic smallest-value
+    tie-break) — exact counts through the packed exchange, mergeable
+    top-1 prune."""
+    from bloomjoin_ray.pipelines.aggregate import mode_per_key
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return mode_per_key(ev, "user_id", "event_type")
+
+
 def _q_props_k_by_type(sf_dir: str):
     """JSON field extraction + aggregate: pull the numeric ``k`` field
     out of the flat-JSON ``props`` column (one vectorized re2
@@ -1371,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": _q_events_first_last,
         "value_histogram": _q_value_histogram,
         "docs_source_extract": _q_docs_source_extract,
+        "mode_type_per_user": _q_mode_type_per_user,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1840,6 +1851,14 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "mode_type_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY user_id, event_type),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rn FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rn = 1
         """,
         "props_k_by_type": """
             SELECT event_type,

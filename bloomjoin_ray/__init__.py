@@ -103,6 +103,7 @@ def __getattr__(name):
         "first_last_per_key": "bloomjoin_ray.pipelines.windows",
         "histogram": "bloomjoin_ray.pipelines.aggregate",
         "regex_extract": "bloomjoin_ray.pipelines.text",
+        "mode_per_key": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -1679,3 +1679,33 @@ def _minmax_pass(ds, col: str) -> tuple[float, float]:
     if not rows:
         raise ValueError(f"histogram: column {col!r} has no non-null values")
     return (min(r["__lo"] for r in rows), max(r["__hi"] for r in rows))
+
+
+def mode_per_key(ds, key: str | Sequence[str], col: str, *,
+                 count_col: str = "n"):
+    """Per-key MODE — the most frequent non-null ``col`` value for each
+    key, with the deterministic SQL-replicable tie-break (smallest value
+    wins among equally frequent ones; binary collation for strings, so
+    DuckDB's default ORDER BY agrees). Nulls don't vote and a key whose
+    values are all null disappears, matching ``count(*) … WHERE col IS
+    NOT NULL``. Returns Dataset[key…, col, count_col].
+
+    Scale shape: exact (key, value) counts via the packed count
+    exchange (partials only — at most one row per distinct pair per
+    block), then the mergeable top-1 prune; nothing materializes beyond
+    one row per distinct (key, value) pair."""
+    import pyarrow.compute as pc
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def drop_null_vals(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch.column(col)))
+
+    counts = grouped_assoc_agg(
+        ds.select_columns(keys + [col]).map_batches(
+            drop_null_vals, batch_format="pyarrow"),
+        keys + [col], count_col=count_col)
+    top = topk_rows_per_key(counts, keys,
+                            [(count_col, "descending"), (col, "ascending")],
+                            1, rank_col="__rn")
+    return top.drop_columns(["__rn"])

@@ -938,3 +938,39 @@ def test_histogram_matches_sql(ray_session):
         histogram(rd.from_arrow(t), "v", 0)
     with pytest.raises(ValueError):
         histogram(rd.from_arrow(t), "v", 4, lo=5.0, hi=1.0)
+
+
+def test_mode_per_key_matches_sql(ray_session):
+    """Per-key mode vs a DuckDB row_number replica: frequency ties
+    break to the smallest value, nulls don't vote, all-null keys drop."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import mode_per_key
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    k = np.concatenate([rng.integers(0, 70, n - 2), [888, 888]])
+    v = [None if rng.random() < 0.2 else f"t{int(x)}"
+         for x in rng.integers(0, 6, n)]
+    v[-2:] = [None, None]                       # key 888: all null
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.string())})
+
+    got = (mode_per_key(rd.from_arrow(t).repartition(5), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        WITH c AS (SELECT k, v, count(*) AS n FROM t
+                   WHERE v IS NOT NULL GROUP BY k, v),
+             r AS (SELECT *, row_number() OVER
+                       (PARTITION BY k ORDER BY n DESC, v) AS rn FROM c)
+        SELECT k, v, n FROM r WHERE rn = 1 ORDER BY k
+    """).df()
+    assert 888 not in got["k"].values
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
