@@ -523,6 +523,15 @@ def _q_docs_source_extract(sf_dir: str):
     return regex_extract(docs, "source", r"^src(?P<src_num>[0-9]+)$")
 
 
+def _q_docs_canonical(sf_dir: str):
+    """Dedup-prep canonical text form (NFC + lower + whitespace
+    collapse); vectorized Arrow kernels with the ASCII fast path."""
+    from bloomjoin_ray.pipelines.text import canonicalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return canonicalize_text(docs, "text", out_col="text_canon")
+
+
 def _q_mode_type_per_user(sf_dir: str):
     """Per-user modal event_type (deterministic smallest-value
     tie-break) — exact counts through the packed exchange, mergeable
@@ -1382,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "docs_source_extract": _q_docs_source_extract,
         "mode_type_per_user": _q_mode_type_per_user,
+        "docs_canonical": _q_docs_canonical,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1850,6 +1860,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN regexp_matches(source, '^src([0-9]+)$')
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
+            FROM documents
+        """,
+        "docs_canonical": """
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS text_canon
             FROM documents
         """,
         "mode_type_per_user": """

@@ -104,6 +104,7 @@ def __getattr__(name):
         "histogram": "bloomjoin_ray.pipelines.aggregate",
         "regex_extract": "bloomjoin_ray.pipelines.text",
         "mode_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "canonicalize_text": "bloomjoin_ray.pipelines.text",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -670,3 +670,60 @@ def regex_extract(ds, col: str, pattern: str, *, drop_unmatched: bool = False):
         return out
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def canonicalize_text(ds, col: str, *, out_col: str | None = None,
+                      lowercase: bool = True, nfc: bool = True,
+                      collapse_ws: bool = True, strip_punct: bool = False):
+    """Canonical text form for exact/near dedup and joins on text:
+    Unicode NFC normalization, lowercasing, whitespace collapse (runs →
+    one space, ends trimmed), and optionally punctuation removal —
+    the standard preprocessing before ``exact_dedup``/``minhash_dedup``
+    so trivially-reformatted copies actually collide. Lower/punct/ws are
+    pure Arrow kernels (utf8_lower / re2 replace), one pass per batch,
+    no shuffle; nulls stay null. Writes ``out_col`` (default: replaces
+    ``col``).
+
+    NFC note: pyarrow 16's ``utf8_normalize(form="NFC")`` never
+    COMPOSES (it behaves like NFD — 'e'+U+0301 stays two codepoints),
+    so it cannot produce SQL-compatible NFC. Instead, ASCII-only rows
+    (already NFC by construction) pass through untouched via one
+    vectorized re2 scan, and only rows containing non-ASCII bytes go
+    through ``unicodedata.normalize`` — per-row Python strictly on that
+    minority, the documented cost envelope of ``nfc=True`` on heavily
+    non-Latin corpora."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    out = out_col or col
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        if nfc and len(s):
+            non_ascii = pc.fill_null(
+                pc.match_substring_regex(s, "[^\\x00-\\x7F]"), False)
+            if pc.any(non_ascii).as_py():
+                import numpy as np
+
+                idx = np.nonzero(np.asarray(non_ascii))[0]
+                fixed = pa.array([unicodedata.normalize("NFC", v)
+                                  for v in s.take(pa.array(idx)).to_pylist()],
+                                 pa.string())
+                repl = np.full(len(s), -1, dtype=np.int64)
+                repl[idx] = np.arange(len(idx))
+                s = pc.if_else(non_ascii,
+                               fixed.take(pa.array(np.maximum(repl, 0))), s)
+        if lowercase:
+            s = pc.utf8_lower(s)
+        if strip_punct:
+            s = pc.replace_substring_regex(s, r"[\p{P}\p{S}]+", "")
+        if collapse_ws:
+            s = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(s, r"\s+", " "))
+        if out in batch.column_names:
+            batch = batch.drop_columns([out])
+        return batch.append_column(out, s)
+
+    return ds.map_batches(canon, batch_format="pyarrow")

@@ -565,3 +565,38 @@ def test_regex_extract_matches_sql(ray_session):
 
     with pytest.raises(ValueError):
         regex_extract(rd.from_arrow(t), "line", "[A-Z]+")
+
+
+def test_canonicalize_text_matches_sql(ray_session):
+    """NFC + lower + whitespace collapse vs DuckDB's
+    nfc_normalize/lower/regexp_replace chain; punct strip and nulls."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import canonicalize_text
+
+    rows = ["  Hello\t\tWORLD \n", "Café vs Café",  # é composed vs combining
+            "a  b   c", None, "MiXeD CaSe!", ""]
+    t = pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                  "s": pa.array(rows, pa.string())})
+    got = (canonicalize_text(rd.from_arrow(t).repartition(2), "s",
+                             out_col="c")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql(r"""
+        SELECT id, s,
+               trim(regexp_replace(lower(nfc_normalize(s)),
+                                   '\s+', ' ', 'g')) AS c
+        FROM t ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # the two Café spellings now collide
+    assert got.loc[1, "c"] == "café vs café"
+
+    got2 = (canonicalize_text(rd.from_arrow(t), "s", strip_punct=True)
+            .to_pandas().sort_values("id"))
+    assert got2.loc[4, "s"] == "mixed case"
