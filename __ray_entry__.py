@@ -532,6 +532,15 @@ def _q_docs_canonical(sf_dir: str):
     return canonicalize_text(docs, "text", out_col="text_canon")
 
 
+def _q_events_describe(sf_dir: str):
+    """Per-column summary stats over the integer event columns — exact
+    Python-int sum combine makes mean/std bit-reproducible in SQL."""
+    from bloomjoin_ray.pipelines.aggregate import describe
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    return describe(ev, ["event_id", "user_id"])
+
+
 def _q_mode_type_per_user(sf_dir: str):
     """Per-user modal event_type (deterministic smallest-value
     tie-break) — exact counts through the packed exchange, mergeable
@@ -1392,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_extract": _q_docs_source_extract,
         "mode_type_per_user": _q_mode_type_per_user,
         "docs_canonical": _q_docs_canonical,
+        "events_describe": _q_events_describe,
         "events_type_pivot": _q_events_type_pivot,
         "events_rollup": _q_events_rollup,
         "events_cube": _q_events_cube,
@@ -1861,6 +1871,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "events_describe": """
+            SELECT 'event_id' AS col, count(event_id) AS n,
+                   count(*) - count(event_id) AS nulls,
+                   CAST(sum(event_id) AS DOUBLE) / count(event_id) AS mean,
+                   sqrt((CAST(sum(event_id*event_id) AS DOUBLE)
+                         - CAST(sum(event_id) AS DOUBLE)
+                           * CAST(sum(event_id) AS DOUBLE) / count(event_id))
+                        / (count(event_id) - 1)) AS std,
+                   CAST(min(event_id) AS DOUBLE) AS min,
+                   CAST(max(event_id) AS DOUBLE) AS max
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(user_id),
+                   count(*) - count(user_id),
+                   CAST(sum(user_id) AS DOUBLE) / count(user_id),
+                   sqrt((CAST(sum(user_id*user_id) AS DOUBLE)
+                         - CAST(sum(user_id) AS DOUBLE)
+                           * CAST(sum(user_id) AS DOUBLE) / count(user_id))
+                        / (count(user_id) - 1)),
+                   CAST(min(user_id) AS DOUBLE),
+                   CAST(max(user_id) AS DOUBLE)
+            FROM events
         """,
         "docs_canonical": """
             SELECT doc_id, text,

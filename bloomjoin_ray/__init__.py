@@ -105,6 +105,7 @@ def __getattr__(name):
         "regex_extract": "bloomjoin_ray.pipelines.text",
         "mode_per_key": "bloomjoin_ray.pipelines.aggregate",
         "canonicalize_text": "bloomjoin_ray.pipelines.text",
+        "describe": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

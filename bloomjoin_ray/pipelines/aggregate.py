@@ -1709,3 +1709,96 @@ def mode_per_key(ds, key: str | Sequence[str], col: str, *,
                             [(count_col, "descending"), (col, "ascending")],
                             1, rank_col="__rn")
     return top.drop_columns(["__rn"])
+
+
+def describe(ds, cols: Sequence[str], *, sample: bool = True):
+    """Per-column summary statistics — one row per described NUMERIC
+    column with ``col, n (non-null), nulls, mean, std, min, max`` —
+    from ONE streaming pass of per-block partial sums (n, Σx, Σx²,
+    min, max per column). Integer columns keep exact integer partial
+    sums (Python-int combined, so cross-block accumulation never
+    wraps), making mean/std bit-reproducible against any SQL engine
+    evaluating ``CAST(Σx AS DOUBLE)/n`` and
+    ``sqrt((Σx² − Σx·Σx/n)/(n−1))`` over the same sums — the same
+    oracle contract as ``grouped_moments``. Float columns carry the
+    usual distributed-sum order caveat. ``sample=False`` divides by n.
+
+    Scale shape: the shuffle is a driver gather of one partial row per
+    (block, column) — bounded by block count, never by row count."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("describe needs at least one column")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {"col": [], "n": [], "nulls": [], "is_int": [],
+               "sx_i": [], "sxx_i": [], "sx_f": [], "sxx_f": [],
+               "mn": [], "mx": []}
+        for c in cols:
+            arr = batch.column(c)
+            valid = pc.drop_null(arr)
+            is_int = pa.types.is_integer(arr.type)
+            out["col"].append(c)
+            out["n"].append(len(valid))
+            out["nulls"].append(len(arr) - len(valid))
+            out["is_int"].append(is_int)
+            if len(valid) == 0:
+                out["sx_i"].append(0); out["sxx_i"].append(0)
+                out["sx_f"].append(0.0); out["sxx_f"].append(0.0)
+                out["mn"].append(None); out["mx"].append(None)
+                continue
+            if is_int:
+                x = np.asarray(valid.cast(pa.int64()))
+                out["sx_i"].append(int(np.sum(x)))
+                out["sxx_i"].append(int(np.sum(x * x)))
+                out["sx_f"].append(0.0); out["sxx_f"].append(0.0)
+            else:
+                x = np.asarray(valid.cast(pa.float64()))
+                out["sx_f"].append(float(np.sum(x)))
+                out["sxx_f"].append(float(np.sum(x * x)))
+                out["sx_i"].append(0); out["sxx_i"].append(0)
+            out["mn"].append(float(np.min(x)))
+            out["mx"].append(float(np.max(x)))
+        return pa.table({
+            "col": pa.array(out["col"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "nulls": pa.array(out["nulls"], pa.int64()),
+            "is_int": pa.array(out["is_int"], pa.bool_()),
+            "sx_i": pa.array(out["sx_i"], pa.int64()),
+            "sxx_i": pa.array(out["sxx_i"], pa.int64()),
+            "sx_f": pa.array(out["sx_f"], pa.float64()),
+            "sxx_f": pa.array(out["sxx_f"], pa.float64()),
+            "mn": pa.array(out["mn"], pa.float64()),
+            "mx": pa.array(out["mx"], pa.float64())})
+
+    rows = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    stats = []
+    for c in cols:
+        rs = [r for r in rows if r["col"] == c]
+        n = sum(r["n"] for r in rs)
+        nulls = sum(r["nulls"] for r in rs)
+        is_int = rs[0]["is_int"] if rs else True
+        if is_int:  # Python-int combine: exact regardless of magnitude
+            sx = float(sum(int(r["sx_i"]) for r in rs))
+            sxx = float(sum(int(r["sxx_i"]) for r in rs))
+        else:
+            sx = sum(r["sx_f"] for r in rs)
+            sxx = sum(r["sxx_f"] for r in rs)
+        mns = [r["mn"] for r in rs if r["mn"] is not None]
+        mxs = [r["mx"] for r in rs if r["mx"] is not None]
+        d = float(n - 1 if sample else n)
+        mean = sx / n if n else None
+        var = (sxx - (sx * sx) / n) / d if n and d > 0 else None
+        stats.append({
+            "col": c, "n": n, "nulls": nulls, "mean": mean,
+            "std": float(np.sqrt(var)) if var is not None else None,
+            "min": min(mns) if mns else None,
+            "max": max(mxs) if mxs else None})
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.Table.from_pylist(stats, schema=pa.schema([
+        ("col", pa.string()), ("n", pa.int64()), ("nulls", pa.int64()),
+        ("mean", pa.float64()), ("std", pa.float64()),
+        ("min", pa.float64()), ("max", pa.float64())])))

@@ -974,3 +974,60 @@ def test_mode_per_key_matches_sql(ray_session):
     assert 888 not in got["k"].values
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_describe_matches_sql(ray_session):
+    """describe() vs DuckDB evaluating the identical expression tree
+    over exact sums: int columns bit-exact, nulls counted, float column
+    close, n==1 and all-null edge behavior."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import describe
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    t = pa.table({
+        "a": pa.array([None if rng.random() < 0.1 else int(x)
+                       for x in rng.integers(-1000, 1000, n)], pa.int64()),
+        "b": pa.array(rng.normal(5.0, 2.0, n), pa.float64()),
+    })
+    got = (describe(rd.from_arrow(t).repartition(7), ["a", "b"])
+           .to_pandas().set_index("col"))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT 'a' AS col, count(a) AS n, count(*) - count(a) AS nulls,
+               CAST(sum(a) AS DOUBLE) / count(a) AS mean,
+               sqrt((CAST(sum(a*a) AS DOUBLE)
+                     - CAST(sum(a) AS DOUBLE) * CAST(sum(a) AS DOUBLE)
+                       / count(a)) / (count(a) - 1)) AS std,
+               CAST(min(a) AS DOUBLE) AS min, CAST(max(a) AS DOUBLE) AS max
+        FROM t
+        UNION ALL
+        SELECT 'b', count(b), count(*) - count(b),
+               sum(b) / count(b),
+               sqrt((sum(b*b) - sum(b) * sum(b) / count(b))
+                    / (count(b) - 1)),
+               min(b), max(b)
+        FROM t
+    """).df().set_index("col")
+    # int column: bit-exact
+    for f in ["n", "nulls", "mean", "std", "min", "max"]:
+        assert got.loc["a", f] == want.loc["a", f], (f, got.loc["a", f])
+    # float column: near-exact (distributed sum order)
+    assert got.loc["b", "n"] == want.loc["b", "n"]
+    assert abs(got.loc["b", "mean"] - want.loc["b", "mean"]) < 1e-9
+    assert abs(got.loc["b", "std"] - want.loc["b", "std"]) < 1e-9
+    assert got.loc["b", "min"] == want.loc["b", "min"]
+    assert got.loc["b", "max"] == want.loc["b", "max"]
+
+    # n==1 → null std; all-null → null everything
+    t2 = pa.table({"x": pa.array([7], pa.int64()),
+                   "y": pa.array([None], pa.float64())})
+    d2 = describe(rd.from_arrow(t2), ["x", "y"]).to_pandas().set_index("col")
+    assert d2.loc["x", "mean"] == 7.0 and pd.isna(d2.loc["x", "std"])
+    assert d2.loc["y", "n"] == 0 and pd.isna(d2.loc["y", "mean"])
