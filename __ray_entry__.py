@@ -1173,6 +1173,17 @@ def _q_reservoir_sample(sf_dir: str):
     return reservoir_sample(_read(sf_dir, "events"), 100, "event_id")
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Length-weighted 100-doc sample (Efraimidis–Spirakis A-ES:
+    inclusion probability scales with n_chars; rows-only check —
+    partition invariance / weight dominance / merge law are pinned in
+    tests)."""
+    from bloomjoin_ray.pipelines.aggregate import reservoir_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return reservoir_sample(docs, 100, "doc_id", weight_col="n_chars")
+
+
 def _q_sessionize(sf_dir: str):
     """Gap-based session windows per user over the events stream
     (24h inactivity gap); oracle = SQL gaps-and-islands."""
@@ -1435,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashvec_ann_docs": _q_hashvec_ann_docs,
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }

@@ -993,21 +993,35 @@ def topk_rows_per_key(ds, key: str | Sequence[str], order_by,
 
 def reservoir_sample(ds, k: int, id_cols: str | Sequence[str], *,
                      key: str | Sequence[str] | None = None,
+                     weight_col: str | None = None,
                      seed: int = 0x5A5A):
     """Deterministic uniform sample of k whole rows — bottom-k priority
     sampling as a mergeable UDAF (same sample for any partitioning).
     ``id_cols`` must uniquely identify rows (the priority key).
+    ``weight_col`` switches to WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-ES: P(row enters) scales with its weight;
+    null/zero/negative weights never sampled) — the data-mixing
+    primitive for importance-weighted corpus subsets.
 
     Global (``key=None``): returns a pa.Table of ≤ k rows (None when
     empty). Grouped: returns a Dataset of the sampled ROWS, ≤ k per
     distinct ``key`` (verdict r3 #8) — per-block per-key partial
     reservoirs shuffle, never the raw rows; the per-key sample is
     identical under any partitioning (the bottom-k merge law)."""
-    from ..state.reservoir import ReservoirSample
+    from ..state.reservoir import ReservoirSample, WeightedReservoirSample
 
     id_cols = [id_cols] if isinstance(id_cols, str) else list(id_cols)
-    make = lambda: ReservoirSample(k, seed)
-    update = lambda s, t: s.update_batch(hash_keys64(t, id_cols), t)
+    if weight_col is None:
+        make = lambda: ReservoirSample(k, seed)
+        update = lambda s, t: s.update_batch(hash_keys64(t, id_cols), t)
+    else:
+        import pyarrow.compute as pc
+
+        make = lambda: WeightedReservoirSample(k, seed)
+        update = lambda s, t: s.update_batch(
+            hash_keys64(t, id_cols), t,
+            np.asarray(pc.fill_null(
+                t.column(weight_col).cast(pa.float64()), np.nan)))
     if key is None:
         sk = sketch_aggregate_global(ds, make, update)
         return None if sk is None else sk.sample_table()

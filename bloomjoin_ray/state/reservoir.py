@@ -117,3 +117,99 @@ class ReservoirSample:
         if name != "reservoir":
             raise ValueError(f"expected reservoir blob, got {name!r}")
         return cls._from_state(meta, arrays)
+
+
+@register_sketch("wreservoir")
+class WeightedReservoirSample(ReservoirSample):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, deterministic): each item draws ``u = uniform(splitmix64(
+    item_hash ^ seed))`` and gets priority ``-ln(u) / w`` — an
+    Exponential(w) variate — and the sample is the k items with the
+    SMALLEST priorities. P(item first) = w_i / Σw, the weighted
+    analogue of the uniform bottom-k; merge = union + keep bottom-k,
+    associative/commutative/idempotent, so the sample is identical
+    under any partitioning. Items with null / zero / negative weight
+    never enter (standard A-ES domain). Priorities are float64, so
+    exact determinism holds per (seed, data, weights)."""
+
+    def update_batch(self, item_hashes: np.ndarray, payload: pa.Table,
+                     weights: np.ndarray | None = None) -> None:
+        if weights is None:
+            raise ValueError("WeightedReservoirSample needs weights")
+        n = len(item_hashes)
+        if n != payload.num_rows or n != len(weights):
+            raise ValueError("hashes/weights/payload lengths differ")
+        w = np.asarray(weights, dtype=np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        self.n_seen += n
+        if not ok.any():
+            return
+        with np.errstate(over="ignore"):
+            h = splitmix64(item_hashes.astype(np.uint64)
+                           ^ np.uint64(self.seed))
+        # map to open (0,1): (h + 1) / 2^64 never hits 0 or 1
+        u = (h[ok].astype(np.float64) + 1.0) / 18446744073709551616.0
+        prio = -np.log(u) / w[ok]
+        payload = payload.filter(pa.array(ok))
+        if len(self._fprio) >= self.k:
+            cut = self._fprio.max()
+            keep = prio < cut
+        else:
+            keep = np.ones(len(prio), dtype=bool)
+        idx = np.nonzero(keep)[0]
+        if idx.size:
+            order = np.argsort(prio[idx], kind="stable")[: self.k]
+            idx = idx[order]
+            sub = payload.take(pa.array(idx))
+            for i in range(len(idx)):
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, payload.schema) as w_:
+                    w_.write_table(sub.slice(i, 1))
+                self.rows.append(sink.getvalue().to_pybytes())
+            self._fprio = np.concatenate([self._fprio, prio[idx]])
+            self._trim_f()
+
+    # float-priority storage lives in the uint64 slot bit-cast, so
+    # to_bytes/_from_state/merge inherit unchanged: float64 bit
+    # patterns of positive finite values sort the same as uint64.
+    @property
+    def _fprio(self) -> np.ndarray:
+        return self.priorities.view(np.float64)
+
+    @_fprio.setter
+    def _fprio(self, v: np.ndarray) -> None:
+        self.priorities = np.ascontiguousarray(v, dtype=np.float64).view(
+            np.uint64)
+
+    def _trim_f(self) -> None:
+        if len(self._fprio) > self.k:
+            order = np.argsort(self._fprio, kind="stable")[: self.k]
+            self._fprio = self._fprio[order]
+            self.rows = [self.rows[i] for i in order]
+
+    def merge(self, other: "WeightedReservoirSample"):
+        if self.k != other.k or self.seed != other.seed:
+            raise ValueError("cannot merge reservoirs with different "
+                             "(k, seed)")
+        self._fprio = np.concatenate([self._fprio, other._fprio])
+        self.rows = self.rows + other.rows
+        self.n_seen += other.n_seen
+        self._trim_f()
+        return self
+
+    def to_bytes(self) -> bytes:
+        blob = b"".join(
+            np.uint64(len(r)).tobytes() + r for r in self.rows)
+        return pack_state(
+            "wreservoir",
+            {"k": self.k, "seed": self.seed, "n_seen": self.n_seen,
+             "n_rows": len(self.rows)},
+            {"priorities": self.priorities,
+             "rows": np.frombuffer(blob, dtype=np.uint8)})
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "WeightedReservoirSample":
+        name, meta, arrays = unpack_state(blob)
+        if name != "wreservoir":
+            raise ValueError(f"expected wreservoir blob, got {name!r}")
+        return cls._from_state(meta, arrays)

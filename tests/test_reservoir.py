@@ -118,3 +118,62 @@ def test_grouped_reservoir_partition_invariant(ray_session):
     for _, r in got1.iterrows():
         assert df.loc[r["id"], "g"] == r["g"]
         assert df.loc[r["id"], "v"] == r["v"]
+
+
+def test_weighted_reservoir_properties(ray_session):
+    """A-ES weighted sampling: partition invariance, weight dominance,
+    excluded null/zero/negative weights, and the state-level merge law."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import reservoir_sample
+    from bloomjoin_ray.state.reservoir import WeightedReservoirSample
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    heavy = np.zeros(n, dtype=bool)
+    heavy[rng.choice(n, 100, replace=False)] = True
+    w = np.where(heavy, 500.0, 1.0)
+    w[0], w[1], w[2] = 0.0, -3.0, np.nan          # never sampled
+    wcol = [None if i == 3 else float(x) for i, x in enumerate(w)]
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "w": pa.array(wcol, pa.float64())})
+
+    s1 = reservoir_sample(rd.from_arrow(t).repartition(8), 100, "id",
+                          weight_col="w")
+    s2 = reservoir_sample(rd.from_arrow(t).repartition(2), 100, "id",
+                          weight_col="w")
+    ids1 = sorted(s1.column("id").to_pylist())
+    assert ids1 == sorted(s2.column("id").to_pylist())   # partition-inv
+    assert len(ids1) == 100
+    assert not ({0, 1, 2, 3} & set(ids1))                # excluded rows
+    got_heavy = sum(heavy[i] for i in ids1)
+    assert got_heavy >= 90, got_heavy                    # weight dominance
+
+    # merge law at the state level: split == single-pass
+    h = np.arange(50, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    payload = pa.table({"x": pa.array(np.arange(50), pa.int64())})
+    ww = rng.uniform(0.5, 5.0, 50)
+    one = WeightedReservoirSample(10, 7)
+    one.update_batch(h, payload, ww)
+    a = WeightedReservoirSample(10, 7)
+    b = WeightedReservoirSample(10, 7)
+    a.update_batch(h[:20], payload.slice(0, 20), ww[:20])
+    b.update_batch(h[20:], payload.slice(20), ww[20:])
+    a.merge(WeightedReservoirSample.from_bytes(b.to_bytes()))
+    assert (sorted(one.sample_table().column("x").to_pylist())
+            == sorted(a.sample_table().column("x").to_pylist()))
+
+    # grouped weighted: ≤ k per key, partition-invariant
+    g = pa.table({"k": pa.array(np.repeat([1, 2], 300), pa.int64()),
+                  "id": pa.array(np.arange(600), pa.int64()),
+                  "w": pa.array(rng.uniform(0.1, 9.0, 600))})
+    r1 = (reservoir_sample(rd.from_arrow(g).repartition(6), 5, "id",
+                           key="k", weight_col="w")
+          .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    r2 = (reservoir_sample(rd.from_arrow(g).repartition(3), 5, "id",
+                           key="k", weight_col="w")
+          .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    assert r1.equals(r2)
+    assert (r1.groupby("k").size() == 5).all()
