@@ -1173,6 +1173,16 @@ def _q_reservoir_sample(sf_dir: str):
     return reservoir_sample(_read(sf_dir, "events"), 100, "event_id")
 
 
+def _q_region_nation_cross(sf_dir: str):
+    """CROSS JOIN region × nation — broadcast-nested-loop product
+    (right side gathered once, one ray.put; left streams)."""
+    from bloomjoin_ray.pipelines.join import cross_join
+
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    return cross_join(region, nation)
+
+
 def _q_weighted_sample_docs(sf_dir: str):
     """Length-weighted 100-doc sample (Efraimidis–Spirakis A-ES:
     inclusion probability scales with n_chars; rows-only check —
@@ -1447,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "weighted_sample_docs": _q_weighted_sample_docs,
+        "region_nation_cross": _q_region_nation_cross,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1883,6 +1894,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "region_nation_cross": """
+            SELECT r_regionkey, r_name, n_nationkey, n_name
+            FROM region CROSS JOIN nation
         """,
         "events_describe": """
             SELECT 'event_id' AS col, count(event_id) AS n,

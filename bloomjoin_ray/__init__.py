@@ -106,6 +106,7 @@ def __getattr__(name):
         "mode_per_key": "bloomjoin_ray.pipelines.aggregate",
         "canonicalize_text": "bloomjoin_ray.pipelines.text",
         "describe": "bloomjoin_ray.pipelines.aggregate",
+        "cross_join": "bloomjoin_ray.pipelines.join",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

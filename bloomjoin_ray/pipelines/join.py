@@ -911,3 +911,60 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
                            na_matches=na_matches,
                            x_schema=x_schema, y_schema=y_schema, salt=salt)
     return BloomJoinResult(joined, report)
+
+
+def cross_join(ds_left, ds_right, *, max_right_rows: int = 100_000,
+               out_batch_rows: int = 65_536):
+    """SQL CROSS JOIN — every left row paired with every right row.
+    The right side must be SMALL (≤ ``max_right_rows``; a parameter
+    grid, a label set, a prompt list): it is gathered once, shipped via
+    one ``ray.put`` and read from the closure in every map task, so the
+    left side streams block-by-block and nothing else shuffles — the
+    broadcast-nested-loop plan every engine picks for tiny-×-huge
+    products. Raises when the right side exceeds the cap (a genuine
+    large×large cross product has no scale-safe plan) or when column
+    names collide (rename first, as in SQL you'd alias).
+
+    Output arrives in ≤ ``out_batch_rows``-row batches (the UDF yields
+    chunks), so left-block × right-row inflation never materializes one
+    giant batch."""
+    import ray
+
+    from .asof import _schema_of
+
+    right = _materialize_if_small(ds_right, max_right_rows)
+    if right is None:
+        raise ValueError(f"cross_join right side exceeds {max_right_rows} "
+                         "rows; cross products only scale with a small "
+                         "broadcast side")
+    left_schema = _schema_of(ds_left)
+    overlap = set(left_schema.names) & set(right.column_names)
+    if overlap:
+        raise ValueError(f"cross_join column collision: {sorted(overlap)}; "
+                         "rename before joining")
+    nr = right.num_rows
+    rref = ray.put(right)
+
+    def product(batch: pa.Table):
+        if batch.num_rows == 0 or nr == 0:
+            r = ray.get(rref)
+            empty = pa.table({**{c: batch.column(c).slice(0, 0)
+                                 for c in batch.column_names},
+                              **{c: r.column(c).slice(0, 0)
+                                 for c in r.column_names}})
+            yield empty
+            return
+        r = ray.get(rref)
+        rows_per_chunk = max(1, out_batch_rows // nr)
+        for off in range(0, batch.num_rows, rows_per_chunk):
+            sub = batch.slice(off, rows_per_chunk)
+            nl = sub.num_rows
+            li = np.repeat(np.arange(nl, dtype=np.int64), nr)
+            ri = np.tile(np.arange(nr, dtype=np.int64), nl)
+            lt = sub.take(pa.array(li))
+            rt = r.take(pa.array(ri))
+            cols = {c: lt.column(c) for c in lt.column_names}
+            cols.update({c: rt.column(c) for c in rt.column_names})
+            yield pa.table(cols)
+
+    return ds_left.map_batches(product, batch_format="pyarrow")

@@ -279,3 +279,35 @@ def test_checkpoint_resume_validates_source(ray_session, tmp_path):
     assert [r["source"] for r in rec2] == list(reversed(srcs))
     t0 = pq.read_table(str(tmp_path / "out" / "part-00000" / "data.parquet"))
     assert t0.column("a").to_pylist() == [10, 11]  # now from in1.parquet
+
+
+def test_cross_join_matches_sql(ray_session):
+    """CROSS JOIN vs DuckDB: full product, chunked output batches,
+    column-collision and oversize-right guards."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.join import cross_join
+
+    a = pa.table({"x": pa.array(np.arange(500), pa.int64()),
+                  "s": pa.array([f"a{i}" for i in range(500)])})
+    b = pa.table({"y": pa.array([10, 20, 30], pa.int64()),
+                  "t": pa.array(["p", None, "r"])})
+    got = (cross_join(rd.from_arrow(a).repartition(4), rd.from_arrow(b),
+                      out_batch_rows=64)
+           .to_pandas().sort_values(["x", "y"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    want = con.sql("SELECT * FROM a CROSS JOIN b ORDER BY x, y").df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    with pytest.raises(ValueError, match="collision"):
+        cross_join(rd.from_arrow(a), rd.from_arrow(a))
+    with pytest.raises(ValueError, match="exceeds"):
+        cross_join(rd.from_arrow(b), rd.from_arrow(a), max_right_rows=10)
