@@ -1173,6 +1173,19 @@ def _q_reservoir_sample(sf_dir: str):
     return reservoir_sample(_read(sf_dir, "events"), 100, "event_id")
 
 
+def _q_events_checksum(sf_dir: str):
+    """Order/partition-invariant content fingerprint of the events
+    table (rows-only: the hash is engine-defined; invariance and
+    sensitivity are pinned in tests)."""
+    from bloomjoin_ray.pipelines.aggregate import dataset_checksum
+
+    c = dataset_checksum(_read(sf_dir, "events"))
+    return pa.table({"n": pa.array([c["n"]], pa.int64()),
+                     "xor_lo": pa.array([f"{c['xor_lo']:016x}"]),
+                     "sum_lo": pa.array([f"{c['sum_lo']:016x}"]),
+                     "xor_hi": pa.array([f"{c['xor_hi']:016x}"])})
+
+
 def _q_region_nation_cross(sf_dir: str):
     """CROSS JOIN region × nation — broadcast-nested-loop product
     (right side gathered once, one ray.put; left streams)."""
@@ -1458,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample_events": _q_reservoir_sample,
         "weighted_sample_docs": _q_weighted_sample_docs,
         "region_nation_cross": _q_region_nation_cross,
+        "events_checksum": _q_events_checksum,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }

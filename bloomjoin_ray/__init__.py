@@ -107,6 +107,7 @@ def __getattr__(name):
         "canonicalize_text": "bloomjoin_ray.pipelines.text",
         "describe": "bloomjoin_ray.pipelines.aggregate",
         "cross_join": "bloomjoin_ray.pipelines.join",
+        "dataset_checksum": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -1031,3 +1031,44 @@ def test_describe_matches_sql(ray_session):
     d2 = describe(rd.from_arrow(t2), ["x", "y"]).to_pandas().set_index("col")
     assert d2.loc["x", "mean"] == 7.0 and pd.isna(d2.loc["x", "std"])
     assert d2.loc["y", "n"] == 0 and pd.isna(d2.loc["y", "mean"])
+
+
+def test_dataset_checksum_invariance_and_sensitivity(ray_session):
+    """Checksum invariant under partitioning/order; sensitive to a
+    single changed value and to duplicate-for-distinct swaps (the XOR
+    blind spot the SUM lane covers)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import dataset_checksum
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    t = pa.table({"a": pa.array(rng.integers(0, 10**6, n), pa.int64()),
+                  "b": pa.array([f"s{i % 97}" for i in range(n)])})
+    c1 = dataset_checksum(rd.from_arrow(t).repartition(7))
+    perm = rng.permutation(n)
+    c2 = dataset_checksum(
+        rd.from_arrow(t.take(pa.array(perm))).repartition(2))
+    assert c1 == c2 and c1["n"] == n
+
+    # single-value edit changes the checksum
+    t3 = t.set_column(0, "a", pa.array(
+        np.concatenate([[int(t.column("a")[0].as_py()) + 1],
+                        np.asarray(t.column("a"))[1:]]), pa.int64()))
+    assert dataset_checksum(rd.from_arrow(t3)) != c1
+
+    # swap a distinct row for a second copy of another: XOR of the pair
+    # changes anyway, but craft the classic blind spot — replace rows
+    # {r0, r1} by {r0, r0}: XOR lane sees x0^x1 -> 0, SUM lane differs
+    t4rows = t.to_pylist()
+    t4rows[1] = dict(t4rows[0])
+    t4 = pa.Table.from_pylist(t4rows, schema=t.schema)
+    c4 = dataset_checksum(rd.from_arrow(t4))
+    assert c4 != c1 and c4["n"] == c1["n"]
+
+    # column-subset checksum matches regardless of other columns
+    c5 = dataset_checksum(rd.from_arrow(t), cols="a")
+    c6 = dataset_checksum(rd.from_arrow(t.drop_columns(["b"])))
+    assert c5 == c6
