@@ -1173,6 +1173,18 @@ def _q_reservoir_sample(sf_dir: str):
     return reservoir_sample(_read(sf_dir, "events"), 100, "event_id")
 
 
+def _q_events_ewma(sf_dir: str):
+    """Per-user exponentially-decayed spend (EWMA, alpha=0.3) over the
+    event stream — segmented affine scan; rows-only (no SQL window
+    equivalent; pandas parity pinned in tests)."""
+    from bloomjoin_ray.pipelines.windows import ewma_per_key
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    return ewma_per_key(ev, "user_id", ["ts", "event_id"], "value",
+                        alpha=0.3)
+
+
 def _q_events_checksum(sf_dir: str):
     """Order/partition-invariant content fingerprint of the events
     table (rows-only: the hash is engine-defined; invariance and
@@ -1472,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "region_nation_cross": _q_region_nation_cross,
         "events_checksum": _q_events_checksum,
+        "events_ewma": _q_events_ewma,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }

@@ -510,3 +510,77 @@ def first_last_per_key(ds, key, order_by, col, *,
         return t
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def ewma_per_key(ds, key, order_by, col, *, alpha: float,
+                 out_col: str | None = None):
+    """Per-key exponential moving average — pandas
+    ``groupby(key)[col].ewm(alpha=alpha, adjust=False,
+    ignore_na=True).mean()`` under an explicit ``order_by``:
+    ``y_0 = x_0``, ``y_t = (1-alpha)·y_{t-1} + alpha·x_t`` over the
+    key's non-null values. The streaming-features primitive (decayed
+    activity rates, recency-weighted scores) with no SQL window
+    equivalent; pandas is the correctness oracle in tests. Null rows
+    don't advance the decay and carry the previous EWMA forward
+    (ignore_na=True semantics); rows before a key's first value are
+    null.
+
+    Scale shape: one packed bucketed exchange on ``key``, one lexsort
+    per reduce task, then a SEGMENTED AFFINE SCAN: each row is the map
+    ``y ↦ q·y + alpha·x`` (``(0, x)`` at segment starts, absorbing),
+    composed by pointer doubling in ``log2(rows)`` fully-vectorized
+    passes. All multipliers are powers of ``q ≤ 1``, so the scan is
+    numerically stable for any segment length — no ``q^{-t}`` prefix
+    rescaling, no per-row or per-key Python."""
+    from .buckets import packed_bucket_map_groups
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = [(o, "ascending") if isinstance(o, str) else (o[0], o[1])
+                for o in order_by]
+    out = out_col or f"ewma_{col}"
+    q = 1.0 - alpha
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return group.append_column(out, pa.array([], pa.float64()))
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        arr = g.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        x = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()),
+                       dtype=np.float64)
+        valid = ~np.isnan(x)
+        vi = np.nonzero(valid)[0]
+        yout = np.full(n, np.nan, dtype=np.float64)
+        if vi.size:
+            xv = x[vi]
+            segv = seg[vi]
+            nv = vi.size
+            first = np.empty(nv, dtype=bool)
+            first[0] = True
+            first[1:] = segv[1:] != segv[:-1]
+            # affine maps y -> M*y + C; segment firsts absorb (M=0)
+            M = np.where(first, 0.0, q)
+            C = np.where(first, xv, alpha * xv)
+            s = 1
+            while s < nv:
+                M2 = M.copy()
+                C2 = C.copy()
+                C2[s:] = M[s:] * C[:-s] + C[s:]
+                M2[s:] = M[s:] * M[:-s]
+                M, C = M2, C2
+                s <<= 1
+            yv = C                      # every segment starts absorbing
+            # scatter back; null rows carry the previous valid y forward
+            yfull = np.full(n, np.nan)
+            yfull[vi] = yv
+            idx = np.where(valid, np.arange(n), -1)
+            idx = np.maximum.accumulate(idx)
+            idx = np.where(idx >= starts[seg], idx, -1)
+            yout = np.where(idx >= 0, yfull[np.maximum(idx, 0)], np.nan)
+        return g.append_column(out, pa.array(yout, pa.float64()))
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

@@ -367,3 +367,40 @@ def test_first_last_per_key_matches_sql(ray_session):
     with pytest.raises(ValueError):
         first_last_per_key(rd.from_arrow(t), "k", ["id"], "v",
                            values=(), nth=None)
+
+
+def test_ewma_per_key_matches_pandas(ray_session):
+    """Segmented-affine-scan EWMA vs pandas groupby().ewm(adjust=False,
+    ignore_na=True).mean(): long keys (scan depth), nulls carried
+    forward, leading nulls, alpha=1 degenerate, invalid alpha."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import ewma_per_key
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    k = np.concatenate([np.zeros(3000, dtype=np.int64),  # one long key
+                        rng.integers(1, 50, n - 3000)])
+    v = rng.normal(0, 10, n)
+    v[rng.random(n) < 0.15] = np.nan
+    v[np.nonzero(k == 7)[0][:4]] = np.nan          # leading nulls for k=7
+    t = pa.table({"k": pa.array(k), "id": pa.array(np.arange(n)),
+                  "v": pa.array([None if np.isnan(x) else float(x)
+                                 for x in v], pa.float64())})
+    for alpha in (0.3, 0.9, 1.0):
+        got = (ewma_per_key(rd.from_arrow(t).repartition(5), "k", ["id"],
+                            "v", alpha=alpha)
+               .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+        df = t.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+        want = (df.groupby("k")["v"]
+                .transform(lambda s: s.ewm(alpha=alpha, adjust=False,
+                                           ignore_na=True).mean()))
+        assert np.allclose(got["ewma_v"], want, rtol=1e-10, atol=1e-12,
+                           equal_nan=True)
+
+    with pytest.raises(ValueError):
+        ewma_per_key(rd.from_arrow(t), "k", ["id"], "v", alpha=0.0)
