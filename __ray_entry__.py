@@ -1185,6 +1185,27 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_events_fill_forward(sf_dir: str):
+    """LOCF gap repair: knock out every 7th event's value
+    deterministically, then forward-fill per user in time order —
+    SQL last_value(IGNORE NULLS) running-window parity."""
+    from bloomjoin_ray.pipelines.windows import fill_forward_per_key
+
+    def punch_holes(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = (np.asarray(t.column("event_id"), dtype=np.int64) % 7) != 0
+        v = pc.if_else(pa.array(keep), t.column("value"),
+                       pa.scalar(None, pa.float64()))
+        return t.set_column(t.schema.get_field_index("value"), "value", v)
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"]).map_batches(
+        punch_holes, batch_format="pyarrow")
+    return fill_forward_per_key(ev, "user_id", ["ts", "event_id"],
+                                ["value"])
+
+
 def _q_events_checksum(sf_dir: str):
     """Order/partition-invariant content fingerprint of the events
     table (rows-only: the hash is engine-defined; invariance and
@@ -1485,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_cross": _q_region_nation_cross,
         "events_checksum": _q_events_checksum,
         "events_ewma": _q_events_ewma,
+        "events_fill_forward": _q_events_fill_forward,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1921,6 +1943,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "events_fill_forward": """
+            WITH h AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN event_id % 7 = 0 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            )
+            SELECT user_id, event_id, ts, value,
+                   last_value(value IGNORE NULLS) OVER w AS value_ff
+            FROM h WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "region_nation_cross": """
             SELECT r_regionkey, r_name, n_nationkey, n_name

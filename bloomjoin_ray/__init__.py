@@ -109,6 +109,7 @@ def __getattr__(name):
         "cross_join": "bloomjoin_ray.pipelines.join",
         "dataset_checksum": "bloomjoin_ray.pipelines.aggregate",
         "ewma_per_key": "bloomjoin_ray.pipelines.windows",
+        "fill_forward_per_key": "bloomjoin_ray.pipelines.windows",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

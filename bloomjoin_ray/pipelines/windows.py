@@ -584,3 +584,53 @@ def ewma_per_key(ds, key, order_by, col, *, alpha: float,
         return g.append_column(out, pa.array(yout, pa.float64()))
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def fill_forward_per_key(ds, key, order_by, cols, *,
+                         suffix: str = "_ff"):
+    """Per-key forward fill (LOCF) — SQL ``last_value(col IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY … ROWS BETWEEN UNBOUNDED PRECEDING
+    AND CURRENT ROW)``: each null carries the key's most recent non-null
+    value forward; rows before the first value stay null. The standard
+    gap-repair step for sensor/event feature columns. Appends
+    ``{col}{suffix}`` per input column (any type — values are gathered,
+    never converted).
+
+    Scale shape: one packed bucketed exchange on ``key``, one lexsort
+    per reduce task, then a running maximum over valid-row indices per
+    column — pure index arithmetic, no per-row Python."""
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = [(o, "ascending") if isinstance(o, str) else (o[0], o[1])
+                for o in order_by]
+    cols = [cols] if isinstance(cols, str) else list(cols)
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            t = group
+            for c in cols:
+                t = t.append_column(f"{c}{suffix}",
+                                    group.column(c).slice(0, 0))
+            return t
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        n = g.num_rows
+        seg_start = starts[seg]
+        t = g
+        for c in cols:
+            arr = g.column(c)
+            arr = (arr.combine_chunks()
+                   if isinstance(arr, pa.ChunkedArray) else arr)
+            valid = np.asarray(pc.is_valid(arr))
+            idx = np.where(valid, np.arange(n), -1)
+            idx = np.maximum.accumulate(idx)
+            idx = np.where(idx >= seg_start, idx, -1)   # stay in key
+            filled = arr.take(pa.array(np.maximum(idx, 0), pa.int64()))
+            if (idx < 0).any():
+                filled = pc.if_else(pa.array(idx >= 0), filled,
+                                    pa.scalar(None, arr.type))
+            t = t.append_column(f"{c}{suffix}", filled)
+        return t
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

@@ -404,3 +404,42 @@ def test_ewma_per_key_matches_pandas(ray_session):
 
     with pytest.raises(ValueError):
         ewma_per_key(rd.from_arrow(t), "k", ["id"], "v", alpha=0.0)
+
+
+def test_fill_forward_per_key_matches_sql(ray_session):
+    """LOCF vs DuckDB's last_value(IGNORE NULLS) running window:
+    leading nulls stay null, fills never cross keys, string + numeric
+    columns."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import fill_forward_per_key
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.4 else float(x)
+                       for x in rng.normal(0, 5, n)], pa.float64()),
+        "s": pa.array([None if rng.random() < 0.5 else f"w{int(x)}"
+                       for x in rng.integers(0, 9, n)], pa.string()),
+    })
+    got = (fill_forward_per_key(rd.from_arrow(t).repartition(6), "k",
+                                ["id"], ["v", "s"])
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT k, id, v, s,
+               last_value(v IGNORE NULLS) OVER w AS v_ff,
+               last_value(s IGNORE NULLS) OVER w AS s_ff
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
