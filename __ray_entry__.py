@@ -1185,6 +1185,16 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_docs_tokens_split(sf_dir: str):
+    """Tokenize documents into one row per whitespace-separated token
+    with its ordinal (regex split + UNNEST, one vectorized pass)."""
+    from bloomjoin_ray.pipelines.reshape import split_to_rows
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return split_to_rows(docs, "text", r"\s+", out_col="token",
+                         pos_col="ord", drop_empty=True)
+
+
 def _q_events_fill_forward(sf_dir: str):
     """LOCF gap repair: knock out every 7th event's value
     deterministically, then forward-fill per user in time order —
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_checksum": _q_events_checksum,
         "events_ewma": _q_events_ewma,
         "events_fill_forward": _q_events_fill_forward,
+        "docs_tokens_split": _q_docs_tokens_split,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1943,6 +1954,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "docs_tokens_split": """
+            WITH u AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token,
+                       unnest(range(len(string_split_regex(text, '\\s+'))))
+                           AS ord
+                FROM documents
+            )
+            SELECT doc_id, token, ord FROM u WHERE token <> ''
         """,
         "events_fill_forward": """
             WITH h AS (

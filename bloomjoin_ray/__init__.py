@@ -110,6 +110,7 @@ def __getattr__(name):
         "dataset_checksum": "bloomjoin_ray.pipelines.aggregate",
         "ewma_per_key": "bloomjoin_ray.pipelines.windows",
         "fill_forward_per_key": "bloomjoin_ray.pipelines.windows",
+        "split_to_rows": "bloomjoin_ray.pipelines.reshape",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -85,3 +85,39 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str], *,
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def split_to_rows(ds, col: str, pattern: str, *,
+                  keep_cols: Sequence[str] | None = None,
+                  out_col: str | None = None,
+                  pos_col: str | None = None,
+                  drop_empty: bool = False):
+    """Split a string column on an RE2 ``pattern`` and emit one row per
+    piece — SQL ``unnest(regexp_split_to_array(col, pattern))`` (with
+    ``WITH ORDINALITY`` via ``pos_col``), the tokenize/explode step of
+    log and text pipelines. Null strings produce no rows; empty pieces
+    (adjacent separators, leading/trailing) are kept to match SQL
+    unless ``drop_empty=True``. The split column itself is REPLACED by
+    the pieces (name them elsewhere with ``out_col``). One vectorized
+    ``split_pattern_regex`` per batch feeding the UNNEST gather — no
+    per-row Python, no shuffle."""
+    import pyarrow.compute as pc
+
+    out = out_col or col
+
+    def split(batch: pa.Table) -> pa.Table:
+        s = batch.column(col)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        parts = pc.split_pattern_regex(s, pattern)
+        batch = batch.drop_columns([col])
+        return batch.append_column(out, parts)
+
+    exploded = explode_column(
+        ds.map_batches(split, batch_format="pyarrow"), out,
+        keep_cols=keep_cols, pos_col=pos_col)
+    if drop_empty:
+        def non_empty(b: pa.Table) -> pa.Table:
+            return b.filter(pc.not_equal(b.column(out), ""))
+
+        exploded = exploded.map_batches(non_empty, batch_format="pyarrow")
+    return exploded

@@ -68,3 +68,35 @@ def test_unpivot_matches_sql(ray_session):
 
     with pytest.raises(ValueError):
         unpivot(rd.from_arrow(t), ["id"], [])
+
+
+def test_split_to_rows_matches_sql(ray_session):
+    """regex split + unnest vs DuckDB: empty pieces kept, null rows
+    dropped, ordinality, drop_empty filter."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.reshape import split_to_rows
+
+    rows = ["a,b,,c", "x", "", None, ",lead", "trail,"]
+    t = pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                  "s": pa.array(rows, pa.string())})
+    got = (split_to_rows(rd.from_arrow(t).repartition(3), "s", ",",
+                         out_col="piece", pos_col="ord")
+           .to_pandas().sort_values(["id", "ord"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT id,
+               unnest(string_split_regex(s, ',')) AS piece,
+               unnest(range(len(string_split_regex(s, ',')))) AS ord
+        FROM t ORDER BY id, ord
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    got2 = (split_to_rows(rd.from_arrow(t), "s", ",", drop_empty=True)
+            .to_pandas())
+    assert got2["s"].tolist() == ["a", "b", "c", "x", "lead", "trail"]
