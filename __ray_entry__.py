@@ -1185,6 +1185,21 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_session_overlap(sf_dir: str):
+    """Interval-overlap join: each user's coarse (1h-gap) sessions
+    paired with every fine (10min-gap) session they intersect — two
+    range_join zipper passes (disjoint-per-key spans by construction)."""
+    from bloomjoin_ray.pipelines.range_join import interval_join
+    from bloomjoin_ray.pipelines.windows import sessionize
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    coarse = sessionize(ev, "user_id", "ts", 3600)
+    fine = sessionize(ev, "user_id", "ts", 600, session_col="f_start",
+                      end_col="f_end", count_col="f_n")
+    return interval_join(coarse, fine, ("session_start", "session_end"),
+                         ("f_start", "f_end"), by="user_id")
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1518,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": _q_events_ewma,
         "events_fill_forward": _q_events_fill_forward,
         "docs_tokens_split": _q_docs_tokens_split,
+        "session_overlap": _q_session_overlap,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1954,6 +1970,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "session_overlap": """
+            WITH cf AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 3600 SECONDS
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            cs AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM cf),
+            coarse AS (
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) AS session_end, count(*) AS n_events
+              FROM cs GROUP BY user_id, sid),
+            ff AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 600 SECONDS
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            fs AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM ff),
+            fine AS (
+              SELECT user_id, min(ts) AS f_start, max(ts) AS f_end,
+                     count(*) AS f_n
+              FROM fs GROUP BY user_id, sid)
+            SELECT coarse.user_id, session_start, session_end, n_events,
+                   f_start, f_end, f_n
+            FROM coarse JOIN fine ON coarse.user_id = fine.user_id
+                 AND session_start <= f_end AND f_start <= session_end
         """,
         "docs_tokens_split": """
             WITH u AS (

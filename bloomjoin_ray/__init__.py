@@ -111,6 +111,7 @@ def __getattr__(name):
         "ewma_per_key": "bloomjoin_ray.pipelines.windows",
         "fill_forward_per_key": "bloomjoin_ray.pipelines.windows",
         "split_to_rows": "bloomjoin_ray.pipelines.reshape",
+        "interval_join": "bloomjoin_ray.pipelines.range_join",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -186,3 +186,65 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
     return packed_bucket_map_groups(tagged, None, join_bucket,
                                     num_buckets=num_buckets,
                                     bucket_col="__bucket", pre_bucketed=True)
+
+
+def interval_join(ds_left, ds_right, left_span: tuple[str, str],
+                  right_span: tuple[str, str], *, by: str | list[str],
+                  num_buckets: int = 64, suffix: str = "_right"):
+    """Interval-OVERLAP join: all (left, right) pairs with equal ``by``
+    keys whose closed spans intersect — SQL
+    ``ON l.by = r.by AND l.start <= r.end AND r.start <= l.end``
+    (session-overlap, shift-coverage, validity-range reconciliation).
+
+    Built as TWO passes of the vectorized ``range_join`` zipper via the
+    standard decomposition: every overlapping pair has either
+    ``r.start ∈ [l.start, l.end]`` (pass A: right START points probed
+    against left intervals) or ``r.start < l.start ≤ r.end`` (pass B:
+    left starts against right intervals, post-filtered to strict
+    straddles so A∪B is exact and duplicate-free). Inherits
+    ``range_join``'s partitioning envelope: each key's intervals must
+    be DISJOINT on BOTH sides (true for session/validity windows);
+    span bounds must be non-null. Inner join only — each pass moves
+    every row once through the packed key-hash bucketing.
+
+    Output: left columns (original names) + right columns (colliding
+    names get ``suffix``)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    ls, le = left_span
+    rs, re_ = right_span
+    l_schema = _schema_of(ds_left)
+    r_schema = _schema_of(ds_right)
+    l_names = list(l_schema.names)
+    # pre-suffix colliding right columns so both passes emit one layout
+    ren = {c: (c + suffix if c in set(l_names) else c)
+           for c in r_schema.names if c not in by_cols}
+    rs2, re2 = ren[rs], ren[re_]
+
+    def rename_right(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [ren.get(c, c) for c in batch.column_names])
+
+    r2 = ds_right.map_batches(rename_right, batch_format="pyarrow")
+    out_cols = l_names + [ren[c] for c in r_schema.names
+                          if c not in by_cols]
+
+    # pass A: right-start points inside left intervals (r rows = points)
+    a = range_join(r2, ds_left, rs2, ls, le, by=by_cols, how="inner",
+                   closed="both", num_buckets=num_buckets,
+                   suffixes=("", "__collide"))
+
+    # pass B: left-start points inside right intervals, strict straddle
+    b = range_join(ds_left, r2, ls, rs2, re2, by=by_cols, how="inner",
+                   closed="both", num_buckets=num_buckets,
+                   suffixes=("", "__collide"))
+
+    def strict(batch: pa.Table) -> pa.Table:
+        lsv = _order_key(batch.column(ls), ls)
+        rsv = _order_key(batch.column(rs2), rs2)
+        return batch.filter(pa.array(rsv < lsv)).select(out_cols)
+
+    def layout(batch: pa.Table) -> pa.Table:
+        return batch.select(out_cols)
+
+    return (a.map_batches(layout, batch_format="pyarrow")
+            .union(b.map_batches(strict, batch_format="pyarrow")))

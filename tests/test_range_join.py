@@ -156,3 +156,55 @@ def test_range_join_null_times_never_match(ray_session):
              .to_pandas().sort_values("tag").reset_index(drop=True))
     assert len(outer) == 2
     assert outer.loc[outer["tag"] == "null-on", "rtag"].isna().all()
+
+
+def test_interval_join_matches_sql(ray_session):
+    """Interval-overlap join vs a DuckDB inequality join on disjoint
+    per-key spans: containment, partial overlaps both directions,
+    touching endpoints, non-overlaps, and cross-key isolation."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.range_join import interval_join
+
+    rng = np.random.default_rng(29)
+
+    def disjoint_spans(n_keys, per_key, tag):
+        ks, ids, st, en = [], [], [], []
+        i = 0
+        for k in range(n_keys):
+            t = int(rng.integers(0, 50))
+            for _ in range(per_key):
+                gap = int(rng.integers(1, 30))
+                ln = int(rng.integers(0, 40))
+                s = t + gap
+                e = s + ln
+                t = e
+                ks.append(k); ids.append(i); st.append(s); en.append(e)
+                i += 1
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         f"{tag}_id": pa.array(ids, pa.int64()),
+                         f"{tag}_s": pa.array(st, pa.int64()),
+                         f"{tag}_e": pa.array(en, pa.int64())})
+
+    L = disjoint_spans(25, 8, "l")
+    R = disjoint_spans(25, 11, "r")
+    got = (interval_join(rd.from_arrow(L).repartition(4),
+                         rd.from_arrow(R).repartition(3),
+                         ("l_s", "l_e"), ("r_s", "r_e"), by="k")
+           .to_pandas().sort_values(["l_id", "r_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    want = con.sql("""
+        SELECT L.k, l_id, l_s, l_e, r_id, r_s, r_e
+        FROM L JOIN R ON L.k = R.k AND l_s <= r_e AND r_s <= l_e
+        ORDER BY l_id, r_id
+    """).df()
+    assert len(got) == len(want) and len(want) > 50
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
