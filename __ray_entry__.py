@@ -1185,6 +1185,16 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_events_time_parts(sf_dir: str):
+    """Calendar-field extraction (SQL date_part family incl. ISO
+    dow/week) — one Arrow temporal kernel per part, no shuffle."""
+    from bloomjoin_ray.pipelines.text import add_time_parts
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return add_time_parts(ev, "ts", ["year", "month", "day", "hour",
+                                     "day_of_week", "iso_week"])
+
+
 def _q_session_overlap(sf_dir: str):
     """Interval-overlap join: each user's coarse (1h-gap) sessions
     paired with every fine (10min-gap) session they intersect — two
@@ -1534,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fill_forward": _q_events_fill_forward,
         "docs_tokens_split": _q_docs_tokens_split,
         "session_overlap": _q_session_overlap,
+        "events_time_parts": _q_events_time_parts,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1970,6 +1981,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "events_time_parts": """
+            SELECT event_id, ts,
+                   date_part('year', ts) AS ts_year,
+                   date_part('month', ts) AS ts_month,
+                   date_part('day', ts) AS ts_day,
+                   date_part('hour', ts) AS ts_hour,
+                   date_part('isodow', ts) AS ts_day_of_week,
+                   date_part('week', ts) AS ts_iso_week
+            FROM events
         """,
         "session_overlap": """
             WITH cf AS (

@@ -727,3 +727,43 @@ def canonicalize_text(ds, col: str, *, out_col: str | None = None,
         return batch.append_column(out, s)
 
     return ds.map_batches(canon, batch_format="pyarrow")
+
+
+_TIME_PART_FNS = ("year", "month", "day", "hour", "minute", "second",
+                  "day_of_week", "day_of_year", "iso_week")
+
+
+def add_time_parts(ds, ts_col: str, parts: "Sequence[str]", *,
+                   prefix: str | None = None):
+    """Calendar-field extraction — SQL ``date_part`` / ``EXTRACT`` as
+    appended int64 columns, one Arrow temporal kernel per part per
+    batch (no Python datetime objects). ``parts`` ⊆ {year, month, day,
+    hour, minute, second, day_of_week, day_of_year, iso_week}.
+    ``day_of_week`` follows ISO numbering (Mon=1…Sun=7, DuckDB
+    ``isodow``); ``iso_week`` is the ISO-8601 week number. Columns are
+    named ``{prefix or ts_col + '_'}{part}``. Nulls stay null. The
+    pre-aggregation step for calendar rollups (events by hour/dow) —
+    no shuffle, streams block by block."""
+    import pyarrow.compute as pc
+
+    bad = [p for p in parts if p not in _TIME_PART_FNS]
+    if bad or not parts:
+        raise ValueError(f"parts must be non-empty, from {_TIME_PART_FNS};"
+                         f" got {bad or parts}")
+    pre = prefix if prefix is not None else f"{ts_col}_"
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        for p in parts:
+            if p == "day_of_week":
+                v = pc.day_of_week(ts, count_from_zero=False,
+                                   week_start=1)      # ISO: Mon=1..Sun=7
+            elif p == "iso_week":
+                v = pc.iso_week(ts)
+            else:
+                v = getattr(pc, p)(ts)
+            batch = batch.append_column(f"{pre}{p}", v.cast(pa.int64()))
+        return batch
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -600,3 +600,43 @@ def test_canonicalize_text_matches_sql(ray_session):
     got2 = (canonicalize_text(rd.from_arrow(t), "s", strip_punct=True)
             .to_pandas().sort_values("id"))
     assert got2.loc[4, "s"] == "mixed case"
+
+
+def test_add_time_parts_matches_sql(ray_session):
+    """Calendar extraction vs DuckDB date_part incl. ISO dow/week,
+    nulls, and multi-year timestamps."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import add_time_parts
+
+    rng = np.random.default_rng(37)
+    us = rng.integers(0, 4 * 365 * 86400, 3000) * 10**6
+    vals = [None if i % 97 == 0 else int(x) for i, x in enumerate(us)]
+    t = pa.table({"id": pa.array(range(3000), pa.int64()),
+                  "ts": pa.array(vals, pa.timestamp("us"))})
+    got = (add_time_parts(rd.from_arrow(t).repartition(3), "ts",
+                          ["year", "month", "day", "hour",
+                           "day_of_week", "iso_week"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT id, ts,
+               date_part('year', ts) AS ts_year,
+               date_part('month', ts) AS ts_month,
+               date_part('day', ts) AS ts_day,
+               date_part('hour', ts) AS ts_hour,
+               date_part('isodow', ts) AS ts_day_of_week,
+               date_part('week', ts) AS ts_iso_week
+        FROM t ORDER BY id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+    with pytest.raises(ValueError):
+        add_time_parts(rd.from_arrow(t), "ts", ["century"])
