@@ -51,10 +51,12 @@ def tumbling_window(ds, ts_col: str, size_s: int, *, key=None,
 
 
 def sliding_window(ds, ts_col: str, size_s: int, slide_s: int, *, key=None,
+                   sum_cols: dict[str, str] | None = None,
                    count_col: str = "n", out_col: str = "window_start"):
-    """COUNT per sliding window: each row replicates into the
-    ``size/slide`` windows containing it (flat-map expansion), then the
-    tumbling machinery aggregates. size must be a multiple of slide."""
+    """COUNT (and optional SUMs, as in ``tumbling_window``) per sliding
+    window: each row replicates into the ``size/slide`` windows
+    containing it (flat-map expansion), then the tumbling machinery
+    aggregates. size must be a multiple of slide."""
     if size_s % slide_s:
         raise ValueError("size_s must be a multiple of slide_s")
     k = size_s // slide_s
@@ -77,8 +79,10 @@ def sliding_window(ds, ts_col: str, size_s: int, slide_s: int, *, key=None,
         return out.append_column(out_col, warr)
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    return grouped_sums(exploded.select_columns(keys + [out_col]),
-                        keys + [out_col], {}, count_col=count_col)
+    cols = keys + [out_col] + list(sum_cols or {})
+    return grouped_sums(exploded.select_columns(cols),
+                        keys + [out_col], sum_cols or {},
+                        count_col=count_col)
 
 
 def sessionize(ds, key, ts_col: str, gap_s: int, *,

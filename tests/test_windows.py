@@ -57,6 +57,24 @@ def test_sliding_window_counts(events):
     with pytest.raises(ValueError, match="multiple"):
         sliding_window(ds, "ts", size_s=5000, slide_s=3600)
 
+    # sum_cols variant (same expansion + SUM)
+    got2 = (sliding_window(ds, "ts", size_s=7200, slide_s=3600,
+                           sum_cols={"value": "sum_value"})
+            .to_pandas().sort_values("window_start")
+            .reset_index(drop=True))
+    want2 = con.sql("""
+        WITH starts AS (
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, value
+          FROM events)
+        SELECT w AS window_start, sum(value) AS sum_value, count(*) AS n
+        FROM starts GROUP BY 1 ORDER BY 1
+    """).df()
+    assert np.allclose(got2["sum_value"], want2["sum_value"], rtol=1e-12)
+    pd.testing.assert_series_equal(got2["n"], want2["n"],
+                                   check_dtype=False)
+
 
 def test_sessionize_vs_oracle(events):
     from bloomjoin_ray.pipelines.windows import sessionize
