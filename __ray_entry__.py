@@ -1185,6 +1185,24 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_events_value_share(sf_dir: str):
+    """Each event's share of its user's total spend — SQL value /
+    sum(value) OVER (PARTITION BY user_id). Values go through integral
+    cents so both sides divide the same exact int64 operands."""
+    from bloomjoin_ray.pipelines.windows import share_per_key
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = np.round(np.asarray(t.column("value"),
+                                dtype=np.float64) * 100).astype(np.int64)
+        return (t.append_column("cents", pa.array(c))
+                .drop_columns(["value"]))
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "value"]).map_batches(
+        to_cents, batch_format="pyarrow")
+    return share_per_key(ev, "user_id", "cents")
+
+
 def _q_events_time_parts(sf_dir: str):
     """Calendar-field extraction (SQL date_part family incl. ISO
     dow/week) — one Arrow temporal kernel per part, no shuffle."""
@@ -1545,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tokens_split": _q_docs_tokens_split,
         "session_overlap": _q_session_overlap,
         "events_time_parts": _q_events_time_parts,
+        "events_value_share": _q_events_value_share,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1981,6 +2000,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "events_value_share": """
+            WITH c AS (
+                SELECT user_id, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT user_id, event_id, cents,
+                   CAST(cents AS DOUBLE)
+                       / CAST(sum(cents) OVER (PARTITION BY user_id)
+                              AS DOUBLE) AS cents_share
+            FROM c
         """,
         "events_time_parts": """
             SELECT event_id, ts,

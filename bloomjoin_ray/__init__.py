@@ -113,6 +113,7 @@ def __getattr__(name):
         "split_to_rows": "bloomjoin_ray.pipelines.reshape",
         "interval_join": "bloomjoin_ray.pipelines.range_join",
         "add_time_parts": "bloomjoin_ray.pipelines.text",
+        "share_per_key": "bloomjoin_ray.pipelines.windows",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -638,3 +638,44 @@ def fill_forward_per_key(ds, key, order_by, cols, *,
         return t
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def share_per_key(ds, key, col, *, out_col: str | None = None):
+    """Per-key share of total — SQL ``col / sum(col) OVER (PARTITION BY
+    key)``: each row's fraction of its key's total (spend share, token
+    share, traffic mix). Null values contribute nothing and get a null
+    share; an all-null or zero-total key yields null/±inf exactly as
+    the SQL division does. Integer inputs sum exactly in int64 and the
+    share is one double division of exact operands — bit-reproducible
+    in SQL; float inputs carry the usual distributed-sum order caveat.
+
+    Scale shape: one packed bucketed exchange on ``key``; per reduce
+    task one lexsort + one segment-sum (reduceat) + one vectorized
+    division."""
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    out = out_col or f"{col}_share"
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return group.append_column(out, pa.array([], pa.float64()))
+        g, starts, seg = _sorted_key_segments(group, key, [])
+        arr = g.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        is_int = pa.types.is_integer(arr.type)
+        x = np.asarray(pc.fill_null(arr, 0).cast(
+            pa.int64() if is_int else pa.float64()))
+        totals = np.add.reduceat(x, starts)
+        tot = totals[seg].astype(np.float64)
+        valid = np.asarray(pc.is_valid(arr))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = np.where(valid, x.astype(np.float64) / tot, np.nan)
+        res = pa.array(share, pa.float64())
+        if not valid.all():
+            res = pc.if_else(pa.array(valid), res,
+                             pa.scalar(None, pa.float64()))
+        return g.append_column(out, res)
+
+    return packed_bucket_map_groups(ds, key, reduce_group)

@@ -461,3 +461,38 @@ def test_fill_forward_per_key_matches_sql(ray_session):
     """).df()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_share_per_key_matches_sql(ray_session):
+    """value/sum() OVER (PARTITION BY key) vs DuckDB: int columns
+    bit-exact, nulls excluded from totals and nulled in output."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import share_per_key
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array([None if rng.random() < 0.1 else int(x)
+                       for x in rng.integers(0, 500, n)], pa.int64()),
+    })
+    got = (share_per_key(rd.from_arrow(t).repartition(5), "k", "v")
+           .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.sql("""
+        SELECT k, id, v,
+               CAST(v AS DOUBLE)
+                   / CAST(sum(v) OVER (PARTITION BY k) AS DOUBLE) AS v_share
+        FROM t ORDER BY k, id
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    sums = got.dropna(subset=["v_share"]).groupby("k")["v_share"].sum()
+    assert np.allclose(sums, 1.0)
