@@ -1185,6 +1185,18 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_dedup_canonical_docs(sf_dir: str):
+    """Composite: canonical text form (NFC+lower+ws collapse) feeding
+    exact dedup — trivially-reformatted copies collide; keeps the min
+    doc_id per canonical form."""
+    from bloomjoin_ray.pipelines.dedup import exact_dedup
+    from bloomjoin_ray.pipelines.text import canonicalize_text
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    canon = canonicalize_text(docs, "text", out_col="text_canon")
+    return exact_dedup(canon, text_col="text_canon", order_col="doc_id")
+
+
 def _q_events_value_share(sf_dir: str):
     """Each event's share of its user's total spend — SQL value /
     sum(value) OVER (PARTITION BY user_id). Values go through integral
@@ -1564,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_overlap": _q_session_overlap,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
+        "dedup_canonical_docs": _q_dedup_canonical_docs,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -2000,6 +2013,20 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "dedup_canonical_docs": """
+            WITH c AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\\s+', ' ', 'g')) AS text_canon
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY text_canon
+                              ORDER BY doc_id) AS rn
+                FROM c
+            )
+            SELECT doc_id, text, text_canon FROM r WHERE rn = 1
         """,
         "events_value_share": """
             WITH c AS (
