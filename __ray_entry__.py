@@ -1185,6 +1185,29 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_user_overlap_exact(sf_dir: str):
+    """Per-event-type EXACT user-set overlap between low-value and
+    high-value events (n_a/n_b/∩/∪/Jaccard) — the exact counterpart of
+    the grouped theta row; distinct triples dedupe per block before the
+    packed exchange."""
+    from bloomjoin_ray.pipelines.aggregate import grouped_jaccard_exact
+
+    def band(lo: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = (pc.less(t.column("value"), 100.0) if lo
+                 else pc.greater_equal(t.column("value"), 100.0))
+            return t.filter(pc.fill_null(m, False))
+        return fn
+
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "value"])
+    a = ev.map_batches(band(True), batch_format="pyarrow")
+    b = ev.map_batches(band(False), batch_format="pyarrow")
+    return grouped_jaccard_exact(a, b, "event_type", "user_id")
+
+
 def _q_dedup_canonical_docs(sf_dir: str):
     """Composite: canonical text form (NFC+lower+ws collapse) feeding
     exact dedup — trivially-reformatted copies collide; keeps the min
@@ -1577,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
+        "user_overlap_exact": _q_user_overlap_exact,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }
@@ -2013,6 +2037,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "user_overlap_exact": """
+            WITH da AS (SELECT DISTINCT event_type, user_id FROM events
+                        WHERE value < 100.0),
+                 db AS (SELECT DISTINCT event_type, user_id FROM events
+                        WHERE value >= 100.0),
+                 u AS (SELECT event_type, user_id,
+                              max(sa) AS sa, max(sb) AS sb FROM (
+                          SELECT event_type, user_id, 1 AS sa, 0 AS sb
+                          FROM da
+                          UNION ALL
+                          SELECT event_type, user_id, 0, 1 FROM db)
+                       GROUP BY event_type, user_id)
+            SELECT event_type, CAST(sum(sa) AS BIGINT) AS n_a,
+                   CAST(sum(sb) AS BIGINT) AS n_b,
+                   CAST(sum(sa * sb) AS BIGINT) AS n_inter,
+                   CAST(count(*) AS BIGINT) AS n_union,
+                   CAST(sum(sa * sb) AS DOUBLE) / count(*) AS jaccard
+            FROM u GROUP BY event_type
         """,
         "dedup_canonical_docs": """
             WITH c AS (

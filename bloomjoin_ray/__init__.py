@@ -114,6 +114,7 @@ def __getattr__(name):
         "interval_join": "bloomjoin_ray.pipelines.range_join",
         "add_time_parts": "bloomjoin_ray.pipelines.text",
         "share_per_key": "bloomjoin_ray.pipelines.windows",
+        "grouped_jaccard_exact": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -1862,3 +1862,96 @@ def dataset_checksum(ds, cols: str | Sequence[str] | None = None) -> dict:
         x2 ^= int(r["x2"])
         s1 = (s1 + int(r["s1"])) & 0xFFFFFFFFFFFFFFFF
     return {"n": int(n), "xor_lo": x1, "sum_lo": s1, "xor_hi": x2}
+
+
+def grouped_jaccard_exact(ds_a, ds_b, key: str | Sequence[str],
+                          col: str):
+    """EXACT per-key set overlap between two datasets — for each key
+    value: ``n_a, n_b, n_inter, n_union, jaccard`` over the DISTINCT
+    ``col`` values each side holds for that key (the exact counterpart
+    of ``theta_set_estimates_grouped``; use that sketch path when
+    per-key distinct cardinalities are too large to co-locate). Null
+    ``col`` values are excluded (SQL DISTINCT-set semantics); keys
+    present on one side report the other side as 0. Jaccard is one
+    double division of exact int64 counts — bit-reproducible in SQL.
+
+    Scale shape: each block dedupes its own (key, value, side) triples
+    (values carried as the canonical 128-bit hash pair, collision odds
+    ~2^-128), so the packed exchange moves at most one row per distinct
+    triple per block; the per-bucket reduce is one lexsort + boundary
+    masks — no per-key Python."""
+    import pyarrow.compute as pc
+
+    from ..functions.keys import hash_keys64_pair
+    from .buckets import group_agg, packed_bucket_map_groups
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def prep(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch.column(col)))
+            v1, v2 = hash_keys64_pair(batch, [col])
+            t = batch.select(keys)
+            t = t.append_column("__v1", pa.array(v1.view(np.int64)))
+            t = t.append_column("__v2", pa.array(v2.view(np.int64)))
+            t = group_agg(t, keys + ["__v1", "__v2"], [])   # block dedupe
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8)))
+        return fn
+
+    tagged_a = ds_a.select_columns(keys + [col]).map_batches(
+        prep(0), batch_format="pyarrow")
+    tagged_b = ds_b.select_columns(keys + [col]).map_batches(
+        prep(1), batch_format="pyarrow")
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        empty_cols = {c: group.column(c).slice(0, 0) for c in keys}
+        if group.num_rows == 0:
+            return pa.table({**empty_cols,
+                             **{c: pa.array([], pa.int64()) for c in
+                                ("n_a", "n_b", "n_inter", "n_union")},
+                             "jaccard": pa.array([], pa.float64())})
+        idx = np.asarray(pc.sort_indices(group, sort_keys=[
+            (c, "ascending") for c in keys]
+            + [("__v1", "ascending"), ("__v2", "ascending"),
+               ("__side", "ascending")]))
+        g = group.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, keys)
+        v1 = np.asarray(g.column("__v1"), dtype=np.int64)
+        v2 = np.asarray(g.column("__v2"), dtype=np.int64)
+        side = np.asarray(g.column("__side"), dtype=np.int8)
+        n = len(idx)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        new_val = new_key.copy()
+        new_val[1:] |= (v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])
+        # block-level dupes of one (key,val,side) triple may still meet
+        # here — a side counts once per distinct (key,val)
+        new_pair = new_val.copy()
+        new_pair[1:] |= side[1:] != side[:-1]
+        kid = np.cumsum(new_key) - 1
+        w = np.where(new_pair, 1, 0)
+        n_keys = int(kid[-1]) + 1
+        in_a = np.bincount(kid, weights=w * (side == 0),
+                           minlength=n_keys).astype(np.int64)
+        in_b = np.bincount(kid, weights=w * (side == 1),
+                           minlength=n_keys).astype(np.int64)
+        n_union = np.bincount(kid, weights=np.where(new_val, 1, 0),
+                              minlength=n_keys).astype(np.int64)
+        n_inter = in_a + in_b - n_union
+        kstarts = np.nonzero(new_key)[0]
+        out = g.select(keys).take(pa.array(kstarts))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(n_union > 0,
+                           n_inter.astype(np.float64)
+                           / n_union.astype(np.float64), np.nan)
+        return (out.append_column("n_a", pa.array(in_a))
+                   .append_column("n_b", pa.array(in_b))
+                   .append_column("n_inter", pa.array(n_inter))
+                   .append_column("n_union", pa.array(n_union))
+                   .append_column("jaccard", pa.array(jac)))
+
+    return packed_bucket_map_groups(tagged_a.union(tagged_b), keys,
+                                    reduce_group)

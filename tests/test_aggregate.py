@@ -1072,3 +1072,60 @@ def test_dataset_checksum_invariance_and_sensitivity(ray_session):
     c5 = dataset_checksum(rd.from_arrow(t), cols="a")
     c6 = dataset_checksum(rd.from_arrow(t.drop_columns(["b"])))
     assert c5 == c6
+
+
+def test_grouped_jaccard_exact_matches_sql(ray_session):
+    """Per-key exact set overlap vs a DuckDB DISTINCT-set replica:
+    duplicates collapse, nulls excluded, one-sided keys report 0,
+    partition invariance."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_jaccard_exact
+
+    rng = np.random.default_rng(47)
+
+    def mk(n, key_hi, only_key=None):
+        k = rng.integers(0, key_hi, n)
+        if only_key is not None:
+            k[:10] = only_key
+        v = [None if rng.random() < 0.05 else f"v{int(x)}"
+             for x in rng.integers(0, 30, n)]
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "v": pa.array(v, pa.string())})
+
+    A = mk(3000, 40, only_key=777)     # key 777 exists only in A
+    B = mk(2500, 40)
+    got = (grouped_jaccard_exact(rd.from_arrow(A).repartition(5),
+                                 rd.from_arrow(B).repartition(3), "k", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("A", A)
+    con.register("B", B)
+    want = con.sql("""
+        WITH da AS (SELECT DISTINCT k, v FROM A WHERE v IS NOT NULL),
+             db AS (SELECT DISTINCT k, v FROM B WHERE v IS NOT NULL),
+             u AS (SELECT k, v, max(sa) AS sa, max(sb) AS sb FROM (
+                     SELECT k, v, 1 AS sa, 0 AS sb FROM da
+                     UNION ALL
+                     SELECT k, v, 0, 1 FROM db) GROUP BY k, v)
+        SELECT k, CAST(sum(sa) AS BIGINT) AS n_a,
+               CAST(sum(sb) AS BIGINT) AS n_b,
+               CAST(sum(sa * sb) AS BIGINT) AS n_inter,
+               CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(sa * sb) AS DOUBLE) / count(*) AS jaccard
+        FROM u GROUP BY k ORDER BY k
+    """).df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    row777 = got[got["k"] == 777].iloc[0]
+    assert row777["n_b"] == 0 and row777["n_inter"] == 0
+
+    got2 = (grouped_jaccard_exact(rd.from_arrow(A).repartition(2),
+                                  rd.from_arrow(B), "k", "v")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2[want.columns.tolist()], want,
+                                  check_dtype=False)
