@@ -1185,6 +1185,16 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy (bits) of the event-type mix — the
+    behavioral-diversity signal; rows-only (float log sums; numpy
+    parity pinned in tests)."""
+    from bloomjoin_ray.pipelines.aggregate import entropy_per_key
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return entropy_per_key(ev, "user_id", "event_type")
+
+
 def _q_user_overlap_exact(sf_dir: str):
     """Per-event-type EXACT user-set overlap between low-value and
     high-value events (n_a/n_b/∩/∪/Jaccard) — the exact counterpart of
@@ -1601,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "user_overlap_exact": _q_user_overlap_exact,
+        "user_type_entropy": _q_user_type_entropy,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }

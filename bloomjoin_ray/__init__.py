@@ -115,6 +115,7 @@ def __getattr__(name):
         "add_time_parts": "bloomjoin_ray.pipelines.text",
         "share_per_key": "bloomjoin_ray.pipelines.windows",
         "grouped_jaccard_exact": "bloomjoin_ray.pipelines.aggregate",
+        "entropy_per_key": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

@@ -1955,3 +1955,73 @@ def grouped_jaccard_exact(ds_a, ds_b, key: str | Sequence[str],
 
     return packed_bucket_map_groups(tagged_a.union(tagged_b), keys,
                                     reduce_group)
+
+
+def entropy_per_key(ds, key: str | Sequence[str], col: str, *,
+                    base: float = 2.0, out_col: str = "entropy"):
+    """Per-key Shannon entropy of a categorical column — the diversity
+    signal curation pipelines gate on (source mix of a dedup cluster,
+    label balance of a stratum). For each key: ``H = -Σ p_c·log(p_c)``
+    over the distribution of non-null ``col`` values (counted with
+    multiplicity), in ``base`` (default bits). A single-category key
+    scores 0; an all-null key disappears. Exact category counts; the
+    only float work is the final log/divide (values carry float
+    summation order across a key's categories — pinned against numpy,
+    not a SQL hash).
+
+    Scale shape: per-block (key, value) pre-count via the null-safe
+    Arrow group-by, one packed exchange of count partials, then one
+    lexsort + two reduceats per bucket — no per-key Python."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..functions.keys import hash_keys64_pair
+    from .buckets import group_agg, packed_bucket_map_groups
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if base <= 1.0:
+        raise ValueError("base must be > 1")
+
+    def precount(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(col)))
+        out = group_agg(batch.select(keys + [col]), keys + [col],
+                        [([], "count_all")])
+        return out.rename_columns(keys + [col, "__pc"])
+
+    partials = ds.select_columns(keys + [col]).map_batches(
+        precount, batch_format="pyarrow")
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            return (group.select(keys)
+                    .append_column(out_col, pa.array([], pa.float64())))
+        idx = np.asarray(pc.sort_indices(group, sort_keys=[
+            (c, "ascending") for c in keys] + [(col, "ascending")]))
+        g = group.take(pa.array(idx))
+        h1, h2 = hash_keys64_pair(g, keys)
+        v1, v2 = hash_keys64_pair(g, [col])
+        cnt = np.asarray(g.column("__pc"), dtype=np.int64)
+        n = len(idx)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        new_val = new_key.copy()
+        new_val[1:] |= (v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])
+        # merge same (key, value) partials from different blocks
+        vstarts = np.nonzero(new_val)[0]
+        vid = np.cumsum(new_val) - 1
+        c = np.bincount(vid, weights=cnt).astype(np.int64)
+        kid_of_v = (np.cumsum(new_key) - 1)[vstarts]
+        n_keys = int(kid_of_v[-1]) + 1
+        tot = np.bincount(kid_of_v, weights=c, minlength=n_keys)
+        p = c / tot[kid_of_v]
+        h = -np.bincount(kid_of_v, weights=p * np.log(p),
+                         minlength=n_keys) / math.log(base)
+        h = np.where(np.abs(h) < 1e-15, 0.0, h)      # exact 0 for 1-cat
+        kstarts = np.nonzero(new_key)[0]
+        out = g.select(keys).take(pa.array(kstarts))
+        return out.append_column(out_col, pa.array(h, pa.float64()))
+
+    return packed_bucket_map_groups(partials, keys, reduce_group)

@@ -1129,3 +1129,51 @@ def test_grouped_jaccard_exact_matches_sql(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_entropy_per_key_matches_numpy(ray_session):
+    """Per-key Shannon entropy vs a numpy/pandas replica: uniform keys
+    hit log2(k), single-category keys are exactly 0, nulls don't vote,
+    partition invariance."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import entropy_per_key
+
+    rng = np.random.default_rng(53)
+    n = 5000
+    k = rng.integers(0, 50, n)
+    v = [None if rng.random() < 0.08 else f"c{int(x)}"
+         for x in rng.integers(0, 8, n)]
+    # key 999: perfectly uniform over 4 categories -> exactly 2 bits
+    k = np.concatenate([k, np.full(8, 999)])
+    v += ["a", "b", "c", "d", "a", "b", "c", "d"]
+    # key 998: one category -> exactly 0
+    k = np.concatenate([k, np.full(3, 998)])
+    v += ["only", "only", "only"]
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(v, pa.string())})
+
+    got = (entropy_per_key(rd.from_arrow(t).repartition(6), "k", "v")
+           .to_pandas().set_index("k").sort_index())
+    df = t.to_pandas().dropna(subset=["v"])
+
+    def ent(s):
+        p = s.value_counts(normalize=True).to_numpy()
+        return float(-(p * np.log2(p)).sum())
+
+    want = df.groupby("k")["v"].apply(ent).sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert np.allclose(got["entropy"], want.to_numpy(), atol=1e-12)
+    assert got.loc[999, "entropy"] == 2.0
+    assert got.loc[998, "entropy"] == 0.0
+
+    got2 = (entropy_per_key(rd.from_arrow(t).repartition(2), "k", "v")
+            .to_pandas().set_index("k").sort_index())
+    assert np.allclose(got["entropy"], got2["entropy"], atol=0)
+
+    with pytest.raises(ValueError):
+        entropy_per_key(rd.from_arrow(t), "k", "v", base=1.0)
