@@ -1185,6 +1185,16 @@ def _q_events_ewma(sf_dir: str):
                         alpha=0.3)
 
 
+def _q_events_pct_rank(sf_dir: str):
+    """Annotate every event with its approximate corpus-wide value
+    percentile (broadcast KLL, one searchsorted per batch; rows-only —
+    the rank-error bound is pinned in tests)."""
+    from bloomjoin_ray.pipelines.aggregate import approx_percentile_rank
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    return approx_percentile_rank(ev, "value", concurrency=2)
+
+
 def _q_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy (bits) of the event-type mix — the
     behavioral-diversity signal; rows-only (float log sums; numpy
@@ -1612,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "user_overlap_exact": _q_user_overlap_exact,
         "user_type_entropy": _q_user_type_entropy,
+        "events_pct_rank": _q_events_pct_rank,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
     }

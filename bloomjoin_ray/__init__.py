@@ -116,6 +116,7 @@ def __getattr__(name):
         "share_per_key": "bloomjoin_ray.pipelines.windows",
         "grouped_jaccard_exact": "bloomjoin_ray.pipelines.aggregate",
         "entropy_per_key": "bloomjoin_ray.pipelines.aggregate",
+        "approx_percentile_rank": "bloomjoin_ray.pipelines.aggregate",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

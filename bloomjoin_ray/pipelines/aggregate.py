@@ -2025,3 +2025,64 @@ def entropy_per_key(ds, key: str | Sequence[str], col: str, *,
         return out.append_column(out_col, pa.array(h, pa.float64()))
 
     return packed_bucket_map_groups(partials, keys, reduce_group)
+
+
+class _RankAnnotator:
+    """Actor-pool stage for ``approx_percentile_rank``: the KLL blob is
+    deserialized ONCE per actor in ``__init__`` (stateful-stage idiom);
+    each batch is one vectorized searchsorted."""
+
+    def __init__(self, blob: bytes, col: str, out_col: str):
+        self.sk = sketch_from_bytes(bytes(blob))
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        arr = batch.column(self.col)
+        x = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()))
+        r = self.sk.rank(x)
+        res = pa.array(np.where(np.isnan(x), np.nan, r), pa.float64())
+        if arr.null_count or np.isnan(x).any():
+            res = pc.if_else(pa.array(~np.isnan(x)), res,
+                             pa.scalar(None, pa.float64()))
+        return batch.append_column(self.out_col, res)
+
+
+def approx_percentile_rank(ds, col: str, *, k: int = 200,
+                           out_col: str | None = None,
+                           concurrency: int | tuple = 2):
+    """Annotate every row with its approximate GLOBAL percentile rank
+    in ``col`` (0 = minimum, →1 = maximum) — the score-normalization
+    step before cross-source quality gating ("is this doc in the
+    corpus-wide top decile?"), complementing ``filter_by_quantile``
+    (which cuts instead of annotating). Rank error follows the KLL
+    bound for sketch parameter ``k`` (~1.7%/√(k/200) one-sided,
+    pinned in tests); nulls/NaN rank null.
+
+    Scale shape: one column-pruned KLL pass (per-block partials, no row
+    shuffle) → the merged sketch broadcasts to an actor pool that
+    deserializes it once per actor and ranks each batch with one
+    searchsorted. The upstream lineage executes twice (sketch pass +
+    annotate pass) — feed a read-from-storage Dataset, as with
+    ``filter_by_quantile``. Size ``concurrency`` BELOW the session's
+    CPU count: the actor pool holds its CPUs for the stage's lifetime,
+    and claiming them all starves the upstream producer tasks
+    (observed as a hang on a 4-CPU session with concurrency=4)."""
+    from ..state.kll import KllSketch
+
+    out = out_col or f"{col}_pct_rank"
+    make = lambda: KllSketch(k)
+
+    def update(s, t: pa.Table):
+        s.update_batch(np.asarray(
+            t.column(col).cast(pa.float64()).drop_null()))
+
+    sk = sketch_aggregate_global(ds, make, update, input_cols=[col])
+    if sk is None:
+        raise ValueError(f"approx_percentile_rank: no non-null values "
+                         f"in {col!r}")
+    return ds.map_batches(_RankAnnotator, fn_constructor_args=(
+        sk.to_bytes(), col, out), batch_format="pyarrow",
+        concurrency=concurrency)

@@ -1177,3 +1177,42 @@ def test_entropy_per_key_matches_numpy(ray_session):
 
     with pytest.raises(ValueError):
         entropy_per_key(rd.from_arrow(t), "k", "v", base=1.0)
+
+
+def test_approx_percentile_rank_bounds(ray_session):
+    """Percentile-rank annotation: within the KLL rank-error bound of
+    exact ranks, monotone in value, nulls rank null, partition
+    invariance (deterministic sketch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import approx_percentile_rank
+
+    rng = np.random.default_rng(59)
+    n = 20000
+    v = rng.normal(100.0, 25.0, n)
+    vals = [None if i % 211 == 0 else float(x) for i, x in enumerate(v)]
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+
+    got = (approx_percentile_rank(rd.from_arrow(t).repartition(6), "v",
+                                  k=400, concurrency=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    df = got.dropna(subset=["v"]).copy()
+    exact = df["v"].rank(method="min").to_numpy() / len(df)
+    err = np.abs(df["v_pct_rank"].to_numpy() - exact)
+    assert err.max() < 0.03, err.max()          # KLL k=400 rank bound
+    assert got.loc[got["v"].isna(), "v_pct_rank"].isna().all()
+    # monotone: sorting by value sorts by rank
+    s = df.sort_values("v")["v_pct_rank"].to_numpy()
+    assert (np.diff(s) >= 0).all()
+
+    # KLL compaction depends on merge order, so repartitioning shifts
+    # ranks only within the error bound (not bitwise)
+    got2 = (approx_percentile_rank(rd.from_arrow(t).repartition(2), "v",
+                                   k=400, concurrency=2)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    d = np.abs(got["v_pct_rank"].to_numpy() - got2["v_pct_rank"].to_numpy())
+    assert np.nanmax(d) < 0.03
