@@ -1651,7 +1651,8 @@ def histogram(ds, col: str, bins: int, *, lo: float | None = None,
         import pyarrow.compute as pc
 
         arr = batch.column(col)
-        v = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()),
+        # cast BEFORE fill_null: filling an int64 array with nan raises
+        v = np.asarray(pc.fill_null(arr.cast(pa.float64()), np.nan),
                        dtype=np.float64)
         m = (v >= lo) & (v <= hi)                  # NaN fails both
         v = v[m]
@@ -2041,7 +2042,8 @@ class _RankAnnotator:
         import pyarrow.compute as pc
 
         arr = batch.column(self.col)
-        x = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()))
+        # cast BEFORE fill_null: filling an int64 array with nan raises
+        x = np.asarray(pc.fill_null(arr.cast(pa.float64()), np.nan))
         r = self.sk.rank(x)
         res = pa.array(np.where(np.isnan(x), np.nan, r), pa.float64())
         if arr.null_count or np.isnan(x).any():

@@ -554,7 +554,8 @@ def ewma_per_key(ds, key, order_by, col, *, alpha: float,
         n = g.num_rows
         arr = g.column(col)
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        x = np.asarray(pc.fill_null(arr, np.nan).cast(pa.float64()),
+        # cast BEFORE fill_null: filling an int64 array with nan raises
+        x = np.asarray(pc.fill_null(arr.cast(pa.float64()), np.nan),
                        dtype=np.float64)
         valid = ~np.isnan(x)
         vi = np.nonzero(valid)[0]

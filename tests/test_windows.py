@@ -496,3 +496,38 @@ def test_share_per_key_matches_sql(ray_session):
                                   check_dtype=False)
     sums = got.dropna(subset=["v_share"]).groupby("k")["v_share"].sum()
     assert np.allclose(sums, 1.0)
+
+
+def test_window_ops_single_hot_key_stress(ray_session):
+    """Adversarial skew: ONE key holding 300k rows routes to a single
+    bucket — the vectorized reduces (rank ties, EWMA scan, share sums)
+    must stay linear and exact. Spot-checks against closed forms."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import (
+        ewma_per_key,
+        rank_per_key,
+        share_per_key,
+    )
+
+    n = 300_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, dtype=np.int64)),
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.ones(n, dtype=np.int64)),     # all ties
+    })
+    ds = rd.from_arrow(t).repartition(8)
+
+    r = (rank_per_key(ds, "k", ["v"], ranks=("rank", "dense_rank"))
+         .to_pandas())
+    assert len(r) == n
+    assert (r["rank"] == 1).all() and (r["dense_rank"] == 1).all()
+
+    s = share_per_key(ds, "k", "v").to_pandas()
+    assert np.allclose(s["v_share"], 1.0 / n)
+
+    e = (ewma_per_key(ds, "k", ["id"], "v", alpha=0.5)
+         .to_pandas().sort_values("id"))
+    assert np.allclose(e["ewma_v"], 1.0)               # constant input
