@@ -1743,6 +1743,14 @@ def describe(ds, cols: Sequence[str], *, sample: bool = True):
     cols = list(cols)
     if not cols:
         raise ValueError("describe needs at least one column")
+    from .asof import _schema_of
+
+    schema = _schema_of(ds)
+    for c in cols:
+        t = schema.field(c).type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+            raise TypeError(f"describe: column {c!r} is {t}, not numeric "
+                            "— describe covers int/float columns only")
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -1216,3 +1216,16 @@ def test_approx_percentile_rank_bounds(ray_session):
             .to_pandas().sort_values("id").reset_index(drop=True))
     d = np.abs(got["v_pct_rank"].to_numpy() - got2["v_pct_rank"].to_numpy())
     assert np.nanmax(d) < 0.03
+
+
+def test_describe_rejects_non_numeric(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import describe
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["x", "y"])})
+    with pytest.raises(TypeError, match="not numeric"):
+        describe(rd.from_arrow(t), ["a", "s"])
