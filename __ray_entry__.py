@@ -1391,6 +1391,34 @@ def _q_session_assign(sf_dir: str):
                       end="session_end", by="user_id")
 
 
+def _q_partitioned_write_roundtrip(sf_dir: str):
+    """Hive-partitioned sink end-to-end: write events partitioned by
+    event_type (one col=value/ dir each), then read back ONE partition
+    from its path alone — the partition-pruning read is oracle-checked
+    against WHERE event_type = 'purchase'."""
+    import tempfile
+
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.materialize import write_partitioned_by
+
+    out = tempfile.mkdtemp(prefix="bjr_hive_rt_")
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "event_id", "user_id", "value"])
+    write_partitioned_by(ev, out, "event_type", overwrite=True)
+    part = rd.read_parquet(f"{out}/event_type=purchase")
+    # hive dirs drop the partition column from the files; restore it
+
+    def add_back(t: pa.Table) -> pa.Table:
+        if "event_type" in t.column_names:
+            return t.select(["event_id", "user_id", "value", "event_type"])
+        et = pa.array(["purchase"] * t.num_rows, pa.string())
+        return (t.select(["event_id", "user_id", "value"])
+                .append_column("event_type", et))
+
+    return part.map_batches(add_back, batch_format="pyarrow")
+
+
 def _q_write_roundtrip(sf_dir: str):
     """Streaming sink path end-to-end: read → filter/derive →
     ``resumable_write`` partitioned Parquet (atomic per-partition commit
@@ -1552,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_session_assign": _q_session_assign,
         "events_write_roundtrip": _q_write_roundtrip,
+        "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         "curated_docs": _q_curated_docs,
         "scrubbed_docs": _q_scrubbed_docs,
         "packed_docs": _q_packed_docs,
@@ -1780,6 +1809,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
+        """,
+        "partitioned_write_roundtrip": """
+            SELECT event_id, user_id, value, event_type
+            FROM events WHERE event_type = 'purchase'
         """,
         "events_write_roundtrip": """
             SELECT event_id, user_id, value, value * 2.0 AS value_double

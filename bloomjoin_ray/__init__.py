@@ -117,6 +117,7 @@ def __getattr__(name):
         "grouped_jaccard_exact": "bloomjoin_ray.pipelines.aggregate",
         "entropy_per_key": "bloomjoin_ray.pipelines.aggregate",
         "approx_percentile_rank": "bloomjoin_ray.pipelines.aggregate",
+        "write_partitioned_by": "bloomjoin_ray.pipelines.materialize",
         "scrub_text": "bloomjoin_ray.pipelines.text",
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",

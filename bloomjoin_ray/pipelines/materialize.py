@@ -122,3 +122,32 @@ def resumable_write(sources: list[str], out_dir: str, *, transform=None,
             commit(ray.get(ref))
 
     return [records[i] for i in sorted(records)]
+
+
+def write_partitioned_by(ds, out_dir: str, cols, *, overwrite: bool = False):
+    """Hive-partitioned parquet sink — one ``col=value/`` directory per
+    distinct key combination (the brief's "one directory per key range"
+    layout), so downstream readers prune whole partitions from the path
+    alone (``read_parquet(out/lang=en)``) and a failed downstream stage
+    re-reads only the partitions it needs. Thin wrapper over Ray's
+    native ``write_parquet(partition_cols=…)`` (streamed, per-block
+    writes — nothing materializes on the driver) that validates the
+    columns exist, optionally clears a previous output, and returns the
+    sorted partition directory names for manifesting."""
+    import os
+    import shutil
+
+    from .asof import _schema_of
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    schema = _schema_of(ds)
+    missing = [c for c in cols if c not in schema.names]
+    if missing:
+        raise ValueError(f"write_partitioned_by: columns {missing} not in "
+                         f"schema {schema.names}")
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    ds.write_parquet(out_dir, partition_cols=cols)
+    first = f"{cols[0]}="
+    return sorted(d for d in os.listdir(out_dir)
+                  if d.startswith(first))

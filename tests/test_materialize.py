@@ -70,3 +70,38 @@ def test_torn_partition_rerun(ray_session, shards, tmp_path):
     recs2 = resumable_write(shards[:2], out, transform=None)
     assert len(recs2) == 2
     assert os.path.isdir(os.path.join(out, recs2[0]["dir"]))
+
+
+def test_write_partitioned_by_roundtrip(ray_session, tmp_path):
+    """Hive layout: one dir per key value; a single-partition read
+    returns exactly that key's rows; full roundtrip preserves content."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.materialize import write_partitioned_by
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    t = pa.table({
+        "lang": pa.array([f"l{int(x)}" for x in rng.integers(0, 4, n)]),
+        "id": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    out = str(tmp_path / "parts")
+    dirs = write_partitioned_by(rd.from_arrow(t).repartition(5), out,
+                                "lang")
+    assert dirs == [f"lang=l{i}" for i in range(4)]
+
+    one = rd.read_parquet(f"{out}/lang=l2").to_pandas()
+    df = t.to_pandas()
+    want = df[df["lang"] == "l2"]
+    assert sorted(one["id"]) == sorted(want["id"])
+
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) == n
+    assert sorted(back["id"]) == list(range(n))
+
+    with pytest.raises(ValueError, match="not in"):
+        write_partitioned_by(rd.from_arrow(t), out, "nope")
