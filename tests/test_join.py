@@ -311,3 +311,19 @@ def test_cross_join_matches_sql(ray_session):
         cross_join(rd.from_arrow(a), rd.from_arrow(a))
     with pytest.raises(ValueError, match="exceeds"):
         cross_join(rd.from_arrow(b), rd.from_arrow(a), max_right_rows=10)
+
+
+def test_cross_join_empty_right(ray_session):
+    """Empty right side: zero output rows but a full unified schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.join import cross_join
+
+    a = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"y": pa.array([], pa.int64())})
+    out = cross_join(rd.from_arrow(a), rd.from_arrow(b))
+    # schema asserted on the Dataset: Ray drops the schema of fully-
+    # empty Datasets in to_pandas (documented engine-wide caveat)
+    assert sorted(out.schema().names) == ["x", "y"]
+    assert out.count() == 0

@@ -208,3 +208,42 @@ def test_interval_join_matches_sql(ray_session):
     assert len(got) == len(want) and len(want) > 50
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_interval_join_timestamp_spans(ray_session):
+    """interval_join over timestamp spans (the sessionize output type)
+    and the touching-endpoint edge (l_e == r_s counts as overlap)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.range_join import interval_join
+
+    def ts(*vals):
+        return pa.array(list(vals), pa.timestamp("us"))
+
+    L = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "l_id": pa.array([0, 1, 2], pa.int64()),
+                  "l_s": ts(1_000_000, 5_000_000, 1_000_000),
+                  "l_e": ts(3_000_000, 8_000_000, 2_000_000)})
+    R = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "r_id": pa.array([0, 1, 2], pa.int64()),
+                  "r_s": ts(3_000_000, 9_000_000, 4_000_000),
+                  "r_e": ts(4_000_000, 9_500_000, 5_000_000)})
+    got = (interval_join(rd.from_arrow(L), rd.from_arrow(R),
+                         ("l_s", "l_e"), ("r_s", "r_e"), by="k")
+           .to_pandas().sort_values(["l_id", "r_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    want = con.sql("""
+        SELECT L.k, l_id, l_s, l_e, r_id, r_s, r_e
+        FROM L JOIN R ON L.k = R.k AND l_s <= r_e AND r_s <= l_e
+        ORDER BY l_id, r_id
+    """).df()
+    # exactly one pair: l0 touches r0 at t=3s (closed bounds)
+    assert len(want) == 1 and len(got) == 1
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
