@@ -1545,57 +1545,13 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver's correctness artifact covers exactly the
+    # FIRST 50 entries, so those 50 are all oracle-backed (oracle_sql()
+    # entries), rotated each round so every exact query gets driver
+    # evidence. Approximate / heuristic queries (bounds pinned in tests/)
+    # sit at the tail.
     return {
-        "bloom_join_inner": _q_join_inner,
-        "bloom_join_left": _q_join_left,
-        "bloom_join_right": _q_join_right,
-        "bloom_join_full": _q_join_full,
-        "bloom_join_semi": _q_join_semi,
-        "bloom_join_anti": _q_join_anti,
-        "join_multikey": _q_join_multikey,
-        "pricing_summary": _q_pricing_summary,
-        "events_filtered": _q_events_filtered,
-        "events_hourly": _q_events_hourly,
-        "topk_event_types": _q_topk_event_types,
-        "topk_types_per_user": _q_topk_types_per_user,
-        "theta_custkey_overlap": _q_theta_custkey_overlap,
-        "theta_user_overlap_by_type": _q_theta_overlap_by_type,
-        "reservoir_sample_by_type": _q_reservoir_by_type,
-        "mg_top_event_types": _q_mg_top_event_types,
-        "distinct_users_exact": _q_distinct_users,
-        "cms_top_event_types": _q_cms_top_event_types,
-        "dedup_exact_docs": _q_dedup_exact,
-        "dedup_lines_docs": _q_dedup_lines,
-        "doc_text_stats": _q_doc_stats,
-        "repetition_stats_docs": _q_repetition_docs,
-        "decontam_docs": _q_decontam_docs,
-        "vocab_counts_docs": _q_vocab_counts,
-        "doc_frequency_docs": _q_doc_frequency,
-        "chunked_docs": _q_chunked_docs,
-        "tfidf_topk_docs": _q_tfidf_docs,
-        "curation_full_docs": _q_curation_full,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "sessionize_users": _q_sessionize,
-        "events_tumbling": _q_events_tumbling,
-        "events_sliding": _q_events_sliding,
-        "events_session_assign": _q_session_assign,
-        "events_write_roundtrip": _q_write_roundtrip,
-        "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
-        "curated_docs": _q_curated_docs,
-        "scrubbed_docs": _q_scrubbed_docs,
-        "packed_docs": _q_packed_docs,
-        "split_val_docs": _q_split_val_docs,
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "quantile_filter_docs": _q_quantile_filter_docs,
-        "quantile_filter_by_source": _q_quantile_filter_by_source,
-        "events_value_buckets": _q_events_value_buckets,
-        "mixed_corpus_docs": _q_mixed_corpus_docs,
-        "doc_perplexity": _q_doc_perplexity,
-        "events_rank_per_user": _q_events_rank_per_user,
-        "events_lag_per_user": _q_events_lag_per_user,
-        "events_rolling_spend": _q_events_rolling_spend,
-        "events_ntile_per_user": _q_events_ntile_per_user,
-        "exact_quantiles_by_type": _q_exact_quantiles_by_type,
+        # oracle-backed, first driver-verified round 5
         "user_type_sequences": _q_user_type_sequences,
         "tpch_q3_top_orders": _q_tpch_q3_top_orders,
         "props_k_by_type": _q_props_k_by_type,
@@ -1619,7 +1575,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types_per_user": _q_distinct_types_per_user,
         "ann_topk_bruteforce": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
-        # approximate / heuristic — rows-only checks (bounds pinned in tests/)
+        "region_nation_cross": _q_region_nation_cross,
+        "events_fill_forward": _q_events_fill_forward,
+        "docs_tokens_split": _q_docs_tokens_split,
+        "session_overlap": _q_session_overlap,
+        "events_time_parts": _q_events_time_parts,
+        "events_value_share": _q_events_value_share,
+        "dedup_canonical_docs": _q_dedup_canonical_docs,
+        "user_overlap_exact": _q_user_overlap_exact,
+        # oracle-backed core set (driver-verified rounds 2-4)
+        "bloom_join_inner": _q_join_inner,
+        "bloom_join_left": _q_join_left,
+        "bloom_join_right": _q_join_right,
+        "bloom_join_full": _q_join_full,
+        "bloom_join_semi": _q_join_semi,
+        "bloom_join_anti": _q_join_anti,
+        "join_multikey": _q_join_multikey,
+        "pricing_summary": _q_pricing_summary,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "sessionize_users": _q_sessionize,
+        "events_session_assign": _q_session_assign,
+        "dedup_exact_docs": _q_dedup_exact,
+        "decontam_docs": _q_decontam_docs,
+        "curation_full_docs": _q_curation_full,
+        "events_tumbling": _q_events_tumbling,
+        "theta_user_overlap_by_type": _q_theta_overlap_by_type,
+        "events_rank_per_user": _q_events_rank_per_user,
+        "exact_quantiles_by_type": _q_exact_quantiles_by_type,
+        "events_write_roundtrip": _q_write_roundtrip,
+        # oracle-backed, driver-verified in earlier rounds (window is 50)
+        "events_filtered": _q_events_filtered,
+        "events_hourly": _q_events_hourly,
+        "topk_event_types": _q_topk_event_types,
+        "topk_types_per_user": _q_topk_types_per_user,
+        "theta_custkey_overlap": _q_theta_custkey_overlap,
+        "mg_top_event_types": _q_mg_top_event_types,
+        "distinct_users_exact": _q_distinct_users,
+        "cms_top_event_types": _q_cms_top_event_types,
+        "dedup_lines_docs": _q_dedup_lines,
+        "doc_text_stats": _q_doc_stats,
+        "repetition_stats_docs": _q_repetition_docs,
+        "vocab_counts_docs": _q_vocab_counts,
+        "doc_frequency_docs": _q_doc_frequency,
+        "chunked_docs": _q_chunked_docs,
+        "tfidf_topk_docs": _q_tfidf_docs,
+        "events_sliding": _q_events_sliding,
+        "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
+        "curated_docs": _q_curated_docs,
+        "scrubbed_docs": _q_scrubbed_docs,
+        "events_lag_per_user": _q_events_lag_per_user,
+        "events_rolling_spend": _q_events_rolling_spend,
+        "events_ntile_per_user": _q_events_ntile_per_user,
+        # approximate / heuristic / nondeterministic - rows-only checks; bounds pinned in tests/
+        "reservoir_sample_by_type": _q_reservoir_by_type,
+        "packed_docs": _q_packed_docs,
+        "split_val_docs": _q_split_val_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "quantile_filter_docs": _q_quantile_filter_docs,
+        "quantile_filter_by_source": _q_quantile_filter_by_source,
+        "events_value_buckets": _q_events_value_buckets,
+        "mixed_corpus_docs": _q_mixed_corpus_docs,
+        "doc_perplexity": _q_doc_perplexity,
         "hll_distinct_users": _q_hll_users,
         "hll_event_types_by_user": _q_hll_event_types_by_user,
         "tdigest_value_quantiles": _q_tdigest_value,
@@ -1640,16 +1656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sketches": _q_transcript_sketches,
         "reservoir_sample_events": _q_reservoir_sample,
         "weighted_sample_docs": _q_weighted_sample_docs,
-        "region_nation_cross": _q_region_nation_cross,
         "events_checksum": _q_events_checksum,
         "events_ewma": _q_events_ewma,
-        "events_fill_forward": _q_events_fill_forward,
-        "docs_tokens_split": _q_docs_tokens_split,
-        "session_overlap": _q_session_overlap,
-        "events_time_parts": _q_events_time_parts,
-        "events_value_share": _q_events_value_share,
-        "dedup_canonical_docs": _q_dedup_canonical_docs,
-        "user_overlap_exact": _q_user_overlap_exact,
         "user_type_entropy": _q_user_type_entropy,
         "events_pct_rank": _q_events_pct_rank,
         "bloom_params_grid": _q_bloom_params,
