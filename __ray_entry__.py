@@ -1283,6 +1283,47 @@ def _q_session_overlap(sf_dir: str):
                          ("f_start", "f_end"), by="user_id")
 
 
+def _q_interval_overlap_general(sf_dir: str):
+    """General-mode interval-overlap join (arbitrary overlapping/nested
+    spans — no disjointness envelope): each user's click events widened
+    to 1-day spans overlap-joined against view-event spans via the
+    candidate-window sweep (one packed exchange, max-length-pruned
+    windows, chunked emission), then per-user pair counts + id extrema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_assoc_agg
+    from bloomjoin_ray.pipelines.range_join import interval_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def spans(et: str, idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("event_type"), et))
+            s = b.column("ts").cast(pa.int64())
+            e = pc.add(s, pa.scalar(86_400_000_000, pa.int64()))  # +1d in us
+            return pa.table({idc: b.column("event_id"),
+                             "user_id": b.column("user_id"),
+                             "s": s, "e": e})
+        return fn
+
+    clicks = ev.map_batches(spans("click", "l_id"), batch_format="pyarrow")
+    views = ev.map_batches(spans("view", "r_id"), batch_format="pyarrow")
+    j = interval_join(clicks, views, ("s", "e"), ("s", "e"),
+                      by="user_id", mode="general")
+
+    def dup_ids(b: pa.Table) -> pa.Table:
+        return b.append_column("l_id2", b.column("l_id")).append_column(
+            "r_id2", b.column("r_id"))
+
+    return grouped_assoc_agg(
+        j.map_batches(dup_ids, batch_format="pyarrow"), ["user_id"],
+        aggs={"l_id": ("min", "l_min"), "l_id2": ("max", "l_max"),
+              "r_id": ("min", "r_min"), "r_id2": ("max", "r_max")},
+        count_col="n_pairs")
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1579,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fill_forward": _q_events_fill_forward,
         "docs_tokens_split": _q_docs_tokens_split,
         "session_overlap": _q_session_overlap,
+        "interval_overlap_general": _q_interval_overlap_general,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2197,6 +2239,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, token, ord FROM u WHERE token <> ''
+        """,
+        "interval_overlap_general": """
+            WITH c AS (
+                SELECT event_id AS l_id, user_id,
+                       epoch_us(ts) AS ls, epoch_us(ts) + 86400000000 AS le
+                FROM events WHERE event_type = 'click'
+            ), v AS (
+                SELECT event_id AS r_id, user_id,
+                       epoch_us(ts) AS rs, epoch_us(ts) + 86400000000 AS re
+                FROM events WHERE event_type = 'view'
+            )
+            SELECT c.user_id, min(l_id) AS l_min, max(l_id) AS l_max,
+                   min(r_id) AS r_min, max(r_id) AS r_max,
+                   count(*) AS n_pairs
+            FROM c JOIN v ON c.user_id = v.user_id
+                 AND c.ls <= v.re AND v.rs <= c.le
+            GROUP BY c.user_id
         """,
         "events_fill_forward": """
             WITH h AS (

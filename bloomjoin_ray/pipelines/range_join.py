@@ -44,12 +44,17 @@ def _order_key(col, name: str) -> np.ndarray:
 def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
                by: str | list[str], how: str = "inner",
                closed: str = "both", num_buckets: int = 64,
-               suffixes=("", "_right")):
+               suffixes=("", "_right"), validate: bool = True):
     """Interval join of two Datasets. ``on`` (left) and ``start``/``end``
     (right) must be timestamp or integer columns of a common scale;
     ``by`` the equality key(s); ``how`` in {"inner", "left"}. Right
-    intervals must be disjoint per key. Returns a Dataset of left rows
-    + matched right columns (``how="left"``: nulls when no match).
+    intervals must be disjoint per key — ``validate=True`` (default)
+    enforces this with one vectorized compare inside the bucket reduce
+    and raises ``ValueError`` on overlap instead of silently returning
+    only the latest-starting containing interval (use
+    ``interval_join(..., mode="general")`` for overlapping intervals).
+    Returns a Dataset of left rows + matched right columns
+    (``how="left"``: nulls when no match).
     """
     if how not in ("inner", "left"):
         raise ValueError("range_join supports how='inner' or 'left'")
@@ -139,6 +144,34 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
         order = np.lexsort((side, t, h2, h1))
         side_s = side[order]
         tv_s = tv[order]
+        h1_s, h2_s = h1[order], h2[order]
+        t_s = t[order]
+        end_all = _order_key(group.column(f"__r_{end}"), end)
+        if validate:
+            # rights of one key are contiguous in `ri` and start-sorted;
+            # any overlap among a key's intervals implies some CONSECUTIVE
+            # start-sorted pair overlaps, so one vectorized compare of
+            # neighbors is a complete check (cf. reference hard-errors on
+            # unsupported input, src/hash_keys.cpp:241).
+            ri = np.nonzero((side_s == 0) & tv_s)[0]
+            if ri.size > 1:
+                same = ((h1_s[ri[1:]] == h1_s[ri[:-1]])
+                        & (h2_s[ri[1:]] == h2_s[ri[:-1]]))
+                starts_r = t_s[ri]
+                ends_r = end_all[order[ri]]
+                olap = (starts_r[1:] < ends_r[:-1] if strict_end
+                        else starts_r[1:] <= ends_r[:-1])
+                bad = np.nonzero(same & olap)[0]
+                if bad.size:
+                    b = int(bad[0])
+                    raise ValueError(
+                        "range_join: right intervals overlap within a "
+                        f"'{'/'.join(by_cols)}' key (interval ending at "
+                        f"{int(ends_r[b])} vs next start {int(starts_r[b + 1])}, "
+                        f"key hash {int(h1_s[ri[b]])}); per-key intervals must "
+                        "be disjoint — use interval_join(..., mode='general') "
+                        "for overlapping intervals, or validate=False to "
+                        "match only the latest-starting interval")
         li = np.nonzero(side_s == 1)[0]          # lefts, sorted positions
         if li.size == 0:
             return out_schema.empty_table()
@@ -148,11 +181,10 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
         j = last[li]
         valid = j >= 0
         jj = np.where(valid, j, 0)
-        h1_s, h2_s = h1[order], h2[order]
         valid &= (h1_s[jj] == h1_s[li]) & (h2_s[jj] == h2_s[li])
         right_orig = order[jj]                   # original matched right row
-        end_v = _order_key(group.column(f"__r_{end}"), end)[right_orig]
-        on_v = t[order][li]
+        end_v = end_all[right_orig]
+        on_v = t_s[li]
         valid &= (on_v < end_v) if strict_end else (on_v <= end_v)
         valid &= tv_s[li]                        # null-timed lefts never match
         left_orig = order[li]
@@ -190,25 +222,44 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
 
 def interval_join(ds_left, ds_right, left_span: tuple[str, str],
                   right_span: tuple[str, str], *, by: str | list[str],
-                  num_buckets: int = 64, suffix: str = "_right"):
+                  num_buckets: int = 64, suffix: str = "_right",
+                  mode: str = "disjoint", validate: bool = True,
+                  chunk_elems: int = 4_000_000):
     """Interval-OVERLAP join: all (left, right) pairs with equal ``by``
     keys whose closed spans intersect — SQL
     ``ON l.by = r.by AND l.start <= r.end AND r.start <= l.end``
     (session-overlap, shift-coverage, validity-range reconciliation).
 
-    Built as TWO passes of the vectorized ``range_join`` zipper via the
-    standard decomposition: every overlapping pair has either
+    ``mode="disjoint"`` (default, fastest when it applies) runs TWO
+    passes of the vectorized ``range_join`` zipper via the standard
+    decomposition: every overlapping pair has either
     ``r.start ∈ [l.start, l.end]`` (pass A: right START points probed
     against left intervals) or ``r.start < l.start ≤ r.end`` (pass B:
     left starts against right intervals, post-filtered to strict
     straddles so A∪B is exact and duplicate-free). Inherits
     ``range_join``'s partitioning envelope: each key's intervals must
-    be DISJOINT on BOTH sides (true for session/validity windows);
-    span bounds must be non-null. Inner join only — each pass moves
-    every row once through the packed key-hash bucketing.
+    be DISJOINT on BOTH sides (true for session/validity windows) —
+    enforced per bucket when ``validate=True``, raising on overlap.
+
+    ``mode="general"`` handles ARBITRARY overlapping/nested intervals
+    on both sides: one packed key-hash exchange, then per bucket a
+    fully vectorized candidate-window sweep — rights sorted by
+    (key, start); for every left a merged-lexsort rank gives the
+    window of rights with ``r.start <= l.end``, lower-bounded by
+    max-interval-length pruning (rights with
+    ``r.start < l.start - max_len(key)`` cannot reach ``l.start``);
+    pairs are emitted in ``chunk_elems``-bounded chunks and exact-
+    filtered on ``r.end >= l.start``. Worst case is output-bound (the
+    join's result size), not corpus-quadratic.
+
+    Both modes: span bounds must be non-null and ``start <= end``
+    (rows violating either never match, SQL-style). Inner join only —
+    each row moves once through the packed key-hash bucketing.
 
     Output: left columns (original names) + right columns (colliding
     names get ``suffix``)."""
+    if mode not in ("disjoint", "general"):
+        raise ValueError("interval_join mode must be 'disjoint' or 'general'")
     by_cols = [by] if isinstance(by, str) else list(by)
     ls, le = left_span
     rs, re_ = right_span
@@ -228,15 +279,23 @@ def interval_join(ds_left, ds_right, left_span: tuple[str, str],
     out_cols = l_names + [ren[c] for c in r_schema.names
                           if c not in by_cols]
 
+    if mode == "general":
+        r_fields = [pa.field(ren[c], r_schema.field(c).type)
+                    for c in r_schema.names if c not in by_cols]
+        return _overlap_join_general(
+            ds_left, r2, ls, le, rs2, re2, by_cols=by_cols,
+            l_schema=l_schema, r_fields=r_fields,
+            num_buckets=num_buckets, chunk_elems=chunk_elems)
+
     # pass A: right-start points inside left intervals (r rows = points)
     a = range_join(r2, ds_left, rs2, ls, le, by=by_cols, how="inner",
                    closed="both", num_buckets=num_buckets,
-                   suffixes=("", "__collide"))
+                   suffixes=("", "__collide"), validate=validate)
 
     # pass B: left-start points inside right intervals, strict straddle
     b = range_join(ds_left, r2, ls, rs2, re2, by=by_cols, how="inner",
                    closed="both", num_buckets=num_buckets,
-                   suffixes=("", "__collide"))
+                   suffixes=("", "__collide"), validate=validate)
 
     def strict(batch: pa.Table) -> pa.Table:
         lsv = _order_key(batch.column(ls), ls)
@@ -248,3 +307,185 @@ def interval_join(ds_left, ds_right, left_span: tuple[str, str],
 
     return (a.map_batches(layout, batch_format="pyarrow")
             .union(b.map_batches(strict, batch_format="pyarrow")))
+
+
+def _overlap_join_general(ds_left, r2, ls, le, rs2, re2, *,
+                          by_cols: list[str], l_schema: pa.Schema,
+                          r_fields: list[pa.Field], num_buckets: int,
+                          chunk_elems: int):
+    """One-exchange overlap join for arbitrary (overlapping, nested)
+    per-key intervals on both sides. See ``interval_join`` docstring
+    (``mode="general"``) for the algorithm; ``r2`` arrives with
+    colliding columns already renamed.
+
+    Per-key candidate windows come from TWO merged lexsorts instead of
+    per-key ``searchsorted`` loops: ranking left queries among the
+    (key, start)-sorted rights gives each left the count of rights at
+    or before it globally — which IS the absolute window bound, because
+    rights of earlier keys are a prefix. No per-key or per-row Python;
+    only the chunk emission loops, bounded by ``chunk_elems``."""
+    l_names = list(l_schema.names)
+    r_names = [f.name for f in r_fields]
+    out_schema = pa.schema(
+        [l_schema.field(c) for c in l_names] + list(r_fields))
+
+    unified = pa.schema(
+        [pa.field(f"__l_{c}", l_schema.field(c).type) for c in l_names]
+        + [pa.field(f"__r_{f.name}", f.type) for f in r_fields]
+        + [pa.field("__s", pa.int64()), pa.field("__e", pa.int64()),
+           pa.field("__v", pa.bool_()), pa.field("__h1", pa.uint64()),
+           pa.field("__h2", pa.uint64()), pa.field("__side", pa.int8()),
+           pa.field("__bucket", pa.int32())])
+
+    def prep(side: int, start_col: str, end_col: str, names: list[str],
+             prefix: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h1, h2 = hash_keys64_pair(batch, by_cols)
+            bucket = (hash_keys64(batch, by_cols)
+                      % np.uint64(num_buckets)).astype(np.int32)
+            sv = _order_key(batch.column(start_col), start_col)
+            ev = _order_key(batch.column(end_col), end_col)
+            ok = (np.asarray(pc.is_valid(batch.column(start_col)))
+                  & np.asarray(pc.is_valid(batch.column(end_col)))
+                  & (sv <= ev))          # start > end: empty span, no match
+            arrays = []
+            for f in unified:
+                nm = f.name
+                if nm.startswith(prefix) and nm[len(prefix):] in names:
+                    col = batch.column(nm[len(prefix):])
+                    col = (col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+                    arrays.append(col.cast(f.type))
+                elif nm == "__s":
+                    arrays.append(pa.array(sv, type=pa.int64()))
+                elif nm == "__e":
+                    arrays.append(pa.array(ev, type=pa.int64()))
+                elif nm == "__v":
+                    arrays.append(pa.array(ok, type=pa.bool_()))
+                elif nm == "__h1":
+                    arrays.append(pa.array(h1))
+                elif nm == "__h2":
+                    arrays.append(pa.array(h2))
+                elif nm == "__side":
+                    arrays.append(pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int8)))
+                elif nm == "__bucket":
+                    arrays.append(pa.array(bucket))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, f.type))
+            return pa.Table.from_arrays(arrays, schema=unified)
+
+        return fn
+
+    tagged = (ds_left.map_batches(prep(1, ls, le, l_names, "__l_"),
+                                  batch_format="pyarrow")
+              .union(r2.map_batches(prep(0, rs2, re2, r_names, "__r_"),
+                                    batch_format="pyarrow")))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        side = np.asarray(group.column("__side"))
+        s = np.asarray(group.column("__s"))
+        e = np.asarray(group.column("__e"))
+        v = np.asarray(group.column("__v"))
+        h1 = np.asarray(group.column("__h1"))
+        h2 = np.asarray(group.column("__h2"))
+        # dense key ranks (bucket-union-invariant: re-segment by real key)
+        ordk = np.lexsort((h2, h1))
+        h1k, h2k = h1[ordk], h2[ordk]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (h1k[1:] != h1k[:-1]) | (h2k[1:] != h2k[:-1])
+        krank = np.empty(n, dtype=np.int64)
+        krank[ordk] = np.cumsum(new) - 1
+        r_pos = np.nonzero((side == 0) & v)[0]
+        l_pos = np.nonzero((side == 1) & v)[0]
+        if r_pos.size == 0 or l_pos.size == 0:
+            return out_schema.empty_table()
+        rord = np.lexsort((s[r_pos], krank[r_pos]))
+        r_sorted = r_pos[rord]                 # original rows, (key, start)-sorted
+        rk, rs_v, re_v = krank[r_sorted], s[r_sorted], e[r_sorted]
+        lk, ls_v, le_v = krank[l_pos], s[l_pos], e[l_pos]
+        nr, nl = r_sorted.size, l_pos.size
+
+        def query_ranks(qvals: np.ndarray, rights_first: bool) -> np.ndarray:
+            """For each left query, the count of rights at-or-before it
+            in the merged (key, value[, side]) order — an absolute index
+            into the (key, start)-sorted rights."""
+            mv = np.concatenate([rs_v, qvals])
+            mk = np.concatenate([rk, lk])
+            tag = np.empty(nr + nl, dtype=np.int8)
+            tag[:nr] = 0 if rights_first else 1
+            tag[nr:] = 1 if rights_first else 0
+            mo = np.lexsort((tag, mv, mk))
+            cum = np.cumsum(mo < nr)           # rights seen so far
+            pos = np.empty(nr + nl, dtype=np.int64)
+            pos[mo] = np.arange(nr + nl)
+            return cum[pos[nr:]]
+
+        hi = query_ranks(le_v, rights_first=True)    # r.start <= l.end
+        # lower bound: rights with r.start < l.start - max_len(key) end
+        # before l.start and can never overlap
+        seg_starts = np.nonzero(
+            np.concatenate([[True], rk[1:] != rk[:-1]]))[0]
+        maxlen = np.maximum.reduceat(re_v - rs_v, seg_starts)
+        seg_keys = rk[seg_starts]
+        si = np.searchsorted(seg_keys, lk)
+        sis = np.minimum(si, seg_keys.size - 1)
+        ml = np.where(seg_keys[sis] == lk, maxlen[sis], 0)
+        imin = np.iinfo(np.int64).min
+        under = ls_v < (imin + ml)                   # subtraction would wrap
+        ql = np.where(under, imin, ls_v - np.where(under, 0, ml))
+        lo = query_ranks(ql, rights_first=False)     # strict r.start < ql
+        cnt = np.maximum(hi - lo, 0)
+        ccum = np.concatenate([[0], np.cumsum(cnt)])
+        if ccum[-1] == 0:
+            return out_schema.empty_table()
+
+        lcols = []
+        for c in l_names:
+            col = group.column(f"__l_{c}")
+            lcols.append(col.combine_chunks()
+                         if isinstance(col, pa.ChunkedArray) else col)
+        rcols = []
+        for c in r_names:
+            col = group.column(f"__r_{c}")
+            rcols.append(col.combine_chunks()
+                         if isinstance(col, pa.ChunkedArray) else col)
+        tables: list[pa.Table] = []
+        a = 0
+        while a < nl:
+            b = int(np.searchsorted(ccum, ccum[a] + chunk_elems,
+                                    side="right")) - 1
+            b = min(max(b, a + 1), nl)
+            c_chunk = cnt[a:b]
+            total = int(ccum[b] - ccum[a])
+            if total == 0:
+                a = b
+                continue
+            rep = np.repeat(np.arange(a, b), c_chunk)
+            base = np.repeat(lo[a:b], c_chunk)
+            off = (np.arange(total)
+                   - np.repeat(ccum[a:b] - ccum[a], c_chunk))
+            ridx = base + off
+            keep = re_v[ridx] >= ls_v[rep]           # exact overlap filter
+            rep, ridx = rep[keep], ridx[keep]
+            if rep.size:
+                li = pa.array(l_pos[rep])
+                ri = pa.array(r_sorted[ridx])
+                tables.append(pa.Table.from_arrays(
+                    [c.take(li) for c in lcols]
+                    + [c.take(ri) for c in rcols], schema=out_schema))
+            a = b
+        if not tables:
+            return out_schema.empty_table()
+        return pa.concat_tables(tables).combine_chunks()
+
+    from .buckets import packed_bucket_map_groups
+
+    return packed_bucket_map_groups(tagged, None, join_bucket,
+                                    num_buckets=num_buckets,
+                                    bucket_col="__bucket",
+                                    pre_bucketed=True)
