@@ -27,6 +27,26 @@ from ..stages.ann_stages import BruteForceTopK, LshBucketStage, _normalize, embe
 _CELL_CHUNK_ELEMS = 1 << 22
 
 
+def _probe_masks(n_bits: int, radius: int) -> np.ndarray:
+    """All XOR flip masks within Hamming distance ``radius`` of a bucket
+    key (mask 0 = the bucket itself), ordered by distance then bit
+    pattern — ``sum_{d<=radius} C(n_bits, d)`` int64 masks. Masks are
+    distinct, so a query's probed buckets are distinct and candidate
+    (query, vector) pairs stay duplicate-free at any radius."""
+    from itertools import combinations
+
+    if not 0 <= radius <= n_bits:
+        raise ValueError(f"multiprobe radius must be in [0, {n_bits}]")
+    masks = [0]
+    for d in range(1, radius + 1):
+        for bits in combinations(range(n_bits), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return np.array(masks, dtype=np.int64)
+
+
 def _topk_per_query_idx(qids: np.ndarray, ids: np.ndarray,
                         scores: np.ndarray, k: int) -> np.ndarray:
     """Indices of each query's top-k rows (score desc, id asc), fully
@@ -104,18 +124,17 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                  multiprobe: int = 0, as_dataset: bool = False):
     """LSH-bucketed ANN: score only vectors sharing the query's bucket.
 
-    ``multiprobe=1`` additionally probes every Hamming-1 neighbor bucket
-    of each query (n_bits+1 buckets total — the same flip construction
-    as ``knn_join``), trading ~(n_bits+1)× scored candidates for
-    substantially higher recall. Each corpus vector lives in exactly one
-    bucket and a query's probed buckets are distinct, so candidate
-    (query, vector) pairs stay duplicate-free and the bucketed reduce
-    needs no dedupe."""
+    ``multiprobe=r`` additionally probes every bucket within Hamming
+    distance r of each query's own bucket (``sum_{d<=r} C(n_bits, d)``
+    buckets total — the same flip construction as ``knn_join``), trading
+    proportionally more scored candidates for higher recall; recall is
+    monotone in r and r=n_bits degenerates to brute force. Each corpus
+    vector lives in exactly one bucket and a query's probed buckets are
+    distinct, so candidate (query, vector) pairs stay duplicate-free and
+    the bucketed reduce needs no dedupe."""
     import ray
 
-    if multiprobe not in (0, 1):
-        raise ValueError("multiprobe must be 0 (own bucket) or 1 "
-                         "(+ all Hamming-1 buckets)")
+    masks = _probe_masks(n_bits, multiprobe)   # validates the radius
     Q = np.ascontiguousarray(queries, dtype=np.float32)
     dim = Q.shape[1]
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
@@ -124,12 +143,9 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
     for b in range(n_bits):
         qkey |= qbits[:, b].astype(np.int64) << b
     wanted = {}
-    for qi, kk in enumerate(qkey):
-        wanted.setdefault(int(kk), []).append(qi)
-    if multiprobe == 1:
-        for b in range(n_bits):
-            for qi, kk in enumerate(qkey):
-                wanted.setdefault(int(kk) ^ (1 << b), []).append(qi)
+    for mask in masks:
+        for qi, kk in enumerate(qkey):
+            wanted.setdefault(int(kk) ^ int(mask), []).append(qi)
     wanted_ref = ray.put(wanted)
     qref = ray.put(_normalize(Q))
 
@@ -336,18 +352,17 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
     ever materialized on the driver. Single-probe: a query only meets
     corpus vectors in its own cell (recall < 1 by design; lower
     ``n_bits`` for recall, raise it to bound cell sizes — the per-cell
-    cost is |Q_cell| × |C_cell|). ``multiprobe=1`` additionally probes
-    every Hamming-1 neighbor cell of each query (n_bits+1 cells total),
-    trading (n_bits+1)× query-side rows for substantially higher
-    recall; the per-query top-k is then merged across cells with the
-    dataset-native bucketed reduce. Returns
-    Dataset[query_id, corpus_id, score] with per-query global top-k.
+    cost is |Q_cell| × |C_cell|). ``multiprobe=r`` additionally probes
+    every cell within Hamming distance r of each query's own cell
+    (``sum_{d<=r} C(n_bits, d)`` cells total), trading proportionally
+    more query-side rows for higher recall — monotone in r; the
+    per-query top-k is then merged across cells with the dataset-native
+    bucketed reduce. Returns Dataset[query_id, corpus_id, score] with
+    per-query global top-k.
     """
     from .buckets import numeric_segments, packed_bucket_map_groups
 
-    if multiprobe not in (0, 1):
-        raise ValueError("multiprobe must be 0 (own cell) or 1 "
-                         "(+ all Hamming-1 cells)")
+    probe_flips = _probe_masks(n_bits, multiprobe)   # validates the radius
     qvec = query_vec_col or vec_col
     if dim is None:
         dim = _infer_dim(ds_corpus, vec_col)
@@ -372,10 +387,9 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
             ids = (ids.combine_chunks()
                    if isinstance(ids, pa.ChunkedArray) else ids)
             if expand and n:
-                # replicate each query into its own cell + every
-                # Hamming-1 neighbor cell (probe fan-out)
-                flips = np.concatenate(
-                    [[0], 1 << np.arange(n_bits)]).astype(np.int64)
+                # replicate each query into its own cell + every probed
+                # neighbor cell within the multiprobe radius (fan-out)
+                flips = probe_flips
                 idx = np.repeat(np.arange(n), len(flips))
                 cells = (cells[:, None] ^ flips[None, :]).reshape(-1)
                 M = M[idx]
@@ -398,7 +412,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                                     batch_format="pyarrow")
               .union(ds_queries.map_batches(
                   prep(q_stage, 1, query_id, qvec,
-                       expand=multiprobe == 1),
+                       expand=multiprobe >= 1),
                   batch_format="pyarrow")))
 
     def cell_reduce(group: pa.Table) -> pa.Table:
@@ -483,21 +497,27 @@ def _infer_dim(ds, vec_col: str) -> int:
 
 
 def _bucket_cosine_pairs(bucketed, *, threshold: float, id_col: str,
-                         vec_col: str, bucket_col: str = "bucket"):
+                         vec_col: str, bucket_col: str = "bucket",
+                         pair_chunk_elems: int | None = None):
     """Shared verify stage for near-dup pair generation: within every
     value of ``bucket_col`` (an LSH cell or a k-means cluster id),
     all-pairs cosine over the members, emitting ``(id_a, id_b, cosine)``
     rows for pairs at or above ``threshold``. One packed bucketed
-    exchange; pair volume is quadratic only in BUCKET occupancy, never
-    in corpus size — the caller controls occupancy via ``n_bits`` /
-    ``n_clusters``."""
-    from .buckets import (numeric_segments, packed_bucket_map_groups,
-                          dedupe_pairs)
+    exchange; pair WORK is quadratic only in BUCKET occupancy, never in
+    corpus size — and transient memory is bounded regardless: candidate
+    pairs are expanded in ``pair_chunk_elems``-sized chunks (default
+    sized so each chunk's two vector gathers stay ~16 MB at any dim), so
+    a hot cell (duplicate-heavy / one-semantic-mode corpus) streams
+    through the reduce instead of materializing its full triangle."""
+    from .buckets import numeric_segments, packed_bucket_map_groups, dedupe_pairs
 
     def verify(group: pa.Table) -> pa.Table:
         """One reduce task per hash bucket of cells (not one Python
         dispatch per cell — the cell count grows with the bucketing
-        resolution); only multi-member cells get an all-pairs check."""
+        resolution); only multi-member cells produce candidate pairs,
+        and only ``pair_chunk_elems`` of them are in flight at once."""
+        import pyarrow.compute as pc
+
         id_type = group.column(id_col).type
 
         def empty():
@@ -507,35 +527,56 @@ def _bucket_cosine_pairs(bucketed, *, threshold: float, id_col: str,
 
         if group.num_rows == 0:
             return empty()
-        from .buckets import triangle_indices
-
-        import pyarrow.compute as pc
-
         cells = np.asarray(group.column(bucket_col), dtype=np.int64)
         order, bounds = numeric_segments([cells])
         sizes = np.diff(bounds)
-        # every within-cell pair at once: one triangle expansion and one
-        # vectorized row-wise dot product — no per-cell Python
-        # (dedupe_pairs collapses duplicate-row repeats downstream)
         sorted_g = group.take(pa.array(order))
         V = _normalize(embeddings_to_matrix(
             sorted_g.column(vec_col)).astype(np.float32))
         ids = sorted_g.column(id_col).combine_chunks()
-        ai, bi = triangle_indices(bounds, sizes > 1)
-        if not ai.size:
+        # sorted row r pairs with every EARLIER row of its segment:
+        # cnt[r] = r - seg_start(r); chunk emission over cumulative cnt
+        # exactly like knn_join's cell_chunk_elems / the interval-join
+        # sweep — per-chunk vectorized, no per-cell Python
+        n = len(V)
+        seg_start = np.repeat(bounds[:-1], sizes)
+        cnt = np.arange(n, dtype=np.int64) - seg_start
+        ccum = np.concatenate([[0], np.cumsum(cnt)])
+        if ccum[-1] == 0:
             return empty()
-        cos = np.einsum("ij,ij->i", V[ai], V[bi]).astype(np.float64)
-        hit = cos >= threshold
-        if not hit.any():
+        chunk = pair_chunk_elems or max(
+            1, _CELL_CHUNK_ELEMS // max(V.shape[1], 1))
+        tables: list[pa.Table] = []
+        a = 0
+        while a < n:
+            b = int(np.searchsorted(ccum, ccum[a] + chunk,
+                                    side="right")) - 1
+            b = min(max(b, a + 1), n)
+            c_chunk = cnt[a:b]
+            total = int(ccum[b] - ccum[a])
+            if total == 0:
+                a = b
+                continue
+            ai = np.repeat(np.arange(a, b), c_chunk)
+            off = (np.arange(total)
+                   - np.repeat(ccum[a:b] - ccum[a], c_chunk))
+            bi = np.repeat(seg_start[a:b], c_chunk) + off
+            cos = np.einsum("ij,ij->i", V[ai], V[bi]).astype(np.float64)
+            hit = cos >= threshold
+            if hit.any():
+                a_ids = ids.take(pa.array(ai[hit]))
+                b_ids = ids.take(pa.array(bi[hit]))
+                t = pa.table({
+                    "id_a": pc.min_element_wise(a_ids, b_ids),
+                    "id_b": pc.max_element_wise(a_ids, b_ids),
+                    "cosine": pa.array(cos[hit]),
+                })
+                # duplicate-row pairs (identical ids) never count
+                tables.append(t.filter(pc.not_equal(a_ids, b_ids)))
+            a = b
+        if not tables:
             return empty()
-        a_ids = ids.take(pa.array(ai[hit]))
-        b_ids = ids.take(pa.array(bi[hit]))
-        out = pa.table({
-            "id_a": pc.min_element_wise(a_ids, b_ids),
-            "id_b": pc.max_element_wise(a_ids, b_ids),
-            "cosine": pa.array(cos[hit]),
-        })
-        return out.filter(pc.not_equal(a_ids, b_ids))
+        return pa.concat_tables(tables).combine_chunks()
 
     pairs = packed_bucket_map_groups(bucketed, [bucket_col], verify)
     return dedupe_pairs(pairs, {"cosine": "min"})
@@ -544,16 +585,19 @@ def _bucket_cosine_pairs(bucketed, *, threshold: float, id_col: str,
 def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 6, seed: int = 0xA11,
-                          dim: int | None = None):
+                          dim: int | None = None,
+                          pair_chunk_elems: int | None = None):
     """Near-duplicate embedding pairs (cosine ≥ threshold) via LSH bucket
-    + in-bucket exact verification. Returns Dataset[id_a, id_b, cosine]."""
+    + in-bucket exact verification (chunk-bounded — a hot bucket streams,
+    see ``_bucket_cosine_pairs``). Returns Dataset[id_a, id_b, cosine]."""
     if dim is None:
         dim = _infer_dim(ds, vec_col)
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
     return _bucket_cosine_pairs(
         ds.select_columns([id_col, vec_col])
           .map_batches(stage, batch_format="pyarrow"),
-        threshold=threshold, id_col=id_col, vec_col=vec_col)
+        threshold=threshold, id_col=id_col, vec_col=vec_col,
+        pair_chunk_elems=pair_chunk_elems)
 
 
 def kmeans_fit(ds, *, vec_col: str = "embedding", n_clusters: int = 16,
@@ -612,15 +656,19 @@ def assign_clusters(ds, centroids: np.ndarray, *,
 def semdedup_pairs(ds, *, threshold: float = 0.95,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_clusters: int = 16, sample_rows: int = 4096,
-                   seed: int = 0x5EED, centroids: np.ndarray | None = None):
+                   seed: int = 0x5EED, centroids: np.ndarray | None = None,
+                   pair_chunk_elems: int | None = None):
     """SemDeDup-style near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then exact
     all-pairs cosine WITHIN each cluster only. Complements
     ``embedding_dedup_pairs``: k-means cells follow the data's density
     (hot LSH buckets split; sparse ones merge), and the same fitted
     ``centroids`` can be reused across corpus snapshots for stable cell
-    boundaries. Pair volume is quadratic in cluster occupancy — size
-    ``n_clusters ≈ corpus_rows / target_cluster_size``. Returns
+    boundaries. Pair WORK is quadratic in cluster occupancy — size
+    ``n_clusters ≈ corpus_rows / target_cluster_size`` — but a
+    degenerate corpus (one dominant semantic mode) no longer blows the
+    reduce: candidate pairs stream in ``pair_chunk_elems``-bounded
+    chunks (see ``_bucket_cosine_pairs``). Returns
     Dataset[id_a, id_b, cosine]."""
     if centroids is None:
         centroids = kmeans_fit(ds, vec_col=vec_col, n_clusters=n_clusters,
@@ -629,4 +677,5 @@ def semdedup_pairs(ds, *, threshold: float = 0.95,
                                centroids, vec_col=vec_col,
                                cluster_col="bucket")
     return _bucket_cosine_pairs(bucketed, threshold=threshold,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col,
+                                pair_chunk_elems=pair_chunk_elems)

@@ -17,7 +17,6 @@ sorting happens inside the group, so input order never matters.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

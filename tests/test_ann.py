@@ -345,8 +345,10 @@ def test_lsh_ann_topk_multiprobe_raises_recall(emb):
     for qi in range(len(Q)):
         assert ids[50 + qi] in set(mp[mp["query_id"] == qi]["vec_id"])
 
-    with pytest.raises(ValueError, match="multiprobe"):
-        lsh_ann_topk(ds, Q, k=k, multiprobe=2)
+    with pytest.raises(ValueError, match="radius"):
+        lsh_ann_topk(ds, Q, k=k, n_bits=6, multiprobe=7)   # > n_bits
+    with pytest.raises(ValueError, match="radius"):
+        lsh_ann_topk(ds, Q, k=k, n_bits=6, multiprobe=-1)
 
 
 def test_knn_join_hot_cell_stays_bounded(ray_session):
@@ -444,3 +446,122 @@ def test_semdedup_pairs_single_cluster_is_exhaustive(ray_session):
     want = {(a, b) for a in range(80) for b in range(a + 1, 80)
             if S[a, b] >= 0.9}
     assert got_set == want and len(want) >= 10
+
+
+def test_semdedup_hot_cell_chunked_matches_unchunked(ray_session):
+    """Verdict r4 #3: a degenerate corpus (ALL vectors near one semantic
+    mode → one k-means cell holds everything) must stream through the
+    pair reduce in bounded chunks. A tiny pair_chunk_elems forces many
+    emission chunks (500 rows → 124,750 candidate pairs vs chunk=977)
+    and the result must equal both the unchunked run and brute force."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import semdedup_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal(24).astype(np.float32)
+    V = (base[None, :]
+         + 0.05 * rng.standard_normal((500, 24))).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(500), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+
+    kw = dict(threshold=0.995, n_clusters=8, sample_rows=500)
+    chunked = semdedup_pairs(ds, pair_chunk_elems=977, **kw).to_pandas()
+    full = semdedup_pairs(ds, **kw).to_pandas()
+    got_c = set(zip(chunked["id_a"], chunked["id_b"]))
+    got_f = set(zip(full["id_a"], full["id_b"]))
+    assert got_c == got_f
+    # brute-force oracle, restricted to same-cell pairs: with one
+    # dominant mode virtually all rows share a cell, so require real
+    # pair volume to prove the hot path was exercised
+    assert len(got_c) > 1000
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    brute = {(a, b) for a in range(500) for b in range(a + 1, 500)
+             if S[a, b] >= 0.995}
+    assert got_c <= brute                      # no false pairs ever
+    cos_by_pair = dict(zip(zip(chunked["id_a"], chunked["id_b"]),
+                           chunked["cosine"]))
+    for (a, b), c in list(cos_by_pair.items())[:50]:
+        assert abs(c - S[a, b]) < 1e-5
+
+
+def test_embedding_dedup_pair_chunking_matches(ray_session):
+    """embedding_dedup_pairs with a forced tiny chunk equals the
+    unchunked run (LSH-bucketed hot-cell path)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import embedding_dedup_pairs
+
+    rng = np.random.default_rng(19)
+    base = rng.standard_normal(16).astype(np.float32)
+    V = (base[None, :]
+         + 0.03 * rng.standard_normal((200, 16))).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(3)
+    a = (embedding_dedup_pairs(ds, threshold=0.997, n_bits=4,
+                               pair_chunk_elems=313).to_pandas())
+    b = embedding_dedup_pairs(ds, threshold=0.997, n_bits=4).to_pandas()
+    assert set(zip(a["id_a"], a["id_b"])) == set(zip(b["id_a"], b["id_b"]))
+    assert len(a) > 50
+
+
+def test_multiprobe_radius2_recall_dominance(ray_session):
+    """Verdict r4 #5: multiprobe radius ≥ 2. On a fixed random corpus,
+    recall vs the exact top-k is strictly monotone radius 2 > 1 > 0 for
+    BOTH lsh_ann_topk and knn_join, the two stay identical at equal
+    params, and radius = n_bits reaches recall 1.0 (degenerates to
+    brute force)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import (ann_topk, knn_join,
+                                             lsh_ann_topk, _probe_masks)
+
+    # mask construction: counts and distinctness
+    m2 = _probe_masks(8, 2)
+    assert len(m2) == 1 + 8 + 28 and len(set(m2.tolist())) == len(m2)
+    assert all(bin(int(m)).count("1") <= 2 for m in m2)
+
+    rng = np.random.default_rng(33)
+    n, nq, dim, k = 2500, 80, 16, 10
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    Q = rng.standard_normal((nq, dim)).astype(np.float32)
+    ids = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids, type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(nq), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+    exact = ann_topk(ds, Q, k=k).to_pandas()
+    want = {qi: set(exact[exact["query_id"] == qi]["vec_id"])
+            for qi in range(nq)}
+
+    def recall(df):
+        hit = sum(len(want[qi] & set(df[df["query_id"] == qi]["vec_id"]))
+                  for qi in range(nq))
+        return hit / (nq * k)
+
+    n_bits = 7
+    lsh, kj = {}, {}
+    for r in (0, 1, 2):
+        a = lsh_ann_topk(ds, Q, k=k, n_bits=n_bits, multiprobe=r).to_pandas()
+        b = knn_join(ds, queries, k=k, n_bits=n_bits,
+                     multiprobe=r).to_pandas()
+        lsh[r], kj[r] = recall(a), recall(b)
+        # the two paths probe the same cells → identical result sets
+        sa = set(zip(a["query_id"], a["vec_id"]))
+        sb = set(zip(b["query_id"], b["vec_id"]))
+        assert sa == sb, (r, len(sa ^ sb))
+    assert lsh[2] > lsh[1] > lsh[0], lsh
+    assert kj[2] > kj[1] > kj[0], kj
+    assert lsh[2] >= 0.6, lsh
+
+    # radius = n_bits probes every bucket → exact answer
+    full = lsh_ann_topk(ds, Q, k=k, n_bits=5, multiprobe=5).to_pandas()
+    assert recall(full) == 1.0
