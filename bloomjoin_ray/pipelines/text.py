@@ -518,6 +518,57 @@ def train_ngram_counts(ds, text_col: str = "text", *,
     return uni, bi, float(uni.sum())
 
 
+def save_ngram_counts(path: str, uni: np.ndarray, bi: np.ndarray,
+                      total_tokens: float, *, signature=None) -> None:
+    """Persist ``train_ngram_counts`` output so later runs skip the
+    training pass (verdict r4 #7 — the LM train is the slowest half of
+    the perplexity gate). Same write-then-commit discipline as
+    ``pipelines/checkpoint.py``: the blob lands under a temp name and is
+    atomically renamed, so a torn writer can never leave a readable
+    half-file at ``path``. ``signature`` (any JSON-serializable value,
+    e.g. the training corpus's file/size/mtime list) is stored inside
+    and checked by ``load_ngram_counts`` — stale counts never load."""
+    import json as _json
+    import os
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f, uni=uni, bi=bi,
+            total=np.float64(total_tokens),
+            signature=np.frombuffer(
+                _json.dumps(signature).encode(), dtype=np.uint8))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def load_ngram_counts(path: str, *, buckets: int | None = None,
+                      signature=None):
+    """Load counts persisted by ``save_ngram_counts``. Returns
+    ``(uni, bi, total_tokens)`` or ``None`` when the file is missing,
+    unreadable, sized for a different ``buckets``, or carries a
+    different ``signature`` — callers fall back to training."""
+    import json as _json
+    import os
+    import zipfile
+
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            uni, bi = z["uni"], z["bi"]
+            total = float(z["total"])
+            sig = _json.loads(z["signature"].tobytes().decode())
+    except (OSError, KeyError, ValueError, zipfile.BadZipFile):
+        return None
+    if buckets is not None and (len(uni) != buckets or len(bi) != buckets):
+        return None
+    if sig != _json.loads(_json.dumps(signature)):   # normalize tuples
+        return None
+    return uni, bi, total
+
+
 def ngram_perplexity(ds, text_col: str = "text", *, train_ds=None,
                      buckets: int = 1 << 20, alpha: float = 0.1,
                      out_col: str = "ppl", counts=None):

@@ -106,21 +106,60 @@ def run(args) -> dict:
 
     out_data = os.path.join(args.out, "data")
     os.makedirs(out_data, exist_ok=True)
+    # a torn earlier run may have left partial output; write_parquet
+    # appends uniquely-named files, so stale ones must go first
+    for fn in os.listdir(out_data):
+        os.unlink(os.path.join(out_data, fn))
     ppl_threshold = None
+    ppl_stage_resumed = ppl_counts_resumed = False
     if args.ppl_drop_frac > 0:
         # stage the survivors to parquet so the LM's training pass and
         # the two scoring passes re-read storage instead of re-executing
-        # the whole curation chain per pass
+        # the whole curation chain per pass — and so a torn run resumes:
+        # the staged survivors commit via a marker (write-then-commit)
+        # and the trained counts persist via save_ngram_counts, so a
+        # re-run after a mid-gate death re-executes ONLY the score pass
         from bloomjoin_ray.pipelines.aggregate import filter_by_quantile
-        from bloomjoin_ray.pipelines.text import (ngram_perplexity,
+        from bloomjoin_ray.pipelines.text import (load_ngram_counts,
+                                                  ngram_perplexity,
+                                                  save_ngram_counts,
                                                   train_ngram_counts)
 
         stage_dir = os.path.join(args.out, "pre_ppl")
-        os.makedirs(stage_dir, exist_ok=True)
-        line_clean.write_parquet(stage_dir)
+        marker = os.path.join(args.out, "_PRE_PPL.json")
+        stage_sig = [sig, args.min_tokens, args.max_punct_ratio,
+                     args.max_top_token_frac, args.max_dup_ngram_frac,
+                     args.line_threshold, args.eval or "", args.decontam_n]
+        if os.path.exists(marker):
+            with open(marker) as f:
+                ppl_stage_resumed = json.load(f).get("sig") == stage_sig
+        if not ppl_stage_resumed:
+            # a stale/partial stage dir must not leak rows into the
+            # re-write (write_parquet appends uniquely-named files)
+            if os.path.isdir(stage_dir):
+                for fn in os.listdir(stage_dir):
+                    os.unlink(os.path.join(stage_dir, fn))
+            os.makedirs(stage_dir, exist_ok=True)
+            line_clean.write_parquet(stage_dir)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"sig": stage_sig}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, marker)
         staged = ray.data.read_parquet(stage_dir)
         buckets = 1 << 18
-        uni, bi, _ = train_ngram_counts(staged, buckets=buckets)
+        counts_path = os.path.join(args.out, "ppl_counts.npz")
+        counts_sig = [stage_sig, buckets]
+        loaded = load_ngram_counts(counts_path, buckets=buckets,
+                                   signature=counts_sig)
+        if loaded is not None:
+            uni, bi, _total = loaded
+            ppl_counts_resumed = True
+        else:
+            uni, bi, total = train_ngram_counts(staged, buckets=buckets)
+            save_ngram_counts(counts_path, uni, bi, total,
+                              signature=counts_sig)
         scored = ngram_perplexity(staged, buckets=buckets,
                                   counts=(uni, bi))
         kept, ppl_threshold = filter_by_quantile(
@@ -146,6 +185,8 @@ def run(args) -> dict:
             "ppl_drop_frac": args.ppl_drop_frac,
             "ppl_threshold": ppl_threshold,
         },
+        "ppl_stage_resumed": ppl_stage_resumed,
+        "ppl_counts_resumed": ppl_counts_resumed,
         "input_signature": sig,
         "out": out_data,
         "wall_sec": round(time.time() - t0, 3),

@@ -1229,3 +1229,63 @@ def test_describe_rejects_non_numeric(ray_session):
                   "s": pa.array(["x", "y"])})
     with pytest.raises(TypeError, match="not numeric"):
         describe(rd.from_arrow(t), ["a", "s"])
+
+
+def test_collect_per_key_max_list_len_guard(ray_session):
+    """Verdict r4 #8: one pathological key holding ~all rows either
+    raises loudly (naming the key) or truncates with a flag — and
+    count_col still reports the TRUE count."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import collect_per_key
+
+    # key 7 holds 5,000 of 5,030 rows; 10 small keys hold 3 each
+    n_hot = 5000
+    ks = np.concatenate([np.full(n_hot, 100), np.repeat(np.arange(10), 3)])
+    os_ = np.concatenate([np.arange(n_hot), np.tile(np.arange(3), 10)])
+    vs = np.arange(len(ks))
+    t = pa.table({"k": pa.array(ks, pa.int64()),
+                  "o": pa.array(os_, pa.int64()),
+                  "v": pa.array(vs, pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+
+    with pytest.raises(Exception, match="max_list_len"):
+        collect_per_key(ds, "k", "v", ["o"], max_list_len=100).to_pandas()
+
+    got = (collect_per_key(ds, "k", "v", ["o"], out_col="xs",
+                           count_col="n", max_list_len=100,
+                           on_overflow="truncate")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert len(got) == 11
+    hot = got[got["k"] == 100].iloc[0]
+    assert hot["n"] == n_hot                      # true count survives
+    assert len(hot["xs"]) == 100                  # list bounded
+    assert bool(hot["xs_truncated"]) is True
+    # order_by order: first 100 of the hot key's values by o
+    want_hot = vs[:n_hot][np.argsort(os_[:n_hot], kind="stable")][:100]
+    np.testing.assert_array_equal(np.asarray(list(hot["xs"])), want_hot)
+    cold = got[got["k"] != 100]
+    assert (~cold["xs_truncated"].astype(bool)).all()
+    assert (cold["n"] == 3).all()
+    assert all(len(x) == 3 for x in cold["xs"])
+
+    # sep path truncates identically (string build never sees the tail)
+    ts = pa.table({"k": pa.array(ks, pa.int64()),
+                   "o": pa.array(os_, pa.int64()),
+                   "v": pa.array([str(v) for v in vs])})
+    gs = (collect_per_key(rd.from_arrow(ts).repartition(8), "k", "v",
+                          ["o"], sep=",", out_col="s", count_col="n",
+                          max_list_len=5, on_overflow="truncate")
+          .to_pandas().sort_values("k").reset_index(drop=True))
+    hot_s = gs[gs["k"] == 100].iloc[0]
+    assert hot_s["s"] == ",".join(str(v) for v in want_hot[:5])
+    assert hot_s["n"] == n_hot and bool(hot_s["s_truncated"]) is True
+
+    with pytest.raises(ValueError, match="on_overflow"):
+        collect_per_key(ds, "k", "v", ["o"], max_list_len=5,
+                        on_overflow="drop")
+    with pytest.raises(ValueError, match="max_list_len"):
+        collect_per_key(ds, "k", "v", ["o"], max_list_len=0)

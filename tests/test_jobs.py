@@ -67,3 +67,36 @@ def test_curate_docs_job_ppl_gate(tmp_path):
         f"DESCRIBE SELECT * FROM read_parquet('{s1['out']}/*.parquet')"
     ).df()["column_name"].tolist()
     assert "ppl" not in cols
+
+
+@pytest.mark.slow
+def test_curate_docs_job_ppl_resume_skips_training(tmp_path):
+    """Verdict r4 #7: a run that dies after the gate's staging+training
+    but before the summary commit resumes with ONLY the score pass —
+    the staged survivors and the trained counts both reload. Same
+    output either way."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "gated")
+    s1 = _run_job("--input", src, "--out", out, "--ppl-drop-frac", "0.2")
+    assert s1["ppl_stage_resumed"] is False
+    assert s1["ppl_counts_resumed"] is False
+    assert os.path.exists(os.path.join(out, "ppl_counts.npz"))
+    assert os.path.exists(os.path.join(out, "_PRE_PPL.json"))
+
+    # simulate death before the summary commit (staging + counts live)
+    os.unlink(os.path.join(out, "_JOB_SUMMARY.json"))
+    s2 = _run_job("--input", src, "--out", out, "--ppl-drop-frac", "0.2")
+    assert s2["resumed"] is False                 # summary was gone
+    assert s2["ppl_stage_resumed"] is True        # curation chain skipped
+    assert s2["ppl_counts_resumed"] is True       # training pass skipped
+    assert s2["n_output"] == s1["n_output"]
+    assert s2["params"]["ppl_threshold"] == s1["params"]["ppl_threshold"]
+    # and materially faster: the resume run must undercut the cold run
+    assert s2["wall_sec"] < s1["wall_sec"]
+
+    # changing a curation parameter invalidates BOTH caches
+    os.unlink(os.path.join(out, "_JOB_SUMMARY.json"))
+    s3 = _run_job("--input", src, "--out", out, "--ppl-drop-frac", "0.2",
+                  "--min-tokens", "25")
+    assert s3["ppl_stage_resumed"] is False
+    assert s3["ppl_counts_resumed"] is False

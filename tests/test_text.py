@@ -640,3 +640,38 @@ def test_add_time_parts_matches_sql(ray_session):
 
     with pytest.raises(ValueError):
         add_time_parts(rd.from_arrow(t), "ts", ["century"])
+
+
+def test_ngram_counts_save_load_roundtrip(tmp_path):
+    """save_ngram_counts/load_ngram_counts: atomic persistence with
+    signature + buckets guards (stale or foreign counts never load)."""
+    import numpy as np
+
+    from bloomjoin_ray.pipelines.text import (load_ngram_counts,
+                                              save_ngram_counts)
+
+    rng = np.random.default_rng(7)
+    uni = rng.random(1 << 10)
+    bi = rng.random(1 << 10)
+    path = str(tmp_path / "counts.npz")
+    sig = [["a.parquet", 123, 456], 1 << 10]
+    save_ngram_counts(path, uni, bi, float(uni.sum()), signature=sig)
+
+    got = load_ngram_counts(path, buckets=1 << 10, signature=sig)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], uni)
+    np.testing.assert_array_equal(got[1], bi)
+    assert got[2] == float(uni.sum())
+
+    # tuples normalize to JSON lists — same logical signature loads
+    assert load_ngram_counts(path, signature=[("a.parquet", 123, 456),
+                                              1 << 10]) is not None
+    assert load_ngram_counts(path, signature=["other"]) is None
+    assert load_ngram_counts(path, buckets=1 << 11, signature=sig) is None
+    assert load_ngram_counts(str(tmp_path / "missing.npz"),
+                             signature=sig) is None
+    # a torn write never surfaces: garbage at the path → None, not raise
+    bad = str(tmp_path / "torn.npz")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x01 not a zip")
+    assert load_ngram_counts(bad, signature=sig) is None
