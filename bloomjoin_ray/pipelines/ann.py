@@ -47,6 +47,59 @@ def _probe_masks(n_bits: int, radius: int) -> np.ndarray:
     return np.array(masks, dtype=np.int64)
 
 
+def _directed_probe_masks(margins: np.ndarray, n_bits: int,
+                          T: int) -> np.ndarray:
+    """Query-directed multiprobe (Lv et al. 2007, "Multi-Probe LSH"):
+    for each query row, the ``T`` XOR flip masks with the smallest total
+    |hyperplane margin| — the own bucket (cost 0) plus the T−1 cheapest
+    single/double/triple bit flips ranked by how close the query sits to
+    each flipped hyperplane. Beats blind Hamming-radius probing at equal
+    bucket count because a cheap 2-bit flip (two near-zero margins)
+    outranks an expensive 1-bit flip. Fully vectorized over rows:
+    one argsort of margins, a static flip-pattern table over the sorted
+    bit order, one argpartition per the (rows × patterns) cost matrix.
+    Returns int64 masks of shape ``(len(margins), T)`` — distinct per
+    row, mask 0 first, remainder in (cost, pattern) order so a larger
+    ``T`` probes a strict superset (recall is monotone in T)."""
+    from itertools import combinations
+
+    nb = n_bits
+    patterns = ([(i,) for i in range(nb)]
+                + list(combinations(range(nb), 2))
+                + list(combinations(range(nb), 3)))
+    if not 1 <= T <= 1 + len(patterns):
+        raise ValueError(
+            f"probe_buckets must be in [1, {1 + len(patterns)}] for "
+            f"n_bits={nb} (own bucket + single/double/triple flips)")
+    n = len(margins)
+    out = np.zeros((n, T), dtype=np.int64)
+    if T == 1:
+        return out
+    ordm = np.argsort(margins, axis=1, kind="stable")   # cheap bits first
+    sm = np.take_along_axis(margins, ordm, axis=1)
+    bit1 = (np.int64(1) << ordm.astype(np.int64))       # per-row bit masks
+    P = len(patterns)
+    costs = np.empty((n, P), dtype=margins.dtype)
+    masks = np.empty((n, P), dtype=np.int64)
+    for p, pat in enumerate(patterns):                  # static, ≤ nb³/6
+        c = sm[:, pat[0]].copy()
+        m = bit1[:, pat[0]].copy()
+        for i in pat[1:]:
+            c += sm[:, i]
+            m |= bit1[:, i]
+        costs[:, p] = c
+        masks[:, p] = m
+    k = T - 1
+    part = np.argpartition(costs, k - 1, axis=1)[:, :k] if k < P else (
+        np.tile(np.arange(P), (n, 1)))
+    pc_ = np.take_along_axis(costs, part, axis=1)
+    # deterministic final order: (cost, pattern index), row-wise
+    order = np.lexsort((part, pc_), axis=1)
+    sel = np.take_along_axis(part, order, axis=1)
+    out[:, 1:] = np.take_along_axis(masks, sel, axis=1)
+    return out
+
+
 def _topk_per_query_idx(qids: np.ndarray, ids: np.ndarray,
                         scores: np.ndarray, k: int) -> np.ndarray:
     """Indices of each query's top-k rows (score desc, id asc), fully
@@ -121,31 +174,50 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, *,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  n_bits: int = 8, seed: int = 0xA11,
-                 multiprobe: int = 0, as_dataset: bool = False):
+                 multiprobe: int = 0, probe_buckets: int | None = None,
+                 as_dataset: bool = False):
     """LSH-bucketed ANN: score only vectors sharing the query's bucket.
 
     ``multiprobe=r`` additionally probes every bucket within Hamming
     distance r of each query's own bucket (``sum_{d<=r} C(n_bits, d)``
     buckets total — the same flip construction as ``knn_join``), trading
     proportionally more scored candidates for higher recall; recall is
-    monotone in r and r=n_bits degenerates to brute force. Each corpus
-    vector lives in exactly one bucket and a query's probed buckets are
-    distinct, so candidate (query, vector) pairs stay duplicate-free and
-    the bucketed reduce needs no dedupe."""
+    monotone in r and r=n_bits degenerates to brute force.
+
+    ``probe_buckets=T`` (mutually exclusive with ``multiprobe``) probes
+    exactly T buckets per query, QUERY-DIRECTED: the own bucket plus the
+    T−1 flips with the smallest total |hyperplane margin|
+    (``_directed_probe_masks``) — higher recall than blind Hamming
+    probing at the same candidate cost, and per-query cost is exact
+    rather than radius-quantized.
+
+    Each corpus vector lives in exactly one bucket and a query's probed
+    buckets are distinct, so candidate (query, vector) pairs stay
+    duplicate-free and the bucketed reduce needs no dedupe."""
     import ray
 
-    masks = _probe_masks(n_bits, multiprobe)   # validates the radius
+    if probe_buckets is not None and multiprobe != 0:
+        raise ValueError("pass multiprobe OR probe_buckets, not both")
     Q = np.ascontiguousarray(queries, dtype=np.float32)
     dim = Q.shape[1]
     stage = LshBucketStage(dim, n_bits, id_col, vec_col, seed)
-    qbits = (Q @ stage.planes) > 0
+    qproj = Q @ stage.planes
+    qbits = qproj > 0
     qkey = np.zeros(len(Q), dtype=np.int64)
     for b in range(n_bits):
         qkey |= qbits[:, b].astype(np.int64) << b
     wanted = {}
-    for mask in masks:
+    if probe_buckets is not None:
+        qmasks = _directed_probe_masks(np.abs(qproj), n_bits,
+                                       probe_buckets)
         for qi, kk in enumerate(qkey):
-            wanted.setdefault(int(kk) ^ int(mask), []).append(qi)
+            for mask in qmasks[qi]:
+                wanted.setdefault(int(kk) ^ int(mask), []).append(qi)
+    else:
+        masks = _probe_masks(n_bits, multiprobe)   # validates the radius
+        for mask in masks:
+            for qi, kk in enumerate(qkey):
+                wanted.setdefault(int(kk) ^ int(mask), []).append(qi)
     wanted_ref = ray.put(wanted)
     qref = ray.put(_normalize(Q))
 
@@ -341,7 +413,8 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
              corpus_id: str = "vec_id", query_id: str = "query_id",
              vec_col: str = "embedding", query_vec_col: str | None = None,
              n_bits: int = 8, seed: int = 0xA11, dim: int | None = None,
-             multiprobe: int = 0, cell_chunk_elems: int = _CELL_CHUNK_ELEMS):
+             multiprobe: int = 0, probe_buckets: int | None = None,
+             cell_chunk_elems: int = _CELL_CHUNK_ELEMS):
     """Dataset × Dataset ANN join — the scale path when the QUERY side is
     itself a large Dataset (too many queries for a broadcast matrix).
 
@@ -355,14 +428,25 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
     cost is |Q_cell| × |C_cell|). ``multiprobe=r`` additionally probes
     every cell within Hamming distance r of each query's own cell
     (``sum_{d<=r} C(n_bits, d)`` cells total), trading proportionally
-    more query-side rows for higher recall — monotone in r; the
+    more query-side rows for higher recall — monotone in r;
+    ``probe_buckets=T`` (mutually exclusive) probes exactly the T
+    margin-cheapest cells per query (query-directed, computed
+    vectorized inside the query-side prep — same masks as
+    ``lsh_ann_topk``, so the two stay identical at equal params). The
     per-query top-k is then merged across cells with the dataset-native
     bucketed reduce. Returns Dataset[query_id, corpus_id, score] with
     per-query global top-k.
     """
     from .buckets import numeric_segments, packed_bucket_map_groups
 
-    probe_flips = _probe_masks(n_bits, multiprobe)   # validates the radius
+    if probe_buckets is not None and multiprobe != 0:
+        raise ValueError("pass multiprobe OR probe_buckets, not both")
+    if probe_buckets is not None:
+        _directed_probe_masks(np.zeros((1, n_bits), np.float32),
+                              n_bits, probe_buckets)   # validate T early
+        probe_flips = None
+    else:
+        probe_flips = _probe_masks(n_bits, multiprobe)  # validates radius
     qvec = query_vec_col or vec_col
     if dim is None:
         dim = _infer_dim(ds_corpus, vec_col)
@@ -388,13 +472,22 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                    if isinstance(ids, pa.ChunkedArray) else ids)
             if expand and n:
                 # replicate each query into its own cell + every probed
-                # neighbor cell within the multiprobe radius (fan-out)
-                flips = probe_flips
-                idx = np.repeat(np.arange(n), len(flips))
-                cells = (cells[:, None] ^ flips[None, :]).reshape(-1)
+                # neighbor cell (blind Hamming radius, or query-directed
+                # margin-ranked masks computed per row)
+                if probe_flips is not None:
+                    cells = (cells[:, None]
+                             ^ probe_flips[None, :]).reshape(-1)
+                    fan = len(probe_flips)
+                else:
+                    margins = np.abs(M @ stage.planes)
+                    qmasks = _directed_probe_masks(margins, n_bits,
+                                                   probe_buckets)
+                    cells = (cells[:, None] ^ qmasks).reshape(-1)
+                    fan = probe_buckets
+                idx = np.repeat(np.arange(n), fan)
                 M = M[idx]
                 ids = ids.take(pa.array(idx))
-                n = n * len(flips)
+                n = n * fan
             emb = pa.ListArray.from_arrays(
                 pa.array(np.arange(len(M) + 1) * M.shape[1], type=pa.int32()),
                 pa.array(M.reshape(-1)))
@@ -412,7 +505,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                                     batch_format="pyarrow")
               .union(ds_queries.map_batches(
                   prep(q_stage, 1, query_id, qvec,
-                       expand=multiprobe >= 1),
+                       expand=multiprobe >= 1 or (probe_buckets or 1) > 1),
                   batch_format="pyarrow")))
 
     def cell_reduce(group: pa.Table) -> pa.Table:
@@ -469,7 +562,7 @@ def knn_join(ds_corpus, ds_queries, k: int = 10, *,
                          "score": pa.array(sa[keep])})
 
     out = packed_bucket_map_groups(tagged, ["__cell"], cell_reduce)
-    if multiprobe == 0:
+    if multiprobe == 0 and (probe_buckets is None or probe_buckets == 1):
         # each query lives in exactly one cell, and all of a cell's rows
         # land in one reduce task — per-cell top-k IS the global answer
         return out

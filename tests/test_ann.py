@@ -565,3 +565,70 @@ def test_multiprobe_radius2_recall_dominance(ray_session):
     # radius = n_bits probes every bucket → exact answer
     full = lsh_ann_topk(ds, Q, k=k, n_bits=5, multiprobe=5).to_pandas()
     assert recall(full) == 1.0
+
+
+def test_query_directed_probing(ray_session):
+    """probe_buckets=T (Lv et al. 2007 margin-ranked multiprobe):
+    T=1 equals single probe, recall is monotone in T (larger T probes a
+    strict superset), lsh_ann_topk == knn_join at every T, and at equal
+    bucket count (T = 1 + n_bits) directed probing matches or beats
+    blind Hamming-1 on a fixed corpus."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import (ann_topk, knn_join,
+                                             lsh_ann_topk)
+
+    rng = np.random.default_rng(47)
+    n, nq, dim, k, n_bits = 2500, 80, 16, 10, 7
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    Q = rng.standard_normal((nq, dim)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array(list(V), type=pa.list_(pa.float32())),
+    })).repartition(4)
+    queries = rd.from_arrow(pa.table({
+        "query_id": pa.array(np.arange(nq), type=pa.int64()),
+        "embedding": pa.array(list(Q), type=pa.list_(pa.float32()))}))
+    exact = ann_topk(ds, Q, k=k).to_pandas()
+    want = {qi: set(exact[exact["query_id"] == qi]["vec_id"])
+            for qi in range(nq)}
+
+    def recall(df):
+        hit = sum(len(want[qi] & set(df[df["query_id"] == qi]["vec_id"]))
+                  for qi in range(nq))
+        return hit / (nq * k)
+
+    # T=1 == own-bucket-only
+    base = lsh_ann_topk(ds, Q, k=k, n_bits=n_bits).to_pandas()
+    t1 = lsh_ann_topk(ds, Q, k=k, n_bits=n_bits,
+                      probe_buckets=1).to_pandas()
+    assert (set(zip(t1["query_id"], t1["vec_id"]))
+            == set(zip(base["query_id"], base["vec_id"])))
+
+    rec = {}
+    for T in (1, 4, 8, 16, 32):
+        a = lsh_ann_topk(ds, Q, k=k, n_bits=n_bits,
+                         probe_buckets=T).to_pandas()
+        b = knn_join(ds, queries, k=k, n_bits=n_bits,
+                     probe_buckets=T).to_pandas()
+        assert (set(zip(a["query_id"], a["vec_id"]))
+                == set(zip(b["query_id"], b["vec_id"]))), T
+        rec[T] = recall(a)
+    assert rec[1] < rec[4] <= rec[8] <= rec[16] <= rec[32], rec
+    assert rec[32] >= 0.6, rec
+
+    # equal bucket count: directed (1+n_bits) vs blind Hamming-1
+    blind = recall(lsh_ann_topk(ds, Q, k=k, n_bits=n_bits,
+                                multiprobe=1).to_pandas())
+    directed = rec_d = recall(lsh_ann_topk(
+        ds, Q, k=k, n_bits=n_bits, probe_buckets=1 + n_bits).to_pandas())
+    assert directed >= blind, (directed, blind)
+
+    with pytest.raises(ValueError, match="not both"):
+        lsh_ann_topk(ds, Q, k=k, n_bits=n_bits, multiprobe=1,
+                     probe_buckets=4)
+    with pytest.raises(ValueError, match="not both"):
+        knn_join(ds, queries, k=k, n_bits=n_bits, multiprobe=1,
+                 probe_buckets=4)
+    with pytest.raises(ValueError, match="probe_buckets"):
+        lsh_ann_topk(ds, Q, k=k, n_bits=4, probe_buckets=1000)
