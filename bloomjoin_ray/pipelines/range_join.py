@@ -223,8 +223,8 @@ def range_join(ds_left, ds_right, on: str, start: str, end: str, *,
 def interval_join(ds_left, ds_right, left_span: tuple[str, str],
                   right_span: tuple[str, str], *, by: str | list[str],
                   num_buckets: int = 64, suffix: str = "_right",
-                  mode: str = "general", validate: bool = True,
-                  chunk_elems: int = 4_000_000):
+                  mode: str = "general", how: str = "inner",
+                  validate: bool = True, chunk_elems: int = 4_000_000):
     """Interval-OVERLAP join: all (left, right) pairs with equal ``by``
     keys whose closed spans intersect — SQL
     ``ON l.by = r.by AND l.start <= r.end AND r.start <= l.end``
@@ -256,13 +256,20 @@ def interval_join(ds_left, ds_right, left_span: tuple[str, str],
     session windows are usually an upstream bug).
 
     Both modes: span bounds must be non-null and ``start <= end``
-    (rows violating either never match, SQL-style). Inner join only —
-    each row moves once through the packed key-hash bucketing.
+    (rows violating either never match, SQL-style). ``how="left"``
+    (general mode only) additionally emits every unmatched left row —
+    including null-bound / inverted-span lefts, which never match but
+    survive a SQL LEFT JOIN — with null right columns.
 
     Output: left columns (original names) + right columns (colliding
     names get ``suffix``)."""
     if mode not in ("disjoint", "general"):
         raise ValueError("interval_join mode must be 'disjoint' or 'general'")
+    if how not in ("inner", "left"):
+        raise ValueError("interval_join supports how='inner' or 'left'")
+    if how == "left" and mode != "general":
+        raise ValueError("how='left' requires mode='general' (the "
+                         "two-pass disjoint decomposition is inner-only)")
     by_cols = [by] if isinstance(by, str) else list(by)
     ls, le = left_span
     rs, re_ = right_span
@@ -287,7 +294,7 @@ def interval_join(ds_left, ds_right, left_span: tuple[str, str],
                     for c in r_schema.names if c not in by_cols]
         return _overlap_join_general(
             ds_left, r2, ls, le, rs2, re2, by_cols=by_cols,
-            l_schema=l_schema, r_fields=r_fields,
+            l_schema=l_schema, r_fields=r_fields, how=how,
             num_buckets=num_buckets, chunk_elems=chunk_elems)
 
     # pass A: right-start points inside left intervals (r rows = points)
@@ -314,8 +321,8 @@ def interval_join(ds_left, ds_right, left_span: tuple[str, str],
 
 def _overlap_join_general(ds_left, r2, ls, le, rs2, re2, *,
                           by_cols: list[str], l_schema: pa.Schema,
-                          r_fields: list[pa.Field], num_buckets: int,
-                          chunk_elems: int):
+                          r_fields: list[pa.Field], how: str = "inner",
+                          num_buckets: int, chunk_elems: int):
     """One-exchange overlap join for arbitrary (overlapping, nested)
     per-key intervals on both sides. See ``interval_join`` docstring
     (``mode="general"``) for the algorithm; ``r2`` arrives with
@@ -395,6 +402,22 @@ def _overlap_join_general(ds_left, r2, ls, le, rs2, re2, *,
         v = np.asarray(group.column("__v"))
         h1 = np.asarray(group.column("__h1"))
         h2 = np.asarray(group.column("__h2"))
+
+        def gather_cols(names, prefix):
+            cols = []
+            for c in names:
+                col = group.column(f"{prefix}{c}")
+                cols.append(col.combine_chunks()
+                            if isinstance(col, pa.ChunkedArray) else col)
+            return cols
+
+        def lefts_with_nulls(pos: np.ndarray) -> pa.Table:
+            li = pa.array(pos)
+            return pa.Table.from_arrays(
+                [c.take(li) for c in gather_cols(l_names, "__l_")]
+                + [pa.nulls(len(pos), f.type) for f in r_fields],
+                schema=out_schema)
+
         # dense key ranks (bucket-union-invariant: re-segment by real key)
         ordk = np.lexsort((h2, h1))
         h1k, h2k = h1[ordk], h2[ordk]
@@ -406,6 +429,10 @@ def _overlap_join_general(ds_left, r2, ls, le, rs2, re2, *,
         r_pos = np.nonzero((side == 0) & v)[0]
         l_pos = np.nonzero((side == 1) & v)[0]
         if r_pos.size == 0 or l_pos.size == 0:
+            if how == "left":
+                l_all = np.nonzero(side == 1)[0]
+                if l_all.size:
+                    return lefts_with_nulls(l_all)
             return out_schema.empty_table()
         rord = np.lexsort((s[r_pos], krank[r_pos]))
         r_sorted = r_pos[rord]                 # original rows, (key, start)-sorted
@@ -450,44 +477,42 @@ def _overlap_join_general(ds_left, r2, ls, le, rs2, re2, *,
         lo = query_ranks(ql, rights_first=False)     # strict r.start < ql
         cnt = np.maximum(hi - lo, 0)
         ccum = np.concatenate([[0], np.cumsum(cnt)])
-        if ccum[-1] == 0:
-            return out_schema.empty_table()
-
-        lcols = []
-        for c in l_names:
-            col = group.column(f"__l_{c}")
-            lcols.append(col.combine_chunks()
-                         if isinstance(col, pa.ChunkedArray) else col)
-        rcols = []
-        for c in r_names:
-            col = group.column(f"__r_{c}")
-            rcols.append(col.combine_chunks()
-                         if isinstance(col, pa.ChunkedArray) else col)
+        matched = np.zeros(nl, dtype=bool)
         tables: list[pa.Table] = []
-        a = 0
-        while a < nl:
-            b = int(np.searchsorted(ccum, ccum[a] + chunk_elems,
-                                    side="right")) - 1
-            b = min(max(b, a + 1), nl)
-            c_chunk = cnt[a:b]
-            total = int(ccum[b] - ccum[a])
-            if total == 0:
+        if ccum[-1] > 0:
+            lcols = gather_cols(l_names, "__l_")
+            rcols = gather_cols(r_names, "__r_")
+            a = 0
+            while a < nl:
+                b = int(np.searchsorted(ccum, ccum[a] + chunk_elems,
+                                        side="right")) - 1
+                b = min(max(b, a + 1), nl)
+                c_chunk = cnt[a:b]
+                total = int(ccum[b] - ccum[a])
+                if total == 0:
+                    a = b
+                    continue
+                rep = np.repeat(np.arange(a, b), c_chunk)
+                base = np.repeat(lo[a:b], c_chunk)
+                off = (np.arange(total)
+                       - np.repeat(ccum[a:b] - ccum[a], c_chunk))
+                ridx = base + off
+                keep = re_v[ridx] >= ls_v[rep]       # exact overlap filter
+                rep, ridx = rep[keep], ridx[keep]
+                if rep.size:
+                    matched[rep] = True
+                    li = pa.array(l_pos[rep])
+                    ri = pa.array(r_sorted[ridx])
+                    tables.append(pa.Table.from_arrays(
+                        [c.take(li) for c in lcols]
+                        + [c.take(ri) for c in rcols], schema=out_schema))
                 a = b
-                continue
-            rep = np.repeat(np.arange(a, b), c_chunk)
-            base = np.repeat(lo[a:b], c_chunk)
-            off = (np.arange(total)
-                   - np.repeat(ccum[a:b] - ccum[a], c_chunk))
-            ridx = base + off
-            keep = re_v[ridx] >= ls_v[rep]           # exact overlap filter
-            rep, ridx = rep[keep], ridx[keep]
-            if rep.size:
-                li = pa.array(l_pos[rep])
-                ri = pa.array(r_sorted[ridx])
-                tables.append(pa.Table.from_arrays(
-                    [c.take(li) for c in lcols]
-                    + [c.take(ri) for c in rcols], schema=out_schema))
-            a = b
+        if how == "left":
+            # unmatched valid lefts + invalid (null/inverted-span) lefts
+            miss = np.concatenate([l_pos[~matched],
+                                   np.nonzero((side == 1) & ~v)[0]])
+            if miss.size:
+                tables.append(lefts_with_nulls(np.sort(miss)))
         if not tables:
             return out_schema.empty_table()
         return pa.concat_tables(tables).combine_chunks()

@@ -484,3 +484,75 @@ def test_interval_join_general_fuzz_vs_duckdb(ray_session):
                         ("l_s", "l_e"), ("r_s", "r_e"), by="k",
                         mode="general").to_pandas()
     assert len(out) == 0
+
+
+def test_interval_join_general_left_vs_duckdb(ray_session):
+    """how='left' (general mode): every left row survives — matched
+    lefts with their pairs, unmatched/null-bound/inverted lefts with
+    null right columns — vs a DuckDB LEFT JOIN inequality oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.range_join import interval_join
+
+    rng = np.random.default_rng(53)
+    nl, nr, n_keys = 150, 120, 12
+    lks = rng.integers(0, n_keys, size=nl)
+    lst = rng.integers(0, 150, size=nl).astype(object)
+    lln = rng.integers(0, 40, size=nl)
+    len_ = lst + lln
+    # plant null bounds and an inverted span
+    lst[3] = None
+    len_[7] = None
+    lst[11], len_[11] = 90, 10                    # inverted: start > end
+    L = pa.table({"k": pa.array(lks, pa.int64()),
+                  "l_id": pa.array(np.arange(nl), pa.int64()),
+                  "l_s": pa.array(list(lst), pa.int64()),
+                  "l_e": pa.array(list(len_), pa.int64())})
+    rks = rng.integers(0, n_keys, size=nr)
+    rst = rng.integers(0, 150, size=nr)
+    R = pa.table({"k": pa.array(rks, pa.int64()),
+                  "r_id": pa.array(np.arange(nr), pa.int64()),
+                  "r_s": pa.array(rst, pa.int64()),
+                  "r_e": pa.array(rst + rng.integers(0, 40, size=nr),
+                                  pa.int64())})
+    got = (interval_join(rd.from_arrow(L).repartition(4),
+                         rd.from_arrow(R).repartition(3),
+                         ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                         how="left", chunk_elems=271)
+           .to_pandas().sort_values(["l_id", "r_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    want = con.sql("""
+        SELECT L.k, l_id, l_s, l_e, r_id, r_s, r_e
+        FROM L LEFT JOIN R ON L.k = R.k AND l_s <= r_e AND r_s <= l_e
+        ORDER BY l_id, r_id
+    """).df()
+    assert len(got) == len(want) > nl             # real pairs + null rows
+    pd.testing.assert_frame_equal(
+        got[["l_id"]].assign(r=got["r_id"].astype("float64")),
+        want[["l_id"]].assign(r=want["r_id"].astype("float64")),
+        check_dtype=False)
+    # the planted null/inverted lefts survive exactly once with nulls
+    for lid in (3, 7, 11):
+        sub = got[got["l_id"] == lid]
+        assert len(sub) == 1 and sub["r_id"].isna().all()
+
+    # inner on the same input == the LEFT JOIN's matched subset
+    inner = interval_join(rd.from_arrow(L), rd.from_arrow(R),
+                          ("l_s", "l_e"), ("r_s", "r_e"), by="k"
+                          ).to_pandas()
+    assert len(inner) == int(got["r_id"].notna().sum())
+
+    with pytest.raises(ValueError, match="inner-only"):
+        interval_join(rd.from_arrow(L), rd.from_arrow(R),
+                      ("l_s", "l_e"), ("r_s", "r_e"), by="k",
+                      mode="disjoint", how="left")
+    with pytest.raises(ValueError, match="how="):
+        interval_join(rd.from_arrow(L), rd.from_arrow(R),
+                      ("l_s", "l_e"), ("r_s", "r_e"), by="k", how="full")
