@@ -11,8 +11,10 @@ Semantics (DuckDB ``ASOF LEFT JOIN`` parity, oracle-testable): for each
 left row, attach the right row with the same ``by`` key and the
 greatest ``on`` value ≤ the left row's ``on`` value
 (``direction="backward"``); ``direction="forward"`` attaches the
-smallest ``on`` value ≥ instead (the sweep over negated time). Both
-directions are inclusive, matching ``pd.merge_asof``.
+smallest ``on`` value ≥ instead (the sweep over negated time);
+``direction="nearest"`` the closer of the two (backward wins distance
+ties — pandas' rule). All directions are inclusive and accept
+``tolerance``, matching ``pd.merge_asof``.
 
 Partitioning assumption: the equality key distributes uniformly across
 hash buckets; all rows of one key land in one bucket, so the
@@ -52,9 +54,43 @@ def _order_key(col, name: str) -> np.ndarray:
                     f"integer or float, got {t}")
 
 
+def _tolerance_int(tolerance, on_type: pa.DataType) -> int | None:
+    """Resolve a ``pd.merge_asof``-style tolerance to the ``on``
+    column's native int64 unit: plain ints pass through (µs for
+    timestamp[us], days for date32, raw for integers);
+    ``datetime.timedelta`` / ``np.timedelta64`` convert by the column's
+    time unit. Float ``on`` columns are rejected — their order key is
+    the monotone IEEE bit transform, where differences are not
+    distances."""
+    if tolerance is None:
+        return None
+    if pa.types.is_floating(on_type):
+        raise TypeError("tolerance is not supported for float 'on' "
+                        "columns (their int64 order key is the IEEE "
+                        "bit transform — not a distance domain)")
+    import datetime
+
+    if isinstance(tolerance, (datetime.timedelta, np.timedelta64)):
+        td = np.timedelta64(tolerance)
+        if pa.types.is_timestamp(on_type):
+            tol = int(td / np.timedelta64(1, on_type.unit))
+        elif pa.types.is_date32(on_type):
+            tol = int(td / np.timedelta64(1, "D"))
+        elif pa.types.is_date64(on_type):
+            tol = int(td / np.timedelta64(1, "ms"))
+        else:
+            raise TypeError("timedelta tolerance needs a timestamp/date "
+                            f"'on' column, got {on_type}")
+    else:
+        tol = int(tolerance)
+    if tol < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tol}")
+    return tol
+
+
 def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
               num_buckets: int = 64, suffixes=("", "_right"),
-              direction: str = "backward",
+              direction: str = "backward", tolerance=None,
               broadcast_limit_rows: int = 5_000_000):
     """Left as-of join of two Datasets. ``on`` must be an orderable
     column present on both sides (timestamp/date/integer/float); ``by``
@@ -62,17 +98,31 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
     Dataset with all left rows + matched right columns (nulls when no
     match).
 
+    ``tolerance`` (``pd.merge_asof`` parity) bounds the match gap:
+    a backward match additionally needs ``l.on - r.on <= tolerance``
+    (forward: ``r.on - l.on``); lefts whose nearest candidate sits
+    outside it get nulls. Ints are in the column's native unit,
+    timedeltas convert (see ``_tolerance_int``); float ``on`` columns
+    reject it.
+
     Without ``by`` there is nothing to partition on: a right side of ≤
     ``broadcast_limit_rows`` broadcasts once (``ray.put``) and the left
     side streams through a vectorized ``searchsorted`` zipper per batch
     (fully distributed); a larger right side routes both sides through
     one exact single-bucket sweep instead."""
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
+    nearest = direction == "nearest"
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     left_schema = _schema_of(ds_left)
     right_schema = _schema_of(ds_right)
+    tol = _tolerance_int(tolerance, left_schema.field(on).type)
+    if nearest and pa.types.is_floating(left_schema.field(on).type):
+        raise TypeError("direction='nearest' is not supported for float "
+                        "'on' columns (their int64 order key is the IEEE "
+                        "bit transform — order-true but not distance-true)")
     right_keep = [c for c in right_schema.names if c not in by_cols and c != on]
     rename_right = {c: c + suffixes[1] if c in set(left_schema.names) else c
                     for c in right_keep}
@@ -88,7 +138,8 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
         if right_tbl is not None:
             return _broadcast_asof(ds_left, right_tbl, on, right_keep,
                                    rename_right, left_schema, out_schema,
-                                   negate=direction == "forward")
+                                   negate=direction == "forward", tol=tol,
+                                   nearest=nearest)
         num_buckets = 1                      # too large to broadcast
 
     unified = pa.schema(
@@ -180,6 +231,31 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
         h1_s, h2_s = h1[order], h2[order]
         valid &= (h1_s[jj] == h1_s[li]) & (h2_s[jj] == h2_s[li])
         valid &= tv_s[li]                        # null-timed lefts never match
+        t_s = t[order]
+        if tol is not None:
+            # gap in the (possibly negated) int64 time domain; l >= r on
+            # valid rows so the uint64 subtraction is exact at any span
+            gap = (t_s[li].astype(np.uint64) - t_s[jj].astype(np.uint64))
+            valid &= gap <= np.uint64(tol)
+        if nearest:
+            # forward candidate: first right STRICTLY after the left in
+            # sorted order (equal-t rights sort before lefts, so backward
+            # already owns exact matches; duplicate forward rights pick
+            # the first, pandas' rule). Backward wins distance ties.
+            mf = np.where((side_s == 0) & tv_s, np.arange(n), 2 * n)
+            nxt = np.minimum.accumulate(mf[::-1])[::-1]
+            jf = nxt[li]
+            validf = jf < n
+            jjf = np.where(validf, jf, 0)
+            validf &= (h1_s[jjf] == h1_s[li]) & (h2_s[jjf] == h2_s[li])
+            validf &= tv_s[li]
+            gap_b = t_s[li].astype(np.uint64) - t_s[jj].astype(np.uint64)
+            gap_f = t_s[jjf].astype(np.uint64) - t_s[li].astype(np.uint64)
+            if tol is not None:
+                validf &= gap_f <= np.uint64(tol)
+            use_f = validf & (~valid | (gap_f < gap_b))
+            jj = np.where(use_f, jjf, jj)
+            valid |= validf
         left_orig = order[li]
         right_orig = order[jj]                   # original matched right row
         arrays = []
@@ -212,7 +288,8 @@ def asof_join(ds_left, ds_right, on: str, by: str | list[str] | None = None, *,
 def _broadcast_asof(ds_left, right_tbl: pa.Table, on: str,
                     right_keep: list[str], rename_right: dict,
                     left_schema: pa.Schema, out_schema: pa.Schema, *,
-                    negate: bool):
+                    negate: bool, tol: int | None = None,
+                    nearest: bool = False):
     """No-``by`` as-of with a broadcastable right side: the right rows
     sort once on the driver, ship via one ``ray.put``, and every left
     batch matches with a vectorized ``searchsorted`` (side='right' − 1 =
@@ -240,6 +317,23 @@ def _broadcast_asof(ds_left, right_tbl: pa.Table, on: str,
         j = np.searchsorted(times, lt, side="right") - 1
         valid = (j >= 0) & lvalid if len(times) else np.zeros(n, dtype=bool)
         jj = np.where(valid, j, 0)
+        if tol is not None and len(times):
+            gap = lt.astype(np.uint64) - times[jj].astype(np.uint64)
+            valid &= gap <= np.uint64(tol)
+        if nearest and len(times):
+            # first right strictly after lt (backward owns exact hits;
+            # duplicate forward rights pick the first; backward wins
+            # distance ties — pandas' rules)
+            jf = np.searchsorted(times, lt, side="right")
+            validf = (jf < len(times)) & lvalid
+            jjf = np.where(validf, jf, 0)
+            gap_b = lt.astype(np.uint64) - times[jj].astype(np.uint64)
+            gap_f = times[jjf].astype(np.uint64) - lt.astype(np.uint64)
+            if tol is not None:
+                validf &= gap_f <= np.uint64(tol)
+            use_f = validf & (~valid | (gap_f < gap_b))
+            jj = np.where(use_f, jjf, jj)
+            valid |= validf
         arrays = []
         for c in left_schema.names:
             col = batch.column(c)

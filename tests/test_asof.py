@@ -197,3 +197,153 @@ def test_asof_float_on_column(ray_session):
             .sort_values(["k", "x"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["y"]].fillna(-9), want[["y"]].fillna(-9),
                                   check_dtype=False, rtol=1e-12)
+
+
+def test_asof_tolerance_vs_merge_asof(frames):
+    """pd.merge_asof tolerance parity: matches farther than the
+    tolerance become nulls — bucketed (by-key) path, backward and
+    forward, int and timedelta tolerances."""
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    tol = pd.Timedelta(hours=24)
+
+    for direction in ("backward", "forward"):
+        got = (asof_join(dsl, dsr, on="ts", by="user_id",
+                         direction=direction, tolerance=tol)
+               .to_pandas()
+               .sort_values(["user_id", "ts", "value"])
+               .reset_index(drop=True))
+        want = (pd.merge_asof(
+                    left.sort_values("ts"), right.sort_values("ts"),
+                    on="ts", by="user_id", direction=direction,
+                    tolerance=tol)
+                .sort_values(["user_id", "ts", "value"])
+                .reset_index(drop=True))
+        assert got["score"].notna().sum() == want["score"].notna().sum()
+        pd.testing.assert_series_equal(got["score"], want["score"],
+                                       check_dtype=False)
+        # tolerance must strictly reduce the matched count vs no-tol
+        full = asof_join(dsl, dsr, on="ts", by="user_id",
+                         direction=direction).to_pandas()
+        assert (got["score"].notna().sum()
+                < full["score"].notna().sum())
+
+    # int tolerance in native units (us) == the timedelta run
+    got_us = (asof_join(dsl, dsr, on="ts", by="user_id",
+                        tolerance=int(tol / pd.Timedelta(microseconds=1)))
+              .to_pandas())
+    got_td = asof_join(dsl, dsr, on="ts", by="user_id",
+                       tolerance=tol).to_pandas()
+    assert (got_us["score"].notna().sum()
+            == got_td["score"].notna().sum())
+
+
+def test_asof_tolerance_no_by_broadcast(frames):
+    """Tolerance on the broadcast (no-by) zipper path."""
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    tol = pd.Timedelta(minutes=30)
+    got = (asof_join(dsl, dsr, on="ts", tolerance=tol).to_pandas()
+           .sort_values(["ts", "value"]).reset_index(drop=True))
+    want = (pd.merge_asof(left.sort_values("ts"),
+                          right.sort_values("ts").drop(columns=["user_id"]),
+                          on="ts", tolerance=tol)
+            .sort_values(["ts", "value"]).reset_index(drop=True))
+    assert got["score"].notna().sum() == want["score"].notna().sum() > 0
+    pd.testing.assert_series_equal(got["score"], want["score"],
+                                   check_dtype=False)
+
+
+def test_asof_tolerance_validation(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    ints = rd.from_arrow(pa.table({"k": [1], "t": [5], "v": [1.0]}))
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(ints, ints, on="t", by="k", tolerance=-1)
+    floats = rd.from_arrow(pa.table(
+        {"k": [1], "t": pa.array([5.0], pa.float64())}))
+    with pytest.raises(TypeError, match="float"):
+        asof_join(floats, floats, on="t", by="k", tolerance=1)
+    with pytest.raises(TypeError, match="timestamp"):
+        asof_join(ints, ints, on="t", by="k",
+                  tolerance=pd.Timedelta(seconds=1))
+    # integer tolerance on an integer column: gap <= tol inclusive
+    L = rd.from_arrow(pa.table({"k": [1, 1], "t": [10, 20],
+                                "lv": ["a", "b"]}))
+    R = rd.from_arrow(pa.table({"k": [1], "t": [8], "rv": ["x"]}))
+    out = (asof_join(L, R, on="t", by="k", tolerance=2).to_pandas()
+           .sort_values("t").reset_index(drop=True))
+    assert out["rv"].tolist()[0] == "x"       # gap 2 == tol: matches
+    assert pd.isna(out["rv"].tolist()[1])     # gap 12 > tol: null
+
+
+def test_asof_nearest_vs_merge_asof(frames):
+    """direction='nearest' parity with pd.merge_asof: closer of the
+    backward/forward candidates, backward wins distance ties, exact
+    duplicates take the last, forward duplicates the first — bucketed
+    and broadcast paths, with and without tolerance."""
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    left, right, dsl, dsr = frames
+    for kw in ({}, {"tolerance": pd.Timedelta(hours=12)}):
+        got = (asof_join(dsl, dsr, on="ts", by="user_id",
+                         direction="nearest", **kw)
+               .to_pandas()
+               .sort_values(["user_id", "ts", "value"])
+               .reset_index(drop=True))
+        want = (pd.merge_asof(left.sort_values("ts"),
+                              right.sort_values("ts"),
+                              on="ts", by="user_id", direction="nearest",
+                              **kw)
+                .sort_values(["user_id", "ts", "value"])
+                .reset_index(drop=True))
+        pd.testing.assert_series_equal(got["score"], want["score"],
+                                       check_dtype=False)
+        # broadcast (no-by) path
+        got2 = (asof_join(dsl, dsr, on="ts", direction="nearest", **kw)
+                .to_pandas().sort_values(["ts", "value"])
+                .reset_index(drop=True))
+        want2 = (pd.merge_asof(
+                     left.sort_values("ts"),
+                     right.sort_values("ts").drop(columns=["user_id"]),
+                     on="ts", direction="nearest", **kw)
+                 .sort_values(["ts", "value"]).reset_index(drop=True))
+        pd.testing.assert_series_equal(got2["score"], want2["score"],
+                                       check_dtype=False)
+        if not kw:                  # nearest w/o tolerance: every left
+            assert got["score"].notna().all()
+
+
+def test_asof_nearest_tie_and_duplicate_rules(ray_session):
+    """Pinned micro-cases: equal-distance tie -> backward; exact-match
+    duplicates -> last; forward duplicates -> first (pandas rules)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.asof import asof_join
+
+    L = rd.from_arrow(pa.table({"k": [1, 1, 1], "t": [10, 30, 50]}))
+    R = rd.from_arrow(pa.table(
+        {"k": [1, 1, 1, 1, 1],
+         "t": [8, 12, 30, 30, 52],
+         "v": ["back", "fwd", "dup1", "dup2", "fwd2"]}))
+    out = (asof_join(L, R, on="t", by="k", direction="nearest")
+           .to_pandas().sort_values("t").reset_index(drop=True))
+    # t=10: back(8) and fwd(12) both distance 2 -> backward wins
+    # t=30: exact duplicates -> the LAST (dup2)
+    # t=50: nearest is fwd2 at 52 (distance 2 vs dup2 at 20)
+    assert out["v"].tolist() == ["back", "dup2", "fwd2"]
+
+    Rf = rd.from_arrow(pa.table({"k": [1, 1], "t": [12, 12],
+                                 "v": ["first", "second"]}))
+    outf = asof_join(L.filter(lambda r: r["t"] == 10), Rf, on="t",
+                     by="k", direction="nearest").to_pandas()
+    assert outf["v"].tolist() == ["first"]   # forward duplicates: first
+
+    floats = rd.from_arrow(pa.table(
+        {"k": [1], "t": pa.array([5.0], pa.float64())}))
+    with pytest.raises(TypeError, match="nearest"):
+        asof_join(floats, floats, on="t", by="k", direction="nearest")
