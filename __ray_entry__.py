@@ -1325,6 +1325,26 @@ def _q_interval_overlap_general(sf_dir: str):
         count_col="n_pairs")
 
 
+def _q_key_skew_users(sf_dir: str):
+    """One-row exact key-distribution profile of events.user_id — the
+    pre-salting diagnostic (packed count exchange → single-task sorted
+    reduce over one int64 per key; quantile_disc / IEEE-order parity
+    with the oracle)."""
+    from bloomjoin_ray.pipelines.profile import key_skew_summary
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return key_skew_summary(ev, "user_id")
+
+
+def _q_heavy_user_keys(sf_dir: str):
+    """Exact top-12 hottest user_id keys by event count (count desc,
+    key asc) — the keys a salted exchange would spread."""
+    from bloomjoin_ray.pipelines.profile import heavy_keys
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_keys(ev, "user_id", k=12)
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1622,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tokens_split": _q_docs_tokens_split,
         "session_overlap": _q_session_overlap,
         "interval_overlap_general": _q_interval_overlap_general,
+        "key_skew_users": _q_key_skew_users,
+        "heavy_user_keys": _q_heavy_user_keys,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2240,6 +2262,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, token, ord FROM u WHERE token <> ''
+        """,
+        "key_skew_users": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   max(n) AS max_n,
+                   quantile_disc(n, 0.5) AS p50_n,
+                   quantile_disc(n, 0.9) AS p90_n,
+                   quantile_disc(n, 0.99) AS p99_n,
+                   CAST(sum(n) AS DOUBLE) / count(*) AS avg_n,
+                   CAST(max(n) AS DOUBLE) * count(*)
+                       / CAST(sum(n) AS DOUBLE) AS skew
+            FROM c
+        """,
+        "heavy_user_keys": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 12
         """,
         "interval_overlap_general": """
             WITH c AS (

@@ -132,6 +132,9 @@ def __getattr__(name):
         "decontaminate": "bloomjoin_ray.pipelines.decontam",
         "contaminated_counts": "bloomjoin_ray.pipelines.decontam",
         "knn_join": "bloomjoin_ray.pipelines.ann",
+        "key_skew_summary": "bloomjoin_ray.pipelines.profile",
+        "heavy_keys": "bloomjoin_ray.pipelines.profile",
+        "key_skew_sketch": "bloomjoin_ray.pipelines.profile",
         "tumbling_window": "bloomjoin_ray.pipelines.windows",
         "sliding_window": "bloomjoin_ray.pipelines.windows",
         "sessionize": "bloomjoin_ray.pipelines.windows",
