@@ -1345,6 +1345,44 @@ def _q_heavy_user_keys(sf_dir: str):
     return heavy_keys(ev, "user_id", k=12)
 
 
+def _q_bucketed_join_roundtrip(sf_dir: str):
+    """Bucket-aligned storage roundtrip: orders + customer written
+    hash-bucketed by custkey once (the only exchange), then joined with
+    ZERO shuffle — one task per bucket pair — and aggregated per
+    nation. The repeated-join contract: re-joining these layouts never
+    pays the exchange again."""
+    import os
+
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.aggregate import grouped_assoc_agg
+    from bloomjoin_ray.pipelines.bucketed import bucketed_join, write_bucketed
+
+    root = os.path.join("/tmp", "graft_bucketed",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    do, dc = os.path.join(root, "orders"), os.path.join(root, "customer")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def to_key(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_custkey", "c_nationkey"])
+
+    write_bucketed(orders, do, "o_custkey", num_buckets=32,
+                   overwrite=True)
+    write_bucketed(cust.map_batches(to_key, batch_format="pyarrow"),
+                   dc, "o_custkey", num_buckets=32, overwrite=True)
+    j = bucketed_join(do, dc, how="inner")
+
+    def dup(b: pa.Table) -> pa.Table:
+        return b.append_column("o_orderkey2", b.column("o_orderkey"))
+
+    return grouped_assoc_agg(
+        j.map_batches(dup, batch_format="pyarrow"), ["c_nationkey"],
+        aggs={"o_orderkey": ("min", "min_ok"),
+              "o_orderkey2": ("max", "max_ok")},
+        count_col="n")
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1644,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_general": _q_interval_overlap_general,
         "key_skew_users": _q_key_skew_users,
         "heavy_user_keys": _q_heavy_user_keys,
+        "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2262,6 +2301,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, token, ord FROM u WHERE token <> ''
+        """,
+        "bucketed_join_roundtrip": """
+            SELECT c_nationkey,
+                   min(o_orderkey) AS min_ok,
+                   max(o_orderkey) AS max_ok,
+                   count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "key_skew_users": """
             WITH c AS (

@@ -132,6 +132,9 @@ def __getattr__(name):
         "decontaminate": "bloomjoin_ray.pipelines.decontam",
         "contaminated_counts": "bloomjoin_ray.pipelines.decontam",
         "knn_join": "bloomjoin_ray.pipelines.ann",
+        "write_bucketed": "bloomjoin_ray.pipelines.bucketed",
+        "bucketed_join": "bloomjoin_ray.pipelines.bucketed",
+        "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
         "heavy_keys": "bloomjoin_ray.pipelines.profile",
         "key_skew_sketch": "bloomjoin_ray.pipelines.profile",
