@@ -1383,6 +1383,22 @@ def _q_bucketed_join_roundtrip(sf_dir: str):
         count_col="n")
 
 
+def _q_join_size_estimate(sf_dir: str):
+    """CMS inner-product estimate of |lineitem ⋈ orders| — the
+    sketch-native join-cardinality planner input. Approximate (no
+    oracle row): the published never-undercount / ε·N_L·N_R bound is
+    pinned in tests/test_join_size.py against the exact DuckDB count."""
+    import pandas as pd
+
+    from bloomjoin_ray.pipelines.aggregate import estimate_join_size
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    r = estimate_join_size(li, orders, {"l_orderkey": "o_orderkey"},
+                           width=32768)
+    return pd.DataFrame([r])
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1766,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pct_rank": _q_events_pct_rank,
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
+        "join_size_estimate": _q_join_size_estimate,
     }
 
 

@@ -62,6 +62,7 @@ def __getattr__(name):
         "bucketize_by_quantile": "bloomjoin_ray.pipelines.aggregate",
         "grouped_vector_mean": "bloomjoin_ray.pipelines.aggregate",
         "cms_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
+        "estimate_join_size": "bloomjoin_ray.pipelines.aggregate",
         "mg_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
         "theta_sketch": "bloomjoin_ray.pipelines.aggregate",
         "theta_set_estimates": "bloomjoin_ray.pipelines.aggregate",

@@ -699,6 +699,33 @@ def cms_sketch(ds, cols: str | Sequence[str], *, depth: int = 5,
         input_cols=cols) or CountMinSketch(depth, width)
 
 
+def estimate_join_size(ds_left, ds_right, on, *, depth: int = 5,
+                       width: int = 4096) -> dict:
+    """CMS inner-product estimate of the equi-join output size
+    ``|L ⋈ R|`` — Cormode–Muthukrishnan 2005 §4.2, the sketch-native
+    answer to "how big is this join?" before paying for it. Builds one
+    CMS per side (per-block partials, tree merge — two column-pruned
+    streaming passes, no shuffle) over the canonical 64-bit key hash,
+    then takes ``min_r ⟨row_r(L), row_r(R)⟩``.
+
+    Never undercounts: ``true ≤ est ≤ true + ε·N_L·N_R`` w.p. ``1 − δ``
+    with ``ε = e/width``, ``δ = e^−depth``. ``on`` accepts the join
+    forms ``resolve_on`` does (str / list / dict {left: right}).
+    Returns ``{"rows_estimate", "epsilon", "delta", "bound_slack"}``
+    where ``bound_slack = ε·N_L·N_R`` is the published additive bound.
+    """
+    from .asof import _schema_of
+    from .plan import resolve_on
+
+    spec = resolve_on(_schema_of(ds_left).names, _schema_of(ds_right).names,
+                      on)
+    sl = cms_sketch(ds_left, spec.x_cols, depth=depth, width=width)
+    sr = cms_sketch(ds_right, spec.y_cols, depth=depth, width=width)
+    return {"rows_estimate": sl.inner_product(sr),
+            "epsilon": sl.epsilon, "delta": sl.delta,
+            "bound_slack": sl.epsilon * sl.total * sr.total}
+
+
 def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
                       depth: int = 5, width: int = 4096,
                       candidates_per_block: int | None = None,

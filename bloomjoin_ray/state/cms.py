@@ -71,6 +71,25 @@ class CountMinSketch:
             np.minimum(est, self.table[r][self._positions(h, r)], out=est)
         return est
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimate the inner product of the two sketched frequency
+        vectors ``Σ_k f_self(k)·f_other(k)`` — the size of the equi-join
+        between the two sketched key streams (Cormode–Muthukrishnan
+        2005 §4.2): per row, the dot product of the two counter rows
+        overcounts the true inner product by hash collisions only, so
+        the min across rows satisfies
+        ``true ≤ est ≤ true + ε·N_self·N_other`` w.p. ``1 − δ``.
+        Requires identical (depth, width) — the row-salted hash
+        positions then agree by construction. Accumulates in float64:
+        per-cell products at 10^12-turn counts overflow int64, and the
+        ≤2^-53 relative rounding is noise next to the ε·N bound."""
+        if (self.depth, self.width) != (other.depth, other.width):
+            raise ValueError(
+                "inner_product requires identical (depth, width)")
+        per_row = np.einsum("rw,rw->r", self.table.astype(np.float64),
+                            other.table.astype(np.float64))
+        return int(per_row.min())
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.width) != (other.depth, other.width):
             raise ValueError("cannot merge CMS with different (depth, width)")
