@@ -200,6 +200,18 @@ def _q_tdigest_by_type(sf_dir: str):
                             "value", [0.1, 0.5, 0.9], key="event_type")
 
 
+def _q_ddsketch_value(sf_dir: str):
+    """DDSketch quantiles: relative-VALUE-error bound (within α·|true|
+    uniformly, incl. tails) — vs t-digest/KLL's rank-error bounds.
+    Approximate (no oracle); bound pinned in tests/test_ddsketch.py."""
+    from bloomjoin_ray.pipelines.aggregate import approx_quantiles
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(_read(sf_dir, "events", columns=["value"]),
+                           "value", qs, method="ddsketch", alpha=0.01)
+    return pa.table({"q": pa.array(qs), "value_est": pa.array(np.asarray(est))})
+
+
 def _q_kll_value(sf_dir: str):
     from bloomjoin_ray.pipelines.aggregate import approx_quantiles
 
@@ -1783,6 +1795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
         "join_size_estimate": _q_join_size_estimate,
+        "ddsketch_value_quantiles": _q_ddsketch_value,
     }
 
 

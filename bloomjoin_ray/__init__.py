@@ -15,6 +15,7 @@ from .params import BloomParams, bloom_achieved_fpr, bloom_params, bloom_sizing
 from .report import JoinReport
 from .state.bloom import BloomSketch
 from .state.cms import CountMinSketch
+from .state.ddsketch import DDSketch
 from .state.hll import HllSketch, SparseHll
 from .state.kll import KllSketch
 from .state.misra_gries import MisraGries
@@ -29,7 +30,7 @@ __all__ = [
     "JoinReport",
     # sketches
     "BloomSketch", "HllSketch", "SparseHll", "CountMinSketch", "TDigest",
-    "KllSketch", "ThetaSketch", "MisraGries", "ReservoirSample",
+    "KllSketch", "DDSketch", "ThetaSketch", "MisraGries", "ReservoirSample",
 ]
 
 

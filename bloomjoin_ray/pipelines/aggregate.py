@@ -367,8 +367,13 @@ def hll_distinct(ds, cols: str | Sequence[str], *, key=None, p: int = 14,
 
 def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
                      method: str = "tdigest", delta: int = 200, k: int = 200,
-                     salt: int | None = None, out_prefix: str = "q"):
-    """Approximate quantiles of a numeric column via t-digest or KLL.
+                     alpha: float = 0.01, salt: int | None = None,
+                     out_prefix: str = "q"):
+    """Approximate quantiles of a numeric column via t-digest, KLL, or
+    DDSketch. t-digest/KLL bound RANK error; ``method="ddsketch"``
+    bounds relative VALUE error (each estimate within ``alpha·|true|``,
+    uniformly across quantiles — the right sketch for latency /
+    length-style metrics where tail values span decades).
 
     Global → np.ndarray aligned with ``qs``; grouped → Dataset with one
     ``{out_prefix}{int(100 q)}`` column per quantile.
@@ -378,8 +383,11 @@ def approx_quantiles(ds, col: str, qs: Sequence[float], *, key=None,
         make = lambda: TDigest(delta)
     elif method == "kll":
         make = lambda: KllSketch(k)
+    elif method == "ddsketch":
+        from ..state.ddsketch import DDSketch
+        make = lambda: DDSketch(alpha)
     else:
-        raise ValueError("method must be 'tdigest' or 'kll'")
+        raise ValueError("method must be 'tdigest', 'kll', or 'ddsketch'")
 
     def update(s, t: pa.Table):
         arr = t.column(col)

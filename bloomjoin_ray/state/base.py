@@ -83,9 +83,10 @@ def register_sketch(name: str):
 def _ensure_registry() -> None:
     # populate lazily: a Ray worker may deserialize a blob having imported
     # only this module, not the concrete sketch modules
-    if len(_REGISTRY) < 9:
+    if len(_REGISTRY) < 10:
         from . import (  # noqa: F401
-            bloom, cms, hll, kll, misra_gries, reservoir, tdigest, theta)
+            bloom, cms, ddsketch, hll, kll, misra_gries, reservoir,
+            tdigest, theta)
 
 
 def sketch_from_bytes(blob: bytes):
