@@ -1411,6 +1411,35 @@ def _q_join_size_estimate(sf_dir: str):
     return pd.DataFrame([r])
 
 
+def _q_bucketed_group_stats(sf_dir: str):
+    """Zero-shuffle grouped reduce over a bucket-aligned layout:
+    orders written hash-bucketed by custkey once, then per-key
+    count/min/max computed one task per bucket with NO exchange —
+    the grouped sibling of bucketed_join over the same layout."""
+    import os
+
+    import pyarrow as pa
+
+    from bloomjoin_ray.pipelines.bucketed import (bucketed_map_groups,
+                                                  write_bucketed)
+
+    root = os.path.join("/tmp", "graft_bucketed_stats",
+                        os.path.basename(os.path.normpath(sf_dir)))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    write_bucketed(orders, root, "o_custkey", num_buckets=32,
+                   overwrite=True)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        tp = g.column("o_totalprice")
+        return pa.table({
+            "o_custkey": g.column("o_custkey").slice(0, 1),
+            "n": pa.array([g.num_rows], pa.int64()),
+            "min_tp": pa.array([pc.min(tp).as_py()], tp.type),
+            "max_tp": pa.array([pc.max(tp).as_py()], tp.type)})
+
+    return bucketed_map_groups(root, per_key)
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1711,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_users": _q_key_skew_users,
         "heavy_user_keys": _q_heavy_user_keys,
         "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
+        "bucketed_group_stats": _q_bucketed_group_stats,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2339,6 +2369,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey
+        """,
+        "bucketed_group_stats": """
+            SELECT o_custkey, count(*) AS n,
+                   min(o_totalprice) AS min_tp,
+                   max(o_totalprice) AS max_tp
+            FROM orders GROUP BY o_custkey
         """,
         "key_skew_users": """
             WITH c AS (

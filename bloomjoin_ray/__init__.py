@@ -136,6 +136,7 @@ def __getattr__(name):
         "knn_join": "bloomjoin_ray.pipelines.ann",
         "write_bucketed": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_join": "bloomjoin_ray.pipelines.bucketed",
+        "bucketed_map_groups": "bloomjoin_ray.pipelines.bucketed",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
         "heavy_keys": "bloomjoin_ray.pipelines.profile",

@@ -152,3 +152,54 @@ def bucketed_join(dir_left: str, dir_right: str, *, how: str = "inner",
                             override_num_blocks=n)
     return buckets.map_batches(join_bucket, batch_format="pyarrow",
                                batch_size=1)
+
+
+def bucketed_map_groups(layout_dir: str, fn, *,
+                        columns: Sequence[str] | None = None):
+    """Per-key grouped transform over a bucketed layout with ZERO
+    shuffle — the grouped sibling of ``bucketed_join``, reusing the
+    write-time exchange: one task per bucket reads its own files,
+    re-segments by the REAL key (lexsorted 128-bit hash pair, same
+    collision envelope as every packed reduce), and applies ``fn`` to
+    each key's rows (a ``pa.Table`` → ``pa.Table`` / ``None``).
+
+    ``columns`` prunes the per-bucket read (must keep the key columns).
+    Key groups arrive in hash order, rows within a group in file order.
+    Same envelope as ``bucketed_join``: one bucket must fit a task."""
+    import ray.data as rd
+
+    from .aggregate import _key_group_bounds
+
+    spec = read_bucket_spec(layout_dir)
+    keys, n = spec["key_cols"], spec["num_buckets"]
+    if columns is not None:
+        columns = list(columns)
+        missing = [k for k in keys if k not in columns]
+        if missing:
+            raise ValueError(f"columns must include the layout's key "
+                             f"columns; missing {missing}")
+
+    def run_bucket(batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        for i in np.asarray(batch.column("bucket")):
+            d = os.path.join(layout_dir, f"__kbucket={int(i)}")
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(d, columns=columns)
+            if t.num_rows == 0:
+                continue
+            order, bounds = _key_group_bounds(t, keys)
+            t = t.take(pa.array(order))
+            outs = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                r = fn(t.slice(a, b - a))
+                if r is not None and r.num_rows:
+                    outs.append(r)
+            if outs:
+                yield pa.concat_tables(outs, promote_options="default")
+
+    buckets = rd.from_items([{"bucket": i} for i in range(n)],
+                            override_num_blocks=n)
+    return buckets.map_batches(run_bucket, batch_format="pyarrow",
+                               batch_size=1)

@@ -102,3 +102,32 @@ def test_bucketed_join_validation(layouts, tmp_path, ray_session):
         bucketed_join(da, f32)
     with pytest.raises(ValueError, match="key columns"):
         write_bucketed(rd.from_arrow(L), str(tmp_path / "x"), "missing")
+
+
+def test_bucketed_map_groups_matches_groupby(layouts):
+    """Zero-shuffle grouped reduce over the layout == DuckDB GROUP BY."""
+    from bloomjoin_ray.pipelines.bucketed import bucketed_map_groups
+
+    L, _R, da, _db = layouts
+
+    def per_key(g: pa.Table) -> pa.Table:
+        lv = g.column("lv").to_numpy()
+        return pa.table({"k": g.column("k").slice(0, 1),
+                         "n": pa.array([g.num_rows], pa.int64()),
+                         "s": pa.array([float(lv.sum())])})
+
+    got = (bucketed_map_groups(da, per_key, columns=["k", "lv"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = duckdb.sql(
+        "SELECT k, count(*)::BIGINT n, sum(lv) s FROM L GROUP BY k "
+        "ORDER BY k").df()
+    pd.testing.assert_frame_equal(got[["k", "n"]], exp[["k", "n"]])
+    assert np.allclose(got["s"], exp["s"])
+
+
+def test_bucketed_map_groups_validates_columns(layouts):
+    from bloomjoin_ray.pipelines.bucketed import bucketed_map_groups
+
+    _L, _R, da, _db = layouts
+    with pytest.raises(ValueError, match="key columns"):
+        bucketed_map_groups(da, lambda g: g, columns=["lv"])
