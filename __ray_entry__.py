@@ -200,6 +200,17 @@ def _q_tdigest_by_type(sf_dir: str):
                             "value", [0.1, 0.5, 0.9], key="event_type")
 
 
+def _q_dataset_profile(sf_dir: str):
+    """ONE-PASS whole-table profile of events (counts, nulls, HLL
+    distinct, min/max, mean/std, KLL quantiles, string mean length) —
+    the pre-processing reconnaissance operator. Approximate (no
+    oracle): exact counters + sketch bounds pinned vs DuckDB in
+    tests/test_tprofile.py."""
+    from bloomjoin_ray.pipelines.profile import dataset_profile
+
+    return dataset_profile(_read(sf_dir, "events"))
+
+
 def _q_ddsketch_value(sf_dir: str):
     """DDSketch quantiles: relative-VALUE-error bound (within α·|true|
     uniformly, incl. tails) — vs t-digest/KLL's rank-error bounds.
@@ -1826,6 +1837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "join_size_estimate": _q_join_size_estimate,
         "ddsketch_value_quantiles": _q_ddsketch_value,
+        "dataset_profile_events": _q_dataset_profile,
     }
 
 

@@ -139,6 +139,7 @@ def __getattr__(name):
         "bucketed_map_groups": "bloomjoin_ray.pipelines.bucketed",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
+        "dataset_profile": "bloomjoin_ray.pipelines.profile",
         "heavy_keys": "bloomjoin_ray.pipelines.profile",
         "key_skew_sketch": "bloomjoin_ray.pipelines.profile",
         "tumbling_window": "bloomjoin_ray.pipelines.windows",

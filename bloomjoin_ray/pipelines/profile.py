@@ -131,3 +131,44 @@ def key_skew_sketch(ds, cols: str | Sequence[str], *, topk: int = 10,
         hh = hh.append_column("share_lb", pa.array(share))
     return {"n_rows": n_rows, "distinct_est": distinct,
             "avg_n_est": n_rows / max(distinct, 1.0), "heavy": hh}
+
+
+def dataset_profile(ds, columns: Sequence[str] | None = None, *,
+                    qs: Sequence[float] = (0.5, 0.95, 0.99),
+                    p: int = 14, k: int = 200) -> pa.Table:
+    """ONE-PASS whole-dataset profile — the 100 TB "look before you
+    process" operator: per column, row/null counts, HLL distinct
+    estimate, min/max, exact float64 moments (mean/std) + KLL quantiles
+    for numeric columns (temporal on its epoch scale), mean length for
+    string/binary. One partial ``TableProfile`` per Arrow block, tree
+    merge — the whole report costs a single column-pruned read and
+    moves only sketch bytes (no shuffle, nothing materialized).
+
+    Returns a ``pa.Table`` with one row per profiled column. Error
+    envelopes: distinct within HLL's ~1.04/sqrt(2^p); quantiles within
+    KLL rank error; counts/min/max/mean/std exact (float64
+    accumulation). ``columns=None`` profiles every non-nested column.
+    """
+    from ..state.tprofile import TableProfile, _kind_of
+    from .aggregate import sketch_aggregate_global
+    from .asof import _schema_of
+
+    schema = _schema_of(ds)
+    if columns is None:
+        columns = [f.name for f in schema
+                   if _kind_of(f.type) != "other"]
+    else:
+        columns = list(columns)
+        missing = [c for c in columns if c not in schema.names]
+        if missing:
+            raise ValueError(f"profiled columns {missing} not in schema "
+                             f"{schema.names}")
+    if not columns:
+        raise ValueError("no profilable columns")
+    dtypes = [str(schema.field(c).type) for c in columns]
+    prof = sketch_aggregate_global(
+        ds, lambda: TableProfile(columns, dtypes, p=p, k=k),
+        lambda s, t: s.update_table(t), input_cols=columns)
+    if prof is None:
+        prof = TableProfile(columns, dtypes, p=p, k=k)
+    return prof.finalize(qs=qs)

@@ -83,10 +83,10 @@ def register_sketch(name: str):
 def _ensure_registry() -> None:
     # populate lazily: a Ray worker may deserialize a blob having imported
     # only this module, not the concrete sketch modules
-    if len(_REGISTRY) < 10:
+    if len(_REGISTRY) < 11:
         from . import (  # noqa: F401
             bloom, cms, ddsketch, hll, kll, misra_gries, reservoir,
-            tdigest, theta)
+            tdigest, theta, tprofile)
 
 
 def sketch_from_bytes(blob: bytes):
