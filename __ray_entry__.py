@@ -1451,6 +1451,37 @@ def _q_bucketed_group_stats(sf_dir: str):
     return bucketed_map_groups(root, per_key)
 
 
+def _q_cogroup_order_lines(sf_dir: str):
+    """cogroup (the general two-dataset per-key transform): orders and
+    lineitem co-located per orderkey in ONE packed exchange, per-key
+    full-outer counts + max extended price — the aggregate-comparison
+    shape a plain join can't express row-aligned."""
+    from bloomjoin_ray.pipelines.cogroup import cogroup
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "l_extendedprice"])
+
+    def per_key(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        keys = ta.column("o_orderkey") if ta.num_rows else \
+            tb.column("o_orderkey")
+        ep = tb.column("l_extendedprice")
+        return pa.table({
+            "o_orderkey": keys.slice(0, 1),
+            "n_orders": pa.array([ta.num_rows], pa.int64()),
+            "n_lines": pa.array([tb.num_rows], pa.int64()),
+            "max_ep": pa.array(
+                [pc.max(ep).as_py() if tb.num_rows else None],
+                pa.float64())})
+
+    return cogroup(orders,
+                   li.map_batches(rename, batch_format="pyarrow"),
+                   "o_orderkey", per_key)
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1752,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_user_keys": _q_heavy_user_keys,
         "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
         "bucketed_group_stats": _q_bucketed_group_stats,
+        "cogroup_order_lines": _q_cogroup_order_lines,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2387,6 +2419,18 @@ def oracle_sql() -> dict[str, str]:
                    min(o_totalprice) AS min_tp,
                    max(o_totalprice) AS max_tp
             FROM orders GROUP BY o_custkey
+        """,
+        "cogroup_order_lines": """
+            WITH ca AS (SELECT o_orderkey AS k, count(*) AS n_a
+                        FROM orders GROUP BY 1),
+                 cb AS (SELECT l_orderkey AS k, count(*) AS n_b,
+                               max(l_extendedprice) AS max_ep
+                        FROM lineitem GROUP BY 1)
+            SELECT coalesce(ca.k, cb.k) AS o_orderkey,
+                   coalesce(n_a, 0) AS n_orders,
+                   coalesce(n_b, 0) AS n_lines,
+                   max_ep
+            FROM ca FULL JOIN cb ON ca.k = cb.k
         """,
         "key_skew_users": """
             WITH c AS (
