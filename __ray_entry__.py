@@ -1482,6 +1482,27 @@ def _q_cogroup_order_lines(sf_dir: str):
                    "o_orderkey", per_key)
 
 
+def _q_dataset_diff_orders(sf_dir: str):
+    """dataset_diff (per-key reconciliation): orders vs a filtered
+    rerun of itself — the dropped keys surface as only_a with exact
+    counts; agreeing keys are suppressed (the diff is the small
+    output). One packed exchange; fingerprints vectorized."""
+    from bloomjoin_ray.pipelines.cogroup import dataset_diff
+
+    a = _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    b = _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice",
+                       "o_orderstatus"])
+
+    def keep_f(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderstatus"), "F")
+        return t.filter(m).drop_columns(["o_orderstatus"])
+
+    return dataset_diff(a, b.map_batches(keep_f, batch_format="pyarrow"),
+                        "o_orderkey")
+
+
 def _q_docs_tokens_split(sf_dir: str):
     """Tokenize documents into one row per whitespace-separated token
     with its ordinal (regex split + UNNEST, one vectorized pass)."""
@@ -1784,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
         "bucketed_group_stats": _q_bucketed_group_stats,
         "cogroup_order_lines": _q_cogroup_order_lines,
+        "dataset_diff_orders": _q_dataset_diff_orders,
         "events_time_parts": _q_events_time_parts,
         "events_value_share": _q_events_value_share,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
@@ -2431,6 +2453,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_b, 0) AS n_lines,
                    max_ep
             FROM ca FULL JOIN cb ON ca.k = cb.k
+        """,
+        "dataset_diff_orders": """
+            SELECT o_orderkey, CAST(1 AS BIGINT) AS n_a,
+                   CAST(0 AS BIGINT) AS n_b, 'only_a' AS status
+            FROM orders WHERE o_orderstatus <> 'F'
         """,
         "key_skew_users": """
             WITH c AS (

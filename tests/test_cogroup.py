@@ -87,3 +87,50 @@ def test_cogroup_column_pruning(two_sides):
                                                pa.int64())}),
         columns_a=["k"], columns_b=["k"]).to_pandas()
     assert out["n"].sum() == 4000 + 2500
+
+
+def test_dataset_diff(ray_session):
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.cogroup import dataset_diff
+
+    rng = np.random.default_rng(9)
+    base = pa.table({"k": pa.array(np.arange(500, dtype=np.int64)),
+                     "v": pa.array(rng.integers(0, 10**6, 500)),
+                     "s": pa.array([f"s{i}" for i in range(500)])})
+    da = rd.from_arrow(base).repartition(4)
+
+    # identical copies diff to nothing (different partitioning, order)
+    same = rd.from_arrow(base.take(pa.array(
+        rng.permutation(500)))).repartition(7)
+    assert dataset_diff(da, same, "k").count() == 0
+
+    # mutate one value, drop one key, add one key, duplicate one row
+    tb = base.to_pandas()
+    tb.loc[tb["k"] == 7, "v"] += 1                       # content_differs
+    tb = tb[tb["k"] != 13]                               # only_a
+    tb = pd.concat([tb, pd.DataFrame(
+        {"k": [999], "v": [1], "s": ["new"]})])          # only_b
+    tb = pd.concat([tb, tb[tb["k"] == 21]])              # count_differs
+    db = rd.from_arrow(pa.Table.from_pandas(
+        tb, preserve_index=False).cast(base.schema)).repartition(3)
+
+    got = (dataset_diff(da, db, "k").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert got.set_index("k")["status"].to_dict() == {
+        7: "content_differs", 13: "only_a", 21: "count_differs",
+        999: "only_b"}
+    # emit_equal surfaces the agreeing keys too
+    full = dataset_diff(da, db, "k", emit_equal=True).to_pandas()
+    assert len(full) == 501 and (full["status"] == "equal").sum() == 497
+
+    # restricting compared columns hides the v mutation
+    sub = (dataset_diff(da, db, "k", columns=["s"]).to_pandas()
+           .sort_values("k"))
+    assert sub.set_index("k")["status"].to_dict() == {
+        13: "only_a", 21: "count_differs", 999: "only_b"}
+
+    with pytest.raises(TypeError, match="types differ"):
+        dataset_diff(da, rd.from_arrow(pa.table(
+            {"k": pa.array([1], pa.int64()),
+             "v": pa.array([1.0])})), "k", columns=["v"])
