@@ -134,3 +134,63 @@ def test_sizing_always_meets_target(n, p):
     assert 1 <= k <= 64
     if m < (1 << 40):  # below the cap the target must be met
         assert bloom_achieved_fpr(m, n, k) <= p
+
+
+@given(st.lists(st.floats(-1e12, 1e12, allow_nan=False,
+                          allow_infinity=False),
+                min_size=1, max_size=400),
+       st.integers(1, 6))
+@settings(max_examples=40, deadline=None)
+def test_ddsketch_alpha_bound_any_partitioning(vals, n_parts):
+    """DDSketch: merged partials keep the alpha relative-VALUE bound at
+    every quantile, for any split of the input."""
+    from bloomjoin_ray.state.ddsketch import DDSketch
+
+    alpha = 0.02
+    acc = None
+    arr = np.asarray(vals, dtype=np.float64)
+    # size the store for hypothesis' full float range (1e-280..1e12 is
+    # ~17k log-gamma buckets) so no collapse — the uncollapsed guarantee
+    # is the property; collapse has its own dedicated test
+    for chunk in np.array_split(arr, n_parts):
+        p = DDSketch(alpha=alpha, max_buckets=25_000)
+        p.update_batch(chunk)
+        acc = p if acc is None else acc.merge(p)
+    assert not acc.collapsed
+    xs = np.sort(arr)
+    qs = np.asarray([0.0, 0.25, 0.5, 0.75, 1.0])
+    true = xs[np.floor(qs * (len(xs) - 1)).astype(int)]
+    est = acc.quantile(qs)
+    # zero bucket: values below the indexable floor report exactly 0
+    tiny = np.abs(true) < 1e-280
+    assert (np.abs(est[tiny]) <= 1e-280).all()
+    nz = ~tiny
+    rel = np.abs(est[nz] - true[nz]) / np.abs(true[nz])
+    assert (rel <= alpha + 1e-9).all()
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300),
+       st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=300),
+       st.integers(1, 5))
+@settings(max_examples=40, deadline=None)
+def test_cms_inner_product_bound_any_partitioning(ha, hb, n_parts):
+    """CMS inner product: never undercounts, over by <= eps*Na*Nb, and
+    is invariant to how either side's build was partitioned."""
+    a = np.asarray(ha, dtype=np.uint64)
+    b = np.asarray(hb, dtype=np.uint64)
+    one = CountMinSketch(4, 512)
+    one.update_batch(a)
+    acc = None
+    for chunk in np.array_split(a, n_parts):
+        p = CountMinSketch(4, 512)
+        p.update_batch(chunk)
+        acc = p if acc is None else acc.merge(p)
+    sb = CountMinSketch(4, 512)
+    sb.update_batch(b)
+    est = one.inner_product(sb)
+    assert acc.inner_product(sb) == est
+    ka, ca = np.unique(a, return_counts=True)
+    kb, cb = np.unique(b, return_counts=True)
+    common, ia, ib = np.intersect1d(ka, kb, return_indices=True)
+    true = int((ca[ia].astype(np.int64) * cb[ib]).sum())
+    assert true <= est <= true + one.epsilon * len(a) * len(b) + 1e-9
