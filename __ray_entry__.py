@@ -200,6 +200,28 @@ def _q_tdigest_by_type(sf_dir: str):
                             "value", [0.1, 0.5, 0.9], key="event_type")
 
 
+def _q_minhash_join_docs(sf_dir: str):
+    """Cross-corpus near-dup JOIN (snapshot-vs-snapshot shape):
+    documents joined against a deterministically perturbed copy of
+    itself (a few tokens appended, ids offset) — every sufficiently
+    long doc should match its own perturbed twin. Approximate (LSH;
+    no oracle): recall/side-separation pinned in tests/test_dedup.py."""
+    from bloomjoin_ray.pipelines.dedup import minhash_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def perturb(b: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(
+            b.column("text"), pa.scalar(" snapshot delta marker tokens"),
+            pa.scalar(""))
+        ids = pc.add(b.column("doc_id"), 10_000_000)
+        return pa.table({"doc_id": ids, "text": txt})
+
+    return minhash_join(
+        docs, docs.map_batches(perturb, batch_format="pyarrow"),
+        threshold=0.6)
+
+
 def _q_dataset_profile(sf_dir: str):
     """ONE-PASS whole-table profile of events (counts, nulls, HLL
     distinct, min/max, mean/std, KLL quantiles, string mean length) —
@@ -1892,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _q_join_size_estimate,
         "ddsketch_value_quantiles": _q_ddsketch_value,
         "dataset_profile_events": _q_dataset_profile,
+        "minhash_join_docs": _q_minhash_join_docs,
     }
 
 

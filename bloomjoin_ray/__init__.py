@@ -139,6 +139,7 @@ def __getattr__(name):
         "bucketed_map_groups": "bloomjoin_ray.pipelines.bucketed",
         "cogroup": "bloomjoin_ray.pipelines.cogroup",
         "dataset_diff": "bloomjoin_ray.pipelines.cogroup",
+        "minhash_join": "bloomjoin_ray.pipelines.dedup",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
         "dataset_profile": "bloomjoin_ray.pipelines.profile",

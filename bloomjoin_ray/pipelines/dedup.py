@@ -109,6 +109,126 @@ class _MinHashStage:
         })
 
 
+def _minhash_bucket_reduce(group: pa.Table, id_col: str, threshold: float,
+                           side_col: str | None = None) -> pa.Table:
+    """Fully vectorized (the SimHash idiom): ONE C++ sort by
+    (bhash, band[, side], id) splits rows into collision segments with
+    duplicate-id rows adjacent; a boundary mask keeps the first row per
+    (segment[, side], id); ``triangle_indices`` expands every surviving
+    i<j pair at once; one batched signature comparison estimates all
+    Jaccards — no per-segment dict or per-pair Python appends.
+
+    ``side_col`` switches to JOIN semantics: only pairs whose sides
+    differ survive, oriented so ``id_a`` is always side 0."""
+    from .buckets import triangle_indices
+
+    id_type = group.column(id_col).type
+
+    def empty():
+        return pa.table({"id_a": pa.array([], type=id_type),
+                         "id_b": pa.array([], type=id_type),
+                         "est_jaccard": pa.array([], type=pa.float64())})
+
+    n = group.num_rows
+    if n == 0:
+        return empty()
+    sort_keys = [("bhash", "ascending"), ("band", "ascending")]
+    if side_col is not None:
+        sort_keys.append((side_col, "ascending"))
+    sort_keys.append((id_col, "ascending"))
+    order = np.asarray(pc.sort_indices(group, sort_keys=sort_keys))
+    sorted_g = group.take(pa.array(order))
+    bh = np.asarray(sorted_g.column("bhash"), dtype=np.int64)
+    band = np.asarray(sorted_g.column("band"), dtype=np.int64)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])
+    ids = sorted_g.column(id_col).combine_chunks()
+    sides = (np.asarray(sorted_g.column(side_col))
+             if side_col is not None else None)
+    # keep-first per (segment[, side], id): duplicate rows of one doc
+    # are adjacent after the sort
+    keep = np.empty(n, dtype=bool)
+    keep[0] = True
+    if n > 1:
+        same_id = np.asarray(pc.equal(ids.slice(1), ids.slice(0, n - 1)))
+        if sides is not None:
+            same_id &= sides[1:] == sides[:-1]
+        keep[1:] = new_seg[1:] | ~same_id
+    kept = np.nonzero(keep)[0]
+    seg_of_kept = (np.cumsum(new_seg) - 1)[kept]
+    ksizes = np.bincount(seg_of_kept)
+    kbounds = np.concatenate([[0], np.cumsum(ksizes)])
+    if not (ksizes > 1).any():
+        return empty()
+    sig_col = sorted_g.column("sig").combine_chunks()
+    # zero-copy (rows, num_perm) uint64 view over the fixed-width
+    # signature buffer — no per-doc frombuffer
+    width = sig_col.type.byte_width
+    sig_mat = np.frombuffer(
+        sig_col.buffers()[1], dtype=np.uint64,
+        offset=sig_col.offset * width,
+        count=len(sig_col) * (width // 8)).reshape(-1, width // 8)
+    ai, bi = triangle_indices(kbounds, ksizes > 1)
+    ka, kb = kept[ai], kept[bi]          # sorted-row positions
+    if sides is not None:
+        cross = sides[ka] != sides[kb]
+        ka, kb = ka[cross], kb[cross]
+        if ka.size == 0:
+            return empty()
+        # side 0 sorts before side 1 within a segment → ka IS side 0
+    est = (sig_mat[ka] == sig_mat[kb]).mean(axis=1)
+    hit = est >= threshold
+    if not hit.any():
+        return empty()
+    # same-corpus: ids ascend within each segment, so id_a < id_b is
+    # canonical; join mode: id_a is the side-0 (left) id
+    return pa.table({"id_a": ids.take(pa.array(ka[hit])),
+                     "id_b": ids.take(pa.array(kb[hit])),
+                     "est_jaccard": pa.array(est[hit])})
+
+
+def minhash_join(ds_a, ds_b, text_col: str = "text",
+                 id_col: str = "doc_id", *, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 5,
+                 threshold: float = 0.5):
+    """CROSS-CORPUS near-duplicate join: candidate pairs (one id from
+    each side) with signature-estimated Jaccard ≥ threshold — the
+    fuzzy-join shape under snapshot-vs-snapshot dedup, train-vs-bench
+    leakage sweeps beyond n-gram decontamination, and record linkage
+    on text. Returns Dataset[id_a (from ``ds_a``), id_b (from
+    ``ds_b``), est_jaccard].
+
+    Same scale shape as ``minhash_lsh_pairs`` (both corpora's band
+    rows hash into the same packed buckets, one lexsort per task), with
+    pairs restricted to cross-side — same-corpus collisions cost the
+    sort but never the quadratic pair expansion. Both sides need the
+    same ``id_col`` name and type (rename upstream)."""
+    from .buckets import dedupe_pairs, packed_bucket_map_groups
+
+    stage = _MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("__mside", pa.array(
+                np.full(b.num_rows, side, dtype=np.int8)))
+
+        return fn
+
+    parts = (ds_a.select_columns([id_col, text_col])
+             .map_batches(stage, batch_format="pyarrow")
+             .map_batches(tag(0), batch_format="pyarrow")
+             .union(ds_b.select_columns([id_col, text_col])
+                    .map_batches(stage, batch_format="pyarrow")
+                    .map_batches(tag(1), batch_format="pyarrow")))
+    pairs = packed_bucket_map_groups(
+        parts, ["band", "bhash"],
+        lambda g: _minhash_bucket_reduce(g, id_col, threshold,
+                                         side_col="__mside"))
+    # a pair can surface from several bands — dedupe (same est each time)
+    return dedupe_pairs(pairs, {"est_jaccard": "min"})
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
                       num_perm: int = 128, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.5):
@@ -121,67 +241,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id", *,
     segments and only multi-member segments (actual collisions) are
     touched, each scored with one vectorized all-pairs signature
     comparison."""
-    from .buckets import (triangle_indices, packed_bucket_map_groups,
-                          dedupe_pairs)
+    from .buckets import dedupe_pairs, packed_bucket_map_groups
 
     def bucket_reduce(group: pa.Table) -> pa.Table:
-        """Fully vectorized (the SimHash idiom): ONE C++ sort by
-        (bhash, band, id) splits rows into collision segments with
-        duplicate-id rows adjacent; a boundary mask keeps the first row
-        per (segment, id); ``triangle_indices`` expands every surviving
-        i<j pair at once; one batched signature comparison estimates all
-        Jaccards — no per-segment dict or per-pair Python appends."""
-        id_type = group.column(id_col).type
-
-        def empty():
-            return pa.table({"id_a": pa.array([], type=id_type),
-                             "id_b": pa.array([], type=id_type),
-                             "est_jaccard": pa.array([], type=pa.float64())})
-
-        n = group.num_rows
-        if n == 0:
-            return empty()
-        order = np.asarray(pc.sort_indices(group, sort_keys=[
-            ("bhash", "ascending"), ("band", "ascending"),
-            (id_col, "ascending")]))
-        sorted_g = group.take(pa.array(order))
-        bh = np.asarray(sorted_g.column("bhash"), dtype=np.int64)
-        band = np.asarray(sorted_g.column("band"), dtype=np.int64)
-        new_seg = np.empty(n, dtype=bool)
-        new_seg[0] = True
-        new_seg[1:] = (bh[1:] != bh[:-1]) | (band[1:] != band[:-1])
-        ids = sorted_g.column(id_col).combine_chunks()
-        # keep-first per (segment, id): duplicate rows of one doc are
-        # adjacent after the id sort
-        keep = np.empty(n, dtype=bool)
-        keep[0] = True
-        if n > 1:
-            same_id = np.asarray(pc.equal(ids.slice(1), ids.slice(0, n - 1)))
-            keep[1:] = new_seg[1:] | ~same_id
-        kept = np.nonzero(keep)[0]
-        seg_of_kept = (np.cumsum(new_seg) - 1)[kept]
-        ksizes = np.bincount(seg_of_kept)
-        kbounds = np.concatenate([[0], np.cumsum(ksizes)])
-        if not (ksizes > 1).any():
-            return empty()
-        sig_col = sorted_g.column("sig").combine_chunks()
-        # zero-copy (rows, num_perm) uint64 view over the fixed-width
-        # signature buffer — no per-doc frombuffer
-        width = sig_col.type.byte_width
-        sig_mat = np.frombuffer(
-            sig_col.buffers()[1], dtype=np.uint64,
-            offset=sig_col.offset * width,
-            count=len(sig_col) * (width // 8)).reshape(-1, width // 8)
-        ai, bi = triangle_indices(kbounds, ksizes > 1)
-        ka, kb = kept[ai], kept[bi]          # sorted-row positions
-        est = (sig_mat[ka] == sig_mat[kb]).mean(axis=1)
-        hit = est >= threshold
-        if not hit.any():
-            return empty()
-        # ids ascend within each segment, so id_a < id_b is canonical
-        return pa.table({"id_a": ids.take(pa.array(ka[hit])),
-                         "id_b": ids.take(pa.array(kb[hit])),
-                         "est_jaccard": pa.array(est[hit])})
+        return _minhash_bucket_reduce(group, id_col, threshold)
 
     stage = _MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
     pairs = packed_bucket_map_groups(

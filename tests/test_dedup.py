@@ -460,3 +460,71 @@ def test_semdedup_drops_planted_semantic_dups(ray_session):
         members = best[(best.vec_id >= lo) & (best.vec_id < lo + 5)]
         assert members["vec_id"].tolist() == [lo + int(np.argmax(
             quality[lo:lo + 5]))]
+
+
+def test_minhash_join_cross_corpus(ray_session):
+    """Cross-corpus near-dup join: planted A↔B near-dups are found,
+    same-side near-dups are NOT emitted, id_a always comes from A."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import minhash_join
+
+    rng = np.random.default_rng(31)
+    words = [f"w{i}" for i in range(400)]
+
+    def doc(seed, mutate=0):
+        r = np.random.default_rng(seed)
+        toks = list(r.choice(words, 60))
+        for j in range(mutate):
+            toks[j] = f"mut{seed}_{j}"
+        return " ".join(toks)
+
+    # A: docs 0..19; B: near-dups of A's 0..4 (2 tokens changed),
+    # plus 15 unrelated docs. A also contains an internal near-dup
+    # pair (10, 11) that must NOT appear in the join output.
+    a_rows = [{"doc_id": i, "text": doc(i)} for i in range(20)]
+    a_rows[11]["text"] = doc(10, mutate=1)
+    b_rows = [{"doc_id": 100 + i, "text": doc(i, mutate=2)}
+              for i in range(5)]
+    b_rows += [{"doc_id": 200 + i, "text": doc(1000 + i)}
+               for i in range(15)]
+    da = rd.from_items(a_rows).repartition(3)
+    db = rd.from_items(b_rows).repartition(2)
+
+    got = minhash_join(da, db, threshold=0.5).to_pandas()
+    assert (got["id_a"] < 100).all() and (got["id_b"] >= 100).all()
+    found = set(zip(got["id_a"], got["id_b"]))
+    for i in range(5):
+        assert (i, 100 + i) in found, f"planted pair {i} missed"
+    # no unrelated B doc pairs with anything in A
+    assert (got["id_b"] < 200).all()
+    assert (got["est_jaccard"] >= 0.5).all()
+
+
+def test_minhash_join_matches_pairs_on_split_corpus(ray_session):
+    """Splitting one corpus in two and joining finds exactly the
+    cross-split subset of minhash_lsh_pairs (same signatures, same
+    bands — identical estimates)."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.dedup import minhash_join, minhash_lsh_pairs
+
+    rng = np.random.default_rng(17)
+    words = [f"t{i}" for i in range(300)]
+    texts = []
+    for i in range(30):
+        r = np.random.default_rng(i % 12)  # groups of near-identical docs
+        toks = list(r.choice(words, 50))
+        toks[0] = f"v{i}"
+        texts.append(" ".join(toks))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_items(rows)
+    allp = minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    cross_exp = {(a, b) for a, b in zip(allp["id_a"], allp["id_b"])
+                 if (a < 15) != (b < 15)}
+    da = rd.from_items(rows[:15])
+    db = rd.from_items(rows[15:])
+    j = minhash_join(da, db, threshold=0.4).to_pandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(j["id_a"], j["id_b"])}
+    exp = {(min(a, b), max(a, b)) for a, b in cross_exp}
+    assert got == exp
