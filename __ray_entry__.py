@@ -370,6 +370,19 @@ def _q_decontam_docs(sf_dir: str):
     return contaminated_counts(train, ev, n=3)
 
 
+def _q_cross_doc_repetition(sf_dir: str):
+    """Cross-document n-gram repetition score over the whole corpus
+    (boilerplate/template signal): per doc, how many of its distinct
+    word 3-grams appear in >= 2 documents corpus-wide, plus the
+    fraction. One packed exchange keyed on the gram hash (segment size
+    IS the document frequency) + one small per-doc sum — no df table
+    ever joins back against the posting stream."""
+    from bloomjoin_ray.pipelines.decontam import cross_doc_ngram_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return cross_doc_ngram_stats(docs, n=3, min_df=2)
+
+
 def _q_curation_full(sf_dir: str):
     """End-to-end curation chain over the train split (doc_id % 20 != 0):
     quality filter (token count / punct ratio) → repetition filter
@@ -1915,6 +1928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_value_quantiles": _q_ddsketch_value,
         "dataset_profile_events": _q_dataset_profile,
         "minhash_join_docs": _q_minhash_join_docs,
+        "cross_doc_repetition_docs": _q_cross_doc_repetition,
     }
 
 
@@ -2774,6 +2788,28 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "cross_doc_repetition_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+            per AS (
+              SELECT doc_id, count(*) AS n_grams,
+                     CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_grams
+              FROM grams JOIN df USING (g) GROUP BY doc_id)
+            SELECT doc_id, n_grams, n_dup_grams,
+                   CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                     AS dup_fraction
+            FROM per
         """,
         "ngram_jaccard_docs": """
             WITH toks AS (

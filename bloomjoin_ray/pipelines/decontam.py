@@ -236,3 +236,84 @@ def decontaminate(ds_train, ds_eval, *, text_col: str = "text",
         return batch.append_column("contaminated", pc.greater(cnt, 0))
 
     return flagged.map_batches(finish, batch_format="pyarrow")
+
+
+def cross_doc_ngram_stats(ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 5,
+                          min_df: int = 2):
+    """Per-document CROSS-document n-gram repetition score — the
+    corpus-curation signal behind "boilerplate / templated page"
+    filters (RefinedWeb/Gopher-style rules score how much of a doc is
+    text that also appears elsewhere; unlike ``repetition_stats``,
+    which is WITHIN-doc, the denominator here is the whole corpus).
+
+    For each doc with ≥ ``n`` tokens: ``n_grams`` = distinct word
+    n-grams in the doc, ``n_dup_grams`` = how many of those appear in
+    ≥ ``min_df`` documents corpus-wide, ``dup_fraction`` = the ratio.
+    Docs with < ``n`` tokens emit nothing (strict windows, matching
+    ``ngram_postings``).
+
+    Scale shape (ONE full exchange of posting rows + one small one):
+    postings go through a packed exchange keyed on the gram hash; the
+    per-gram reduce knows each gram's document frequency from its
+    segment size (postings are per-doc unique) and collapses to ≤ one
+    (doc, grams_seen, dup_grams) partial per doc PER TASK — the second
+    exchange then sums ≤ docs × num_tasks small int rows per doc.
+    Nothing joins the full df table back to the postings stream.
+    """
+    import pyarrow.compute as pc
+
+    from .buckets import group_agg, packed_bucket_map_groups
+
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    postings = ngram_postings(ds, text_col=text_col, id_col=id_col, n=n)
+
+    def gram_reduce(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_col).type
+
+        def empty():
+            return pa.table({id_col: pa.array([], type=id_type),
+                             "n_grams": pa.array([], type=pa.int64()),
+                             "n_dup_grams": pa.array([], type=pa.int64())})
+
+        if group.num_rows == 0:
+            return empty()
+        # bucket-union-invariant: re-segment by the REAL 64-bit gram
+        # (several buckets' rows may arrive concatenated)
+        lo = np.asarray(group.column(_NG_LO)).view(np.uint64)
+        hi = np.asarray(group.column(_NG_HI)).view(np.uint64)
+        v = lo | (hi << _LO_BITS)
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        new = np.empty(len(vs), dtype=bool)
+        new[0] = True
+        new[1:] = vs[1:] != vs[:-1]
+        seg = np.cumsum(new) - 1
+        sizes = np.bincount(seg)
+        dup = (sizes >= min_df)[seg]  # per sorted posting row
+        ids = np.asarray(group.column(id_col))[order]
+        uids, inv = np.unique(ids, return_inverse=True)
+        tot = np.bincount(inv).astype(np.int64)
+        dupc = np.bincount(inv, weights=dup).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(uids).cast(id_type),
+            "n_grams": pa.array(tot),
+            "n_dup_grams": pa.array(dupc)})
+
+    partials = packed_bucket_map_groups(postings, _GRAM_COLS, gram_reduce)
+
+    def doc_reduce(group: pa.Table) -> pa.Table:
+        sub = group.select([id_col, "n_grams", "n_dup_grams"])
+        out = group_agg(sub, [id_col],
+                        [("n_grams", "sum"), ("n_dup_grams", "sum")])
+        return out.rename_columns([id_col, "n_grams", "n_dup_grams"])
+
+    totals = packed_bucket_map_groups(partials, [id_col], doc_reduce)
+
+    def frac(batch: pa.Table) -> pa.Table:
+        nd = pc.cast(batch.column("n_dup_grams"), pa.float64())
+        ng = pc.cast(batch.column("n_grams"), pa.float64())
+        return batch.append_column("dup_fraction", pc.divide(nd, ng))
+
+    return totals.map_batches(frac, batch_format="pyarrow")

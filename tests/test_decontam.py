@@ -180,3 +180,88 @@ def test_partitioned_join_path(ray_session):
     got = contaminated_counts(ds_train, ds_test, n=3,
                               broadcast_limit_rows=0).to_pandas()
     assert dict(zip(got.doc_id, got.n_contaminated)) == expected
+
+
+def _brute_cross_doc(docs, n, min_df):
+    gsets = {i: _grams(t, n) for i, t in enumerate(docs)}
+    from collections import Counter
+    df = Counter()
+    for s in gsets.values():
+        df.update(s)
+    out = {}
+    for i, s in gsets.items():
+        if not s:
+            continue
+        nd = sum(1 for g in s if df[g] >= min_df)
+        out[i] = (len(s), nd, nd / len(s))
+    return out
+
+
+def test_cross_doc_ngram_stats_matches_brute_force(ray_session):
+    """Exact parity with a Python oracle on a corpus with planted
+    boilerplate (a shared sentence injected into a third of the docs),
+    at min_df 2 and 3, invariant under repartitioning."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.decontam import cross_doc_ngram_stats
+
+    docs = _corpus(40, lo=2, hi=25)  # lo=2: some docs emit nothing at n=3
+    boiler = "all rights reserved contact us for details"
+    docs = [d + " " + boiler if i % 3 == 0 else d
+            for i, d in enumerate(docs)]
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(docs)])
+    for min_df in (2, 3):
+        exp = _brute_cross_doc(docs, 3, min_df)
+        for parts in (1, 5):
+            got = cross_doc_ngram_stats(
+                ds.repartition(parts), n=3, min_df=min_df).to_pandas()
+            gd = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_fraction)
+                  for r in got.itertuples()}
+            assert set(gd) == set(exp)
+            for k in exp:
+                assert gd[k] == exp[k], (min_df, parts, k)
+
+
+def test_cross_doc_ngram_stats_matches_sql(ray_session):
+    """DuckDB oracle parity (string grams vs 64-bit hashed grams —
+    identical absent hash collisions) including exact dup_fraction."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.decontam import cross_doc_ngram_stats
+
+    docs = _corpus(50, lo=3, hi=20)
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = (cross_doc_ngram_stats(rd.from_arrow(tbl).repartition(4),
+                                 n=3, min_df=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+        df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams
+          FROM grams JOIN df USING (g) GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_dup_grams,
+               CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 AS dup_fraction
+        FROM per ORDER BY doc_id
+    """).df()
+    assert len(got) == len(exp)
+    assert (got.doc_id.values == exp.doc_id.values).all()
+    assert (got.n_grams.values == exp.n_grams.values).all()
+    assert (got.n_dup_grams.values == exp.n_dup_grams.values).all()
+    assert (got.dup_fraction.values == exp.dup_fraction.values).all()
