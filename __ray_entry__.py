@@ -383,6 +383,18 @@ def _q_cross_doc_repetition(sf_dir: str):
     return cross_doc_ngram_stats(docs, n=3, min_df=2)
 
 
+def _q_bm25_topk_docs(sf_dir: str):
+    """BM25 retrieval: top-10 documents for the query "data sort merge"
+    (Okapi BM25, Lucene idf) — two streaming passes (per-block corpus
+    stats → broadcast idf constants → block-local top-k prune), no
+    shuffle; the SQL oracle writes the identical left-to-right float64
+    expression so even the score BITS match."""
+    from bloomjoin_ray.pipelines.text import bm25_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(docs, "data sort merge", k=10)
+
+
 def _q_curation_full(sf_dir: str):
     """End-to-end curation chain over the train split (doc_id % 20 != 0):
     quality filter (token count / punct ratio) → repetition filter
@@ -1929,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_profile_events": _q_dataset_profile,
         "minhash_join_docs": _q_minhash_join_docs,
         "cross_doc_repetition_docs": _q_cross_doc_repetition,
+        "bm25_topk_docs": _q_bm25_topk_docs,
     }
 
 
@@ -2788,6 +2801,42 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "bm25_topk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            stats AS (
+              SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS avgdl
+              FROM toks),
+            dfs AS (SELECT
+              (SELECT count(*) FROM toks
+               WHERE list_contains(ws, 'data'))  AS df0,
+              (SELECT count(*) FROM toks
+               WHERE list_contains(ws, 'sort'))  AS df1,
+              (SELECT count(*) FROM toks
+               WHERE list_contains(ws, 'merge')) AS df2),
+            feat AS (SELECT doc_id,
+              CAST(len(list_filter(ws, x -> x = 'data'))  AS DOUBLE) AS tf0,
+              CAST(len(list_filter(ws, x -> x = 'sort'))  AS DOUBLE) AS tf1,
+              CAST(len(list_filter(ws, x -> x = 'merge')) AS DOUBLE) AS tf2,
+              1.2 * (1.0 - 0.75 + 0.75 * (CAST(len(ws) AS DOUBLE) / avgdl))
+                AS norm
+              FROM toks, stats),
+            scored AS (SELECT doc_id,
+                ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                  * ((tf0 * (1.2 + 1.0)) / (tf0 + norm))
+              + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                  * ((tf1 * (1.2 + 1.0)) / (tf1 + norm))
+              + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                  * ((tf2 * (1.2 + 1.0)) / (tf2 + norm)) AS score
+              FROM feat, dfs, stats)
+            SELECT doc_id, score, CAST(row_number() OVER
+                   (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
         """,
         "cross_doc_repetition_docs": """
             WITH toks AS (

@@ -126,6 +126,7 @@ def __getattr__(name):
         "token_counts": "bloomjoin_ray.pipelines.text",
         "doc_frequency": "bloomjoin_ray.pipelines.text",
         "tfidf_topk": "bloomjoin_ray.pipelines.text",
+        "bm25_topk": "bloomjoin_ray.pipelines.text",
         "hashed_doc_vectors": "bloomjoin_ray.pipelines.text",
         "ngram_perplexity": "bloomjoin_ray.pipelines.text",
         "train_ngram_counts": "bloomjoin_ray.pipelines.text",

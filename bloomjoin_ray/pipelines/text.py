@@ -818,3 +818,112 @@ def add_time_parts(ds, ts_col: str, parts: "Sequence[str]", *,
         return batch
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def bm25_topk(ds, query: str, *, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Top-``k`` documents by BM25 relevance to ``query`` (Robertson &
+    Walker's Okapi BM25 with the Lucene ``ln(1 + (N - df + .5)/(df +
+    .5))`` idf) — the retrieval/search primitive behind query-driven
+    corpus curation (pulling topical subsets, seeding classifiers,
+    quality-by-relevance filters).
+
+    Scale shape — two streaming passes, NO shuffle:
+
+    * stats pass: one ``map_batches`` over the text column emits ONE
+      partial row per block (doc count, token count, per-query-term
+      distinct-doc counts); the driver gather is bounded by the block
+      count and the idf constants broadcast in the scoring closure;
+    * score pass: per block, token-hash the batch once, ``bincount``
+      per query term for tf, accumulate the score TERM-BY-TERM IN
+      QUERY ORDER (fixed float64 op order, so an ANSI-SQL oracle that
+      writes the same expression left-to-right reproduces the exact
+      bits), and prune to the block-local top ``k``; the global reduce
+      sorts ≤ k × blocks rows.
+
+    Ties break on ascending ``id_col``; zero-score docs participate
+    (a short corpus still returns ``k`` rows). Tokenization is
+    ``functions.text.split_tokens`` (lowercase, ``\\s+``, drop
+    empties). Returns Dataset[id_col, score, rank] with 1-based ranks,
+    ``rank`` dense in retrieval order.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ..functions.text import batch_token_hashes, fnv1a64_strings, \
+        splitmix64
+
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("query must contain at least one token")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # dedupe preserving order (repeated query terms add no signal here)
+    seen: dict[str, None] = {}
+    for t in terms:
+        seen.setdefault(t)
+    terms = list(seen)
+    term_h = splitmix64(fnv1a64_strings(pa.array(terms, type=pa.string())))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, offs = batch_token_hashes(batch.column(text_col))
+        nd = len(offs) - 1
+        doc_idx = np.repeat(np.arange(nd), np.diff(offs))
+        dfs = []
+        for h in term_h:
+            per_doc = np.bincount(doc_idx[flat == h], minlength=nd)
+            dfs.append(int((per_doc > 0).sum()))
+        cols = {"_n_docs": pa.array([nd], type=pa.int64()),
+                "_n_tokens": pa.array([len(flat)], type=pa.int64())}
+        for i, d in enumerate(dfs):
+            cols[f"_df_{i}"] = pa.array([d], type=pa.int64())
+        return pa.table(cols)
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .take_all())  # bounded: one row per block
+    n_docs = sum(r["_n_docs"] for r in parts)
+    n_tokens = sum(r["_n_tokens"] for r in parts)
+    if n_docs == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64())}))
+    avgdl = float(n_tokens) / float(n_docs)
+    idf = [math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+           for df_t in (sum(r[f"_df_{i}"] for r in parts)
+                        for i in range(len(terms)))]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        flat, offs = batch_token_hashes(batch.column(text_col))
+        nd = len(offs) - 1
+        dl = np.diff(offs).astype(np.float64)
+        doc_idx = np.repeat(np.arange(nd), np.diff(offs))
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        score = np.zeros(nd, dtype=np.float64)
+        for i, h in enumerate(term_h):  # FIXED query order: oracle-exact
+            tf = np.bincount(doc_idx[flat == h],
+                             minlength=nd).astype(np.float64)
+            score = score + idf[i] * ((tf * (k1 + 1.0)) / (tf + norm))
+        ids = batch.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        if nd > k:  # block-local prune: (score desc, id asc)
+            keep = np.lexsort((np.asarray(ids), -score))[:k]
+            keep.sort()  # cheap; global sort re-orders anyway
+            ids = ids.take(pa.array(keep))
+            score = score[keep]
+        return pa.table({id_col: ids, "score": pa.array(score)})
+
+    pruned = (ds.select_columns([id_col, text_col])
+              .map_batches(score_block, batch_format="pyarrow")
+              .take_all())  # bounded: <= k rows per block
+    top = pa.Table.from_pylist(pruned) if pruned else pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "score": pa.array([], type=pa.float64())})
+    order = np.lexsort((np.asarray(top.column(id_col)),
+                        -np.asarray(top.column("score"))))[:k]
+    top = top.take(pa.array(order))
+    return rd.from_arrow(top.append_column(
+        "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))))

@@ -675,3 +675,99 @@ def test_ngram_counts_save_load_roundtrip(tmp_path):
     with open(bad, "wb") as f:
         f.write(b"\x00\x01 not a zip")
     assert load_ngram_counts(bad, signature=sig) is None
+
+
+def test_bm25_topk_matches_brute_force_bit_exact(ray_session):
+    """BM25 scores equal a Python oracle computing the same fixed-order
+    float64 expression BIT-EXACTLY, invariant under repartitioning;
+    ties break on doc_id; zero-score docs fill out short results."""
+    import math
+
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import bm25_topk
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(40)] + ["query", "terms", "here"]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(4, 30))))
+            for _ in range(50)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+
+    k1, b = 1.2, 0.75
+    tok = [d.lower().split() for d in docs]
+    n = len(tok)
+    avgdl = float(sum(len(t) for t in tok)) / float(n)
+    terms = ["query", "terms", "here"]
+    idf = [math.log(1.0 + (n - sum(1 for t in tok if q in t) + 0.5)
+                    / (sum(1 for t in tok if q in t) + 0.5))
+           for q in terms]
+    sc = []
+    for i, t in enumerate(tok):
+        norm = k1 * (1.0 - b + b * (float(len(t)) / avgdl))
+        s = 0.0
+        for j, q in enumerate(terms):
+            tf = float(t.count(q))
+            s = s + idf[j] * ((tf * (k1 + 1.0)) / (tf + norm))
+        sc.append((i, s))
+    sc.sort(key=lambda x: (-x[1], x[0]))
+
+    for parts in (1, 4):
+        got = bm25_topk(rd.from_items(rows).repartition(parts),
+                        "query terms here", k=8).to_pandas()
+        assert [(r.doc_id, r.score) for r in got.itertuples()] == sc[:8]
+        assert got["rank"].tolist() == list(range(1, 9))
+
+    # k > positive-score docs: zero-score docs pad, ordered by doc_id
+    tiny = [{"doc_id": i, "text": t}
+            for i, t in enumerate(["query q", "x y", "a b", "c d"])]
+    got = bm25_topk(rd.from_items(tiny), "query", k=4).to_pandas()
+    assert got.doc_id.tolist() == [0, 1, 2, 3]
+    assert (got.score.values[1:] == 0.0).all()
+
+
+def test_bm25_topk_matches_sql(ray_session):
+    """DuckDB oracle parity — same left-to-right float64 expression
+    written in SQL reproduces ids, ranks AND score bits."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import bm25_topk
+
+    rng = np.random.default_rng(21)
+    vocab = [f"v{i}" for i in range(30)] + ["alpha", "beta"]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(3, 25))))
+            for _ in range(60)]
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = bm25_topk(rd.from_arrow(tbl).repartition(3), "alpha beta",
+                    k=10).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '\s+'), x -> x <> '') AS ws FROM documents),
+        stats AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS avgdl FROM toks),
+        dfs AS (SELECT
+          (SELECT count(*) FROM toks WHERE list_contains(ws, 'alpha')) AS df0,
+          (SELECT count(*) FROM toks WHERE list_contains(ws, 'beta'))  AS df1),
+        feat AS (SELECT doc_id,
+          CAST(len(list_filter(ws, x -> x = 'alpha')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(ws, x -> x = 'beta'))  AS DOUBLE) AS tf1,
+          1.2 * (1.0 - 0.75 + 0.75 * (CAST(len(ws) AS DOUBLE) / avgdl))
+            AS norm
+          FROM toks, stats),
+        scored AS (SELECT doc_id,
+            ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+              * ((tf0 * (1.2 + 1.0)) / (tf0 + norm))
+          + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+              * ((tf1 * (1.2 + 1.0)) / (tf1 + norm)) AS score
+          FROM feat, dfs, stats)
+        SELECT doc_id, score, CAST(row_number() OVER
+               (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """).df()
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    assert (got.score.values.view(np.uint64)
+            == exp.score.values.view(np.uint64)).all()
