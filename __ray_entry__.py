@@ -383,6 +383,18 @@ def _q_cross_doc_repetition(sf_dir: str):
     return cross_doc_ngram_stats(docs, n=3, min_df=2)
 
 
+def _q_edit_distance_join_customers(sf_dir: str):
+    """Fuzzy self-join: all customer-name pairs within byte-Levenshtein
+    1 (record-linkage shape). Symmetric-deletion (SymSpell) blocking →
+    one packed candidate exchange → vectorized Myers bit-parallel
+    verify; the oracle is DuckDB's own levenshtein() inequality join."""
+    from bloomjoin_ray.pipelines.fuzzy import edit_distance_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return edit_distance_join(cust, col="c_name", id_col="c_custkey",
+                              max_dist=1)
+
+
 def _q_bm25_topk_docs(sf_dir: str):
     """BM25 retrieval: top-10 documents for the query "data sort merge"
     (Okapi BM25, Lucene idf) — two streaming passes (per-block corpus
@@ -1942,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_join_docs": _q_minhash_join_docs,
         "cross_doc_repetition_docs": _q_cross_doc_repetition,
         "bm25_topk_docs": _q_bm25_topk_docs,
+        "edit_distance_join_customers": _q_edit_distance_join_customers,
     }
 
 
@@ -2801,6 +2814,13 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "edit_distance_join_customers": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "bm25_topk_docs": """
             WITH toks AS (
