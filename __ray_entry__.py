@@ -407,6 +407,18 @@ def _q_bm25_topk_docs(sf_dir: str):
     return bm25_topk(docs, "data sort merge", k=10)
 
 
+def _q_duplicate_spans(sf_dir: str):
+    """Substring-level duplication map of the corpus (Lee et al. 2022
+    span dedup): merged token spans covered by word 3-grams occurring
+    >= 2 times corpus-wide. Positional postings → packed gram exchange
+    (segment size IS the corpus count; only duplicated (doc, pos) rows
+    leave) → per-doc gap-scan span merge."""
+    from bloomjoin_ray.pipelines.decontam import duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_spans(docs, n=3, min_count=2)
+
+
 def _q_curation_full(sf_dir: str):
     """End-to-end curation chain over the train split (doc_id % 20 != 0):
     quality filter (token count / punct ratio) → repetition filter
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_repetition_docs": _q_cross_doc_repetition,
         "bm25_topk_docs": _q_bm25_topk_docs,
         "edit_distance_join_customers": _q_edit_distance_join_customers,
+        "duplicate_spans_docs": _q_duplicate_spans,
     }
 
 
@@ -2814,6 +2827,31 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "duplicate_spans_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)
+                    WHERE c >= 2),
+            flag AS (SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos) OVER
+                          (PARTITION BY doc_id ORDER BY pos) <= 3
+                          THEN 0 ELSE 1 END AS brk FROM dup),
+            isl AS (SELECT doc_id, pos, sum(brk) OVER
+                    (PARTITION BY doc_id ORDER BY pos) AS grp FROM flag)
+            SELECT doc_id, min(pos) AS span_start,
+                   CAST(max(pos) + 3 AS BIGINT) AS span_end,
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, grp
         """,
         "edit_distance_join_customers": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -522,3 +522,42 @@ def repetition_metrics(texts, *, ngram_n: int = 2) -> dict[str, pa.Array]:
                                            type=pa.float64()),
             "top_token_frac": pa.array(top_token_frac, type=pa.float64()),
             "dup_ngram_frac": pa.array(dup_ngram_frac, type=pa.float64())}
+
+
+def word_ngram_hashes_positional(texts, n: int = 3
+                                 ) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """EVERY strict word n-gram window with its token position (the
+    positional sibling of ``word_ngram_hashes_batch(pad=False)``, same
+    rolling-hash formula — window hashes agree across the two): one
+    tokenize+FNV pass, n-1 rolling passes over the flat token-hash
+    buffer, in-doc window starts selected by offset arithmetic. No
+    per-doc dedupe, no sort.
+
+    Returns ``(hashes, positions, offsets)``: doc *i*'s windows are
+    ``hashes[offsets[i]:offsets[i+1]]`` at 0-based token positions
+    ``positions[...]`` (window w covers tokens [w, w+n)); docs with
+    fewer than ``n`` tokens yield no windows."""
+    texts = _as_string_array(texts)
+    nd = len(texts)
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64),
+             np.zeros(nd + 1, dtype=np.int64))
+    if nd == 0:
+        return empty
+    th, offs = batch_token_hashes(texts)
+    ntok = np.diff(offs)
+    m = np.maximum(ntok - n + 1, 0)
+    W = int(m.sum())
+    L = len(th) - n + 1
+    if W == 0 or L <= 0:
+        return empty
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        acc = th[:L].copy()
+        for j in range(1, n):
+            acc = acc * prime ^ th[j:j + L]
+    wlocal = np.arange(W) - np.repeat(
+        np.concatenate([[0], np.cumsum(m)])[:-1], m)
+    starts = np.repeat(offs[:-1], m) + wlocal
+    return (acc[starts], wlocal.astype(np.int64),
+            np.concatenate([[0], np.cumsum(m)]).astype(np.int64))

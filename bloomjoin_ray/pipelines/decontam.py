@@ -317,3 +317,106 @@ def cross_doc_ngram_stats(ds, *, text_col: str = "text",
         return batch.append_column("dup_fraction", pc.divide(nd, ng))
 
     return totals.map_batches(frac, batch_format="pyarrow")
+
+
+def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    n: int = 13, min_count: int = 2):
+    """Substring-level cross-document duplication (the span analogue of
+    suffix-array corpus dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): for every document, the merged
+    token spans covered by word ``n``-grams occurring ≥ ``min_count``
+    times in the WHOLE corpus (all occurrences count — within-doc
+    repetition too, matching the substring-dedup definition). Returns
+    one row per span: Dataset[id_col, span_start, span_end, n_windows]
+    — tokens [span_start, span_end) (0-based, end-exclusive),
+    ``n_windows`` = duplicated windows merged into the span. Feed the
+    spans to a scrubber, or aggregate span lengths for a per-doc
+    duplication budget.
+
+    Scale shape: positional postings (one row per window) through ONE
+    packed exchange keyed on the gram hash — the reduce KNOWS each
+    gram's corpus count from its segment size and forwards only the
+    duplicated (id, pos) rows; a second exchange on the doc id merges
+    each doc's positions into spans with one lexsort + gap scan. No df
+    table joins back; clean windows never leave their first exchange.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.text import word_ngram_hashes_positional
+    from .buckets import packed_bucket_map_groups
+
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+
+    def postings(batch: pa.Table) -> pa.Table:
+        h, pos, offs = word_ngram_hashes_positional(
+            batch.column(text_col), n)
+        counts = np.diff(offs)
+        idx = np.repeat(np.arange(len(counts)), counts)
+        ids = batch.column(id_col)
+        ids = (ids.combine_chunks()
+               if isinstance(ids, pa.ChunkedArray) else ids)
+        lo, hi = _split64(h)
+        return pa.table({id_col: ids.take(pa.array(idx)),
+                         "_pos": pa.array(pos),
+                         _NG_LO: lo, _NG_HI: hi})
+
+    posts = ds.select_columns([id_col, text_col]).map_batches(
+        postings, batch_format="pyarrow")
+
+    def gram_reduce(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.select([id_col, "_pos"])
+        lo = np.asarray(group.column(_NG_LO)).view(np.uint64)
+        hi = np.asarray(group.column(_NG_HI)).view(np.uint64)
+        v = lo | (hi << _LO_BITS)
+        order = np.argsort(v, kind="stable")
+        vs = v[order]
+        new = np.empty(len(vs), dtype=bool)
+        new[0] = True
+        new[1:] = vs[1:] != vs[:-1]
+        seg = np.cumsum(new) - 1
+        dup = (np.bincount(seg) >= min_count)[seg]
+        keep = order[dup]
+        keep.sort()  # original order back (cheap; not required)
+        return group.select([id_col, "_pos"]).take(pa.array(keep))
+
+    dups = packed_bucket_map_groups(posts, _GRAM_COLS, gram_reduce)
+
+    def span_reduce(group: pa.Table) -> pa.Table:
+        id_type = group.schema.field(id_col).type
+
+        def empty():
+            return pa.table({
+                id_col: pa.array([], type=id_type),
+                "span_start": pa.array([], type=pa.int64()),
+                "span_end": pa.array([], type=pa.int64()),
+                "n_windows": pa.array([], type=pa.int64())})
+
+        r = group.num_rows
+        if r == 0:
+            return empty()
+        order = np.asarray(pc.sort_indices(
+            group, sort_keys=[(id_col, "ascending"),
+                              ("_pos", "ascending")]))
+        g = group.take(pa.array(order))
+        ids = g.column(id_col).combine_chunks()
+        pos = np.asarray(g.column("_pos"), dtype=np.int64)
+        new_doc = np.empty(r, dtype=bool)
+        new_doc[0] = True
+        if r > 1:
+            new_doc[1:] = ~np.asarray(
+                pc.equal(ids.slice(1), ids.slice(0, r - 1)))
+        # windows [p, p+n) merge while the next start is <= prev + n
+        brk = new_doc.copy()
+        if r > 1:
+            brk[1:] |= (pos[1:] - pos[:-1]) > n
+        starts = np.nonzero(brk)[0]
+        ends = np.concatenate([starts[1:], [r]])
+        return pa.table({
+            id_col: ids.take(pa.array(starts)),
+            "span_start": pa.array(pos[starts]),
+            "span_end": pa.array(pos[ends - 1] + n),
+            "n_windows": pa.array((ends - starts).astype(np.int64))})
+
+    return packed_bucket_map_groups(dups, [id_col], span_reduce)

@@ -265,3 +265,96 @@ def test_cross_doc_ngram_stats_matches_sql(ray_session):
     assert (got.n_grams.values == exp.n_grams.values).all()
     assert (got.n_dup_grams.values == exp.n_dup_grams.values).all()
     assert (got.dup_fraction.values == exp.dup_fraction.values).all()
+
+
+def _brute_spans(docs: dict, n: int, min_count: int):
+    from collections import Counter
+
+    toks = {d: (t or "").lower().split() for d, t in docs.items()}
+    cnt = Counter()
+    for t in toks.values():
+        for i in range(len(t) - n + 1):
+            cnt[tuple(t[i:i + n])] += 1
+    out = []
+    for d in sorted(toks):
+        t = toks[d]
+        dup = [i for i in range(len(t) - n + 1)
+               if cnt[tuple(t[i:i + n])] >= min_count]
+        spans = []
+        for p in dup:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        out += [(d, s, e + n, c) for (s, e, c) in spans]
+    return out
+
+
+def test_duplicate_spans_matches_brute_force(ray_session):
+    """Merged duplicated-span extraction == brute force (planted shared
+    sentences, within-doc repetition, overlapping spans), partition
+    invariant, min_count 2 and 3."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.decontam import duplicate_spans
+
+    docs = {i: _doc(int(RNG.integers(3, 25))) for i in range(30)}
+    shared = "one shared boilerplate sentence across many documents"
+    for i in range(0, 30, 4):
+        docs[i] = docs[i] + " " + shared
+    docs[50] = "rep rep rep rep rep rep rep"           # self-repetition
+    docs[51] = shared + " middle bits " + shared        # two spans, merged?
+    ds = rd.from_items([{"doc_id": d, "text": t} for d, t in docs.items()])
+    for min_count in (2, 3):
+        exp = _brute_spans(docs, 3, min_count)
+        for parts in (1, 6):
+            got = (duplicate_spans(ds.repartition(parts), n=3,
+                                   min_count=min_count)
+                   .to_pandas().sort_values(["doc_id", "span_start"]))
+            gl = [tuple(r) for r in got[["doc_id", "span_start",
+                                         "span_end", "n_windows"]].values]
+            assert gl == exp, (min_count, parts)
+
+
+def test_duplicate_spans_matches_sql(ray_session):
+    """DuckDB gaps-and-islands oracle parity on a random corpus."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.decontam import duplicate_spans
+
+    docs = [_doc(int(RNG.integers(3, 30))) for _ in range(60)]
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    got = (duplicate_spans(rd.from_arrow(tbl).repartition(4), n=3,
+                           min_count=2)
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                 '\s+'), x -> x <> '') AS ws FROM documents),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2] AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+        cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)
+                WHERE c >= 2),
+        flag AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER
+                      (PARTITION BY doc_id ORDER BY pos) <= 3
+                      THEN 0 ELSE 1 END AS brk FROM dup),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS grp FROM flag)
+        SELECT doc_id, min(pos) AS span_start,
+               CAST(max(pos) + 3 AS BIGINT) AS span_end,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
+    """).df()
+    assert len(got) == len(exp) > 0
+    for c in ["doc_id", "span_start", "span_end", "n_windows"]:
+        assert (got[c].values == exp[c].values).all(), c
