@@ -419,6 +419,18 @@ def _q_duplicate_spans(sf_dir: str):
     return duplicate_spans(docs, n=3, min_count=2)
 
 
+def _q_scrub_spans(sf_dir: str):
+    """Substring-level corpus scrub: cut every duplicated 3-gram span
+    (>= 2 corpus-wide occurrences) out of each document — docs + span
+    rows union into ONE packed exchange keyed on doc_id; each task
+    rebuilds all its docs in one vectorized split/mask/binary_join
+    pass (case preserved, whitespace-normalized output)."""
+    from bloomjoin_ray.pipelines.decontam import scrub_duplicate_spans
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return scrub_duplicate_spans(docs, n=3, min_count=2)
+
+
 def _q_curation_full(sf_dir: str):
     """End-to-end curation chain over the train split (doc_id % 20 != 0):
     quality filter (token count / punct ratio) → repetition filter
@@ -1968,6 +1980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": _q_bm25_topk_docs,
         "edit_distance_join_customers": _q_edit_distance_join_customers,
         "duplicate_spans_docs": _q_duplicate_spans,
+        "scrub_spans_docs": _q_scrub_spans,
     }
 
 
@@ -2827,6 +2840,45 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "scrub_spans_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     lower(ws[i]) || chr(31) || lower(ws[i+1]) || chr(31)
+                       || lower(ws[i+2]) AS g
+              FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)
+                    WHERE c >= 2),
+            flag AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+                     (PARTITION BY doc_id ORDER BY pos) <= 3
+                     THEN 0 ELSE 1 END AS brk FROM dup),
+            isl AS (SELECT doc_id, pos, sum(brk) OVER
+                    (PARTITION BY doc_id ORDER BY pos) AS grp FROM flag),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+                      FROM isl GROUP BY doc_id, grp),
+            toku AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+                     FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+            keep AS (SELECT doc_id, pos, tok FROM toku u
+                     WHERE NOT EXISTS (SELECT 1 FROM spans s
+                       WHERE s.doc_id = u.doc_id
+                         AND u.pos >= s.s AND u.pos < s.e))
+            SELECT d.doc_id,
+                   coalesce(k.txt, '') AS text_scrubbed,
+                   CAST(len(t.ws) - coalesce(k.cnt, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            JOIN toks t USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY pos) AS txt,
+                              count(*) AS cnt
+                       FROM keep GROUP BY doc_id) k USING (doc_id)
         """,
         "duplicate_spans_docs": """
             WITH toks AS (

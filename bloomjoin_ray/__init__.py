@@ -136,6 +136,7 @@ def __getattr__(name):
         "contaminated_counts": "bloomjoin_ray.pipelines.decontam",
         "cross_doc_ngram_stats": "bloomjoin_ray.pipelines.decontam",
         "duplicate_spans": "bloomjoin_ray.pipelines.decontam",
+        "scrub_duplicate_spans": "bloomjoin_ray.pipelines.decontam",
         "knn_join": "bloomjoin_ray.pipelines.ann",
         "write_bucketed": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_join": "bloomjoin_ray.pipelines.bucketed",

@@ -420,3 +420,115 @@ def duplicate_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "n_windows": pa.array((ends - starts).astype(np.int64))})
 
     return packed_bucket_map_groups(dups, [id_col], span_reduce)
+
+
+def scrub_duplicate_spans(ds, *, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 13,
+                          min_count: int = 2, out_col: str | None = None,
+                          spans=None):
+    """REMOVE the corpus-duplicated spans ``duplicate_spans`` finds —
+    the scrubbing half of substring-level dedup (Lee et al. 2022 cut
+    the duplicated bytes instead of dropping whole docs). Returns
+    Dataset[id_col, out_col (default "text_scrubbed"), n_removed]:
+    the document's tokens OUTSIDE every span, joined by single spaces
+    (output is whitespace-normalized for all docs — spans are token
+    intervals, so the rebuild is token-level; case is preserved), and
+    the removed-token count. Null text scrubs to "". Pass ``spans`` to
+    reuse an already-computed span table.
+
+    Scale shape: span rows and doc rows union into ONE packed exchange
+    keyed on the doc id (the cogroup wire, minus the per-key fn); each
+    reduce task scrubs ALL its docs in one vectorized pass — one
+    case-preserving split, spans aligned to docs via Arrow
+    ``index_in``, one boolean coverage mask scattered from the span
+    ranges, one Arrow ``binary_join``. No per-doc Python, and span
+    tables never join against the corpus row-by-row."""
+    import pyarrow.compute as pc
+
+    from .asof import _schema_of
+    from .buckets import packed_bucket_map_groups
+
+    out_col = out_col or "text_scrubbed"
+    if spans is None:
+        spans = duplicate_spans(ds, text_col=text_col, id_col=id_col,
+                                n=n, min_count=min_count)
+    id_type = _schema_of(ds.select_columns([id_col])).field(id_col).type
+
+    def doc_wire(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: batch.column(text_col),
+            "_sp_s": pa.nulls(nr, pa.int64()),
+            "_sp_e": pa.nulls(nr, pa.int64()),
+            "_side": pa.array(np.zeros(nr, dtype=np.int8))})
+
+    def span_wire(batch: pa.Table) -> pa.Table:
+        nr = batch.num_rows
+        return pa.table({
+            id_col: batch.column(id_col),
+            text_col: pa.nulls(nr, pa.string()),
+            "_sp_s": batch.column("span_start"),
+            "_sp_e": batch.column("span_end"),
+            "_side": pa.array(np.ones(nr, dtype=np.int8))})
+
+    wire = (ds.select_columns([id_col, text_col])
+            .map_batches(doc_wire, batch_format="pyarrow")
+            .union(spans.map_batches(span_wire, batch_format="pyarrow")))
+
+    def scrub_reduce(group: pa.Table) -> pa.Table:
+        def empty():
+            return pa.table({id_col: pa.array([], type=id_type),
+                             out_col: pa.array([], type=pa.string()),
+                             "n_removed": pa.array([], type=pa.int64())})
+
+        if group.num_rows == 0:
+            return empty()
+        side = np.asarray(group.column("_side"))
+        docs = group.take(pa.array(np.nonzero(side == 0)[0]))
+        if docs.num_rows == 0:
+            return empty()
+        sp = group.take(pa.array(np.nonzero(side == 1)[0]))
+        texts = docs.column(text_col).combine_chunks()
+        # case-PRESERVING split with the split_tokens empty-drop
+        # contract (lowering never moves whitespace, so positions line
+        # up with the gram pass)
+        toks = pc.split_pattern_regex(pc.fill_null(texts, ""), r"\s+")
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        doc_offs = np.asarray(toks.offsets).astype(np.int64)
+        doc_offs = doc_offs - doc_offs[0]
+        flat = toks.flatten()
+        nonempty = np.asarray(pc.binary_length(flat)) > 0
+        kept_cum = np.concatenate([[0], np.cumsum(nonempty)])
+        offs = kept_cum[doc_offs]                  # per-doc token offsets
+        flat = flat.filter(pa.array(nonempty))
+        covered = np.zeros(len(flat), dtype=bool)
+        if sp.num_rows:
+            loc = pc.index_in(sp.column(id_col),
+                              value_set=docs.column(id_col).combine_chunks())
+            loc = np.asarray(loc.combine_chunks()
+                             if isinstance(loc, pa.ChunkedArray) else loc)
+            sf = np.asarray(sp.column("_sp_s"), dtype=np.int64)
+            ef = np.asarray(sp.column("_sp_e"), dtype=np.int64)
+            base = offs[loc] + sf
+            lens = ef - sf
+            idx = (np.repeat(base, lens)
+                   + (np.arange(int(lens.sum()))
+                      - np.repeat(np.concatenate(
+                          [[0], np.cumsum(lens)])[:-1], lens)))
+            covered[idx] = True
+        keep = ~covered
+        new_cum = np.concatenate([[0], np.cumsum(keep)])
+        new_offs = new_cum[offs]
+        kept_flat = flat.filter(pa.array(keep))
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs, type=pa.int32()),
+                                     kept_flat),
+            pa.scalar(" "))
+        removed = (np.diff(offs) - np.diff(new_offs)).astype(np.int64)
+        return pa.table({id_col: docs.column(id_col),
+                         out_col: rebuilt,
+                         "n_removed": pa.array(removed)})
+
+    return packed_bucket_map_groups(wire, [id_col], scrub_reduce)

@@ -358,3 +358,66 @@ def test_duplicate_spans_matches_sql(ray_session):
     assert len(got) == len(exp) > 0
     for c in ["doc_id", "span_start", "span_end", "n_windows"]:
         assert (got[c].values == exp[c].values).all(), c
+
+
+def test_scrub_duplicate_spans_matches_sql(ray_session):
+    """Token-level scrub == DuckDB rebuild (case preserved, whitespace
+    normalized, nulls → ''), partition invariant; n_removed exact."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.decontam import scrub_duplicate_spans
+
+    docs = [_doc(int(RNG.integers(3, 25))) for _ in range(40)]
+    shared = "alpha bravo charlie delta echo"
+    docs = [d + " " + shared if i % 3 == 0 else d
+            for i, d in enumerate(docs)]
+    docs[7] = docs[7].upper()           # case must survive the rebuild
+    tbl = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(r"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+                 x -> x <> '') AS ws FROM documents),
+        grams AS (
+          SELECT doc_id, i - 1 AS pos,
+                 lower(ws[i]) || chr(31) || lower(ws[i+1]) || chr(31)
+                   || lower(ws[i+2]) AS g
+          FROM toks, UNNEST(range(1, len(ws) - 1)) AS t(i)
+          WHERE len(ws) >= 3),
+        cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+        dup AS (SELECT doc_id, pos FROM grams JOIN cnt USING (g)
+                WHERE c >= 2),
+        flag AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 3
+                 THEN 0 ELSE 1 END AS brk FROM dup),
+        isl AS (SELECT doc_id, pos, sum(brk) OVER
+                (PARTITION BY doc_id ORDER BY pos) AS grp FROM flag),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+                  FROM isl GROUP BY doc_id, grp),
+        toku AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+                 FROM toks, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        keep AS (SELECT doc_id, pos, tok FROM toku u
+                 WHERE NOT EXISTS (SELECT 1 FROM spans s
+                   WHERE s.doc_id = u.doc_id
+                     AND u.pos >= s.s AND u.pos < s.e))
+        SELECT d.doc_id,
+               coalesce(k.txt, '') AS text_scrubbed,
+               CAST(len(t.ws) - coalesce(k.cnt, 0) AS BIGINT) AS n_removed
+        FROM documents d
+        JOIN toks t USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+                          count(*) AS cnt FROM keep GROUP BY doc_id) k
+          USING (doc_id)
+        ORDER BY doc_id
+    """).df()
+    for parts in (1, 5):
+        got = (scrub_duplicate_spans(rd.from_arrow(tbl).repartition(parts),
+                                     n=3, min_count=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got.doc_id.tolist() == exp.doc_id.tolist()
+        assert got.text_scrubbed.tolist() == exp.text_scrubbed.tolist()
+        assert got.n_removed.tolist() == exp.n_removed.tolist()
+    # spot semantics: scrubbed docs no longer contain the shared run
+    assert all(shared not in t for t in got.text_scrubbed)
