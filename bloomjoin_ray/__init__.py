@@ -145,6 +145,7 @@ def __getattr__(name):
         "dataset_diff": "bloomjoin_ray.pipelines.cogroup",
         "minhash_join": "bloomjoin_ray.pipelines.dedup",
         "edit_distance_join": "bloomjoin_ray.pipelines.fuzzy",
+        "fuzzy_dedup": "bloomjoin_ray.pipelines.fuzzy",
         "levenshtein_batch": "bloomjoin_ray.functions.editdist",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",

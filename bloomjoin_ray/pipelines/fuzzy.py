@@ -190,3 +190,21 @@ def edit_distance_join(ds_a, ds_b=None, *, col: str = "name",
         return out.select(["id_a", "id_b", "dist"])
 
     return withb.map_batches(verify, batch_format="pyarrow")
+
+
+def fuzzy_dedup(ds, *, col: str = "name", id_col: str = "id",
+                max_dist: int = 1, score_col: str | None = None,
+                max_bytes: int = 64):
+    """Entity-level fuzzy dedup: cluster rows whose ``col`` values are
+    within byte-Levenshtein ``max_dist`` (transitively — the usual
+    record-linkage closure) and keep ONE row per cluster — the
+    highest-``score_col`` member (min id on ties) or the min-id member.
+    Pure composition of the engine's own operators:
+    ``edit_distance_join`` (self mode) → ``dedup_by_pairs`` (driver
+    union-find below its pair limit, distributed min-label propagation
+    above). Unmatched rows survive unchanged."""
+    from .dedup import dedup_by_pairs
+
+    pairs = edit_distance_join(ds, col=col, id_col=id_col,
+                               max_dist=max_dist, max_bytes=max_bytes)
+    return dedup_by_pairs(ds, pairs, id_col, score_col=score_col)

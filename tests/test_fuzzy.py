@@ -160,3 +160,43 @@ def test_edit_distance_join_rejects_long_strings(ray_session):
     with pytest.raises(Exception, match="64 bytes"):
         edit_distance_join(ds, col="name", id_col="id",
                            max_dist=1).to_pandas()
+
+
+def test_fuzzy_dedup_keeps_one_per_cluster(ray_session):
+    """Transitive ed≤1 clusters collapse to their min-id (or best-score)
+    member; unique names survive; matches a brute-force union-find."""
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.fuzzy import fuzzy_dedup
+
+    names = ["alpha", "alphA", "alphX",        # chain: one cluster
+             "bravo", "bravoo",                # pair
+             "charlie", "delta"]               # singletons
+    rows = [{"id": i, "name": n, "q": float(len(n))}
+            for i, n in enumerate(names)]
+    ds = rd.from_items(rows).repartition(3)
+
+    got = fuzzy_dedup(ds, col="name", id_col="id",
+                      max_dist=1).to_pandas().sort_values("id")
+    # brute force
+    parent = list(range(len(names)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if _dp(names[i], names[j]) <= 1:
+                parent[find(i)] = find(j)
+    keep = {min(k for k in range(len(names)) if find(k) == r)
+            for r in {find(i) for i in range(len(names))}}
+    assert set(got.id) == keep
+
+    # score policy: keep the longest name of each cluster
+    got = fuzzy_dedup(ds, col="name", id_col="id", max_dist=1,
+                      score_col="q").to_pandas()
+    assert "bravoo" in set(got.name)
+    assert "bravo" not in set(got.name)
