@@ -431,6 +431,19 @@ def _q_scrub_spans(sf_dir: str):
     return scrub_duplicate_spans(docs, n=3, min_count=2)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """BPE-style pre-tokenizer token counts per document (the training
+    token-budget metric): one vectorized re2 pass; DuckDB shares the
+    re2 engine so the oracle's regexp_extract_all length matches
+    exactly."""
+    from bloomjoin_ray.pipelines.text import count_tokens_bpe
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return count_tokens_bpe(docs).map_batches(
+        lambda b: b.select(["doc_id", "n_tokens_bpe"]),
+        batch_format="pyarrow")
+
+
 def _q_curation_full(sf_dir: str):
     """End-to-end curation chain over the train split (doc_id % 20 != 0):
     quality filter (token count / punct ratio) → repetition filter
@@ -1981,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_join_customers": _q_edit_distance_join_customers,
         "duplicate_spans_docs": _q_duplicate_spans,
         "scrub_spans_docs": _q_scrub_spans,
+        "bpe_token_counts_docs": _q_bpe_token_counts,
     }
 
 
@@ -2840,6 +2854,14 @@ def oracle_sql() -> dict[str, str]:
             FROM grams JOIN eval_g USING (g)
             WHERE doc_id % 20 <> 0
             GROUP BY doc_id
+        """,
+        "bpe_token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+'
+                     || '| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT)
+                     AS n_tokens_bpe
+            FROM documents
         """,
         "scrub_spans_docs": """
             WITH toks AS (

@@ -124,6 +124,7 @@ def __getattr__(name):
         "pack_documents": "bloomjoin_ray.pipelines.text",
         "chunk_documents": "bloomjoin_ray.pipelines.text",
         "token_counts": "bloomjoin_ray.pipelines.text",
+        "count_tokens_bpe": "bloomjoin_ray.pipelines.text",
         "doc_frequency": "bloomjoin_ray.pipelines.text",
         "tfidf_topk": "bloomjoin_ray.pipelines.text",
         "bm25_topk": "bloomjoin_ray.pipelines.text",

@@ -927,3 +927,32 @@ def bm25_topk(ds, query: str, *, text_col: str = "text",
     top = top.take(pa.array(order))
     return rd.from_arrow(top.append_column(
         "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))))
+
+
+#: re2-safe GPT-2-style pre-tokenizer (contractions, letter runs, digit
+#: runs, punctuation runs — each optionally space-prefixed — then
+#: whitespace runs). The published GPT-2 pattern's negative lookahead
+#: (``\s+(?!\S)``) is not re2-expressible; folding it into one ``\s+``
+#: alternative only changes how TRAILING space runs split, never letter
+#: or digit tokens.
+BPE_TOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                     r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def count_tokens_bpe(ds, text_col: str = "text", *,
+                     out_col: str = "n_tokens_bpe",
+                     pattern: str = BPE_TOKEN_PATTERN):
+    """Append a BPE-style pre-tokenizer token count (the budget metric
+    training pipelines actually meter — whitespace counts undercount
+    punctuation-heavy and contraction-heavy text): one vectorized re2
+    ``count_substring_regex`` pass per batch, null text counts 0.
+    DuckDB runs the SAME re2 engine, so the SQL oracle
+    (``len(regexp_extract_all(...))``) matches exactly. No shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cnt = pc.count_substring_regex(
+            pc.fill_null(batch.column(text_col), ""), pattern)
+        return batch.append_column(out_col, pc.cast(cnt, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

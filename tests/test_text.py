@@ -771,3 +771,31 @@ def test_bm25_topk_matches_sql(ray_session):
     assert got["rank"].tolist() == exp["rank"].tolist()
     assert (got.score.values.view(np.uint64)
             == exp.score.values.view(np.uint64)).all()
+
+
+def test_count_tokens_bpe_matches_sql(ray_session):
+    """Arrow and DuckDB share re2 — counts match exactly, incl.
+    contractions, unicode letters/digits, punctuation runs, nulls."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.text import (
+        BPE_TOKEN_PATTERN,
+        count_tokens_bpe,
+    )
+
+    texts = ["Hello world, it's 2026!  Isn't it?", "", None,
+             "naïve café №42", "  spaces   everywhere  ",
+             "don't you'll we're i'm he'd they've o't", "a1b2c3", "!!!"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = (count_tokens_bpe(rd.from_arrow(tbl).repartition(3))
+           .to_pandas().sort_values("doc_id"))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.execute(
+        "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''),"
+        " ?)) AS BIGINT) AS n_tokens_bpe FROM documents ORDER BY doc_id",
+        [BPE_TOKEN_PATTERN]).df()
+    assert got.n_tokens_bpe.tolist() == exp.n_tokens_bpe.tolist()
+    # sanity: contraction-heavy text counts more than whitespace tokens
+    assert got.n_tokens_bpe[got.doc_id == 5].iloc[0] > len(texts[5].split())
