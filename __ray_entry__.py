@@ -875,6 +875,32 @@ def _q_events_rolling_spend(sf_dir: str):
         "cents", agg="sum", rows_preceding=5, out_col="cents_roll_sum")
 
 
+def _q_events_context_tail(sf_dir: str):
+    """Per-user budgeted tail — the context-window-truncation shape
+    (`tail_by_budget`): keep each user's MOST RECENT events while the
+    running strlen(props) cost fits a 300-byte budget, the
+    latest event always kept. One packed bucketed exchange + one prefix
+    sum per bucket; int costs, so the running sum is hash-exact vs the
+    SQL window."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from bloomjoin_ray.pipelines.windows import tail_by_budget
+
+    def add_cost(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "cost",
+            pc.cast(pc.binary_length(batch.column("props")), pa.int64()))
+
+    ev = (_read(sf_dir, "events",
+                columns=["user_id", "event_id", "ts", "props"])
+          .map_batches(add_cost, batch_format="pyarrow")
+          .drop_columns(["props"]))
+    return tail_by_budget(
+        ev, "user_id", [("ts", "descending"), ("event_id", "descending")],
+        "cost", 300, out_col="cum_cost")
+
+
 def _q_events_ntile_per_user(sf_dir: str):
     """Per-user NTILE(4) value-quartile label — pure rank arithmetic,
     bit-exact vs SQL ntile() given the (value, event_id) total order."""
@@ -1949,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_per_user": _q_events_lag_per_user,
         "events_rolling_spend": _q_events_rolling_spend,
         "events_ntile_per_user": _q_events_ntile_per_user,
+        "events_context_tail": _q_events_context_tail,
         # approximate / heuristic / nondeterministic - rows-only checks; bounds pinned in tests/
         "reservoir_sample_by_type": _q_reservoir_by_type,
         "packed_docs": _q_packed_docs,
@@ -2390,6 +2417,24 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (PARTITION BY user_id
                        ORDER BY value, event_id) AS value_quartile
             FROM events
+        """,
+        "events_context_tail": """
+            WITH c AS (
+                SELECT user_id, event_id, ts,
+                       CAST(strlen(props) AS BIGINT) AS cost,
+                       CAST(sum(strlen(props)) OVER w AS BIGINT)
+                           AS cum_cost,
+                       row_number() OVER o AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW),
+                       o AS (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC)
+            )
+            SELECT user_id, event_id, ts, cost, cum_cost FROM c
+            WHERE cum_cost <= 300 OR rn = 1
         """,
         "events_rank_family": """
             WITH b AS (

@@ -116,6 +116,8 @@ def __getattr__(name):
         "interval_join": "bloomjoin_ray.pipelines.range_join",
         "add_time_parts": "bloomjoin_ray.pipelines.text",
         "share_per_key": "bloomjoin_ray.pipelines.windows",
+        "tail_by_budget": "bloomjoin_ray.pipelines.windows",
+        "truncate_context": "bloomjoin_ray.pipelines.windows",
         "grouped_jaccard_exact": "bloomjoin_ray.pipelines.aggregate",
         "entropy_per_key": "bloomjoin_ray.pipelines.aggregate",
         "approx_percentile_rank": "bloomjoin_ray.pipelines.aggregate",

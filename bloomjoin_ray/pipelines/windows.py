@@ -679,3 +679,93 @@ def share_per_key(ds, key, col, *, out_col: str | None = None):
         return g.append_column(out, res)
 
     return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def tail_by_budget(ds, key, order_by, cost_col, budget, *,
+                   keep_first: bool = True, out_col: str | None = "cum_cost"):
+    """Per-key budgeted tail — context-window truncation for conversation
+    transcripts: rank each key's rows by ``order_by`` (give it in RECENCY
+    order, e.g. ``[("turn_idx", "descending")]``) and keep the prefix of
+    that ranking whose running ``cost_col`` sum stays ≤ ``budget`` (the
+    most recent turns that fit a token budget). ``keep_first=True`` always
+    keeps the rank-1 row (an LLM pipeline never drops the latest turn,
+    even when it alone exceeds the budget). SQL-exact:
+
+        sum(cost) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+        PRECEDING) <= budget  OR  row_number() = 1
+
+    Null costs add nothing (SQL SUM semantics). Integer costs accumulate
+    in int64, so the filter and the appended running-sum column
+    (``out_col``; pass None to drop it) are bit-exact vs the SQL window;
+    float costs carry the usual per-key accumulation-order caveat (the
+    in-key order is deterministic, so results are still reproducible).
+
+    Scale shape: one packed bucketed exchange on ``key``, then per bucket
+    one lexsort + one prefix sum + one filter take — no per-row Python.
+    Output rows ≤ input rows; the dropped mass never leaves the reduce
+    task. order_by must totally order each key's rows for deterministic
+    output (add a unique id as the last tie-breaker)."""
+    from .buckets import packed_bucket_map_groups
+
+    key = [key] if isinstance(key, str) else list(key)
+    order_by = list(order_by)
+    for _c, d in order_by:
+        if d not in ("ascending", "descending"):
+            raise ValueError(f"order_by direction must be ascending/"
+                             f"descending, got {d!r}")
+
+    def _out_type(in_type: pa.DataType) -> pa.DataType:
+        return pa.int64() if pa.types.is_integer(in_type) else pa.float64()
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["__gbucket"])
+        if group.num_rows == 0:
+            if out_col is not None:
+                group = group.append_column(
+                    out_col,
+                    pa.array([], _out_type(group.schema.field(cost_col).type)))
+            return group
+        g, starts, seg = _sorted_key_segments(group, key, order_by)
+        arr = g.column(cost_col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        is_int = pa.types.is_integer(arr.type)
+        x = np.asarray(pc.fill_null(arr, 0).cast(
+            pa.int64() if is_int else pa.float64()))
+        cs = np.concatenate(([0], np.cumsum(x)))
+        i = np.arange(g.num_rows)
+        cum = cs[i + 1] - cs[starts[seg]]       # running sum within key
+        keep = cum <= budget
+        if keep_first:
+            keep |= i == starts[seg]
+        if out_col is not None:
+            g = g.append_column(out_col, pa.array(
+                cum, pa.int64() if is_int else pa.float64()))
+        return g.filter(pa.array(keep))
+
+    return packed_bucket_map_groups(ds, key, reduce_group)
+
+
+def truncate_context(ds, budget: int, *, key: str = "conv_id",
+                     order_col: str = "turn_idx", text_col: str = "text",
+                     keep_first: bool = True, out_col: str = "cum_tokens"):
+    """Context-window truncation over a transcript table (the input_hint
+    schema): per conversation, keep the MOST RECENT turns whose cumulative
+    whitespace-token count fits ``budget`` — what a serving / fine-tuning
+    pipeline does to fit each conversation into a model context. The
+    latest turn always survives (``keep_first``). Token cost is
+    ``functions.text.token_count`` (``\\S+`` runs — swap in
+    ``count_tokens_bpe``'s column and ``tail_by_budget`` directly for a
+    BPE-metered variant). One vectorized counting pass + one packed
+    exchange on ``key``; see ``tail_by_budget`` for the exact semantics.
+    """
+    from ..functions.text import token_count
+
+    def add_cost(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_ctx_cost",
+                                   token_count(batch.column(text_col)))
+
+    costed = ds.map_batches(add_cost, batch_format="pyarrow")
+    kept = tail_by_budget(costed, key, [(order_col, "descending")],
+                          "_ctx_cost", budget, keep_first=keep_first,
+                          out_col=out_col)
+    return kept.drop_columns(["_ctx_cost"])

@@ -531,3 +531,139 @@ def test_window_ops_single_hot_key_stress(ray_session):
     e = (ewma_per_key(ds, "k", ["id"], "v", alpha=0.5)
          .to_pandas().sort_values("id"))
     assert np.allclose(e["ewma_v"], 1.0)               # constant input
+
+
+def test_tail_by_budget_vs_oracle(events):
+    from bloomjoin_ray.pipelines.windows import tail_by_budget
+
+    ds, con = events
+
+    def add_cost(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.append_column(
+            "cost", pc.cast(pc.binary_length(batch.column("props")),
+                            pa.int64()))
+
+    ev = (ds.map_batches(add_cost, batch_format="pyarrow")
+          .select_columns(["user_id", "event_id", "ts", "cost"]))
+    got = tail_by_budget(
+        ev, "user_id", [("ts", "descending"), ("event_id", "descending")],
+        "cost", 300, out_col="cum_cost").to_pandas()
+    want = con.sql("""
+        WITH c AS (
+            SELECT user_id, event_id, ts,
+                   CAST(strlen(props) AS BIGINT) AS cost,
+                   CAST(sum(strlen(props)) OVER w AS BIGINT) AS cum_cost,
+                   row_number() OVER o AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   o AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+        )
+        SELECT user_id, event_id, ts, cost, cum_cost FROM c
+        WHERE cum_cost <= 300 OR rn = 1
+    """).df()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ["user_id", "event_id", "cost", "cum_cost"]:
+        pd.testing.assert_series_equal(g[c], w[c], check_dtype=False)
+    # every user keeps at least its most recent event
+    n_users = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert g["user_id"].nunique() == n_users
+
+
+def test_tail_by_budget_no_keep_first_and_null_costs(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.windows import tail_by_budget
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "i": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int64()),
+        "c": pa.array([5, None, 7, 100, 4, 4, 50], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    # keep_first=False: the over-budget head row is dropped too
+    got = (tail_by_budget(ds, "k", [("i", "descending")], "c", 10,
+                          keep_first=False, out_col="cum")
+           .to_pandas().sort_values(["k", "i"]).reset_index(drop=True))
+    want = con.sql("""
+        WITH w AS (SELECT k, i, c,
+                          CAST(sum(c) OVER (PARTITION BY k ORDER BY i DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              AS BIGINT) AS cum
+                   FROM t)
+        SELECT * FROM w WHERE cum <= 10 ORDER BY k, i
+    """).df()
+    assert len(got) == len(want)
+    for c in ["k", "i", "c", "cum"]:
+        pd.testing.assert_series_equal(got[c], want[c], check_dtype=False)
+    # key 3's only row costs 50 > 10 and is dropped without keep_first...
+    assert 3 not in set(got["k"])
+    # ...but kept with it (the null cost adds nothing, SQL SUM semantics)
+    kept = (tail_by_budget(ds, "k", [("i", "descending")], "c", 10,
+                           keep_first=True, out_col="cum")
+            .to_pandas())
+    assert 3 in set(kept["k"])
+    # key 1's head row (i=3) costs 100 > 10: it survives alone via
+    # keep_first and poisons the budget for every later row
+    k1 = kept[kept["k"] == 1].sort_values("i")
+    assert list(k1["i"]) == [3] and list(k1["cum"]) == [100]
+    # null cost adds nothing (SQL SUM): key 1 under budget 112 keeps all 4
+    all1 = (tail_by_budget(ds, "k", [("i", "descending")], "c", 112,
+                           keep_first=False, out_col="cum")
+            .to_pandas())
+    a1 = all1[all1["k"] == 1].sort_values("i")
+    assert list(a1["i"]) == [0, 1, 2, 3]
+    assert list(a1["cum"]) == [112, 107, 107, 100]
+
+    with pytest.raises(ValueError, match="ascending/descending"):
+        tail_by_budget(ds, "k", [("i", "desc")], "c", 10)
+
+
+def test_truncate_context_transcripts(ray_session):
+    import duckdb
+
+    from bloomjoin_ray.pipelines.windows import truncate_context
+    from bloomjoin_ray.sources.transcripts import transcripts_dataset
+
+    ds = transcripts_dataset(300, seed=7, parallelism=8)
+    full = ds.to_pandas()
+    got = truncate_context(ds, 120).to_pandas()
+
+    con = duckdb.connect()
+    con.register("turns", full)
+    want = con.sql("""
+        WITH c AS (
+            SELECT conv_id, turn_idx,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tok,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) OVER w
+                       AS BIGINT) AS cum_tokens,
+                   row_number() OVER o AS rn
+            FROM turns
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   o AS (PARTITION BY conv_id ORDER BY turn_idx DESC)
+        )
+        SELECT conv_id, turn_idx, cum_tokens FROM c
+        WHERE cum_tokens <= 120 OR rn = 1
+    """).df()
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    w = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    for c in ["conv_id", "turn_idx", "cum_tokens"]:
+        pd.testing.assert_series_equal(g[c], w[c], check_dtype=False)
+    # schema preserved + per-turn text equality vs the source table
+    assert set(g.columns) == set(full.columns) | {"cum_tokens"}
+    merged = g.merge(full, on=["conv_id", "turn_idx"], suffixes=("", "_src"))
+    assert (merged["text"] == merged["text_src"]).all()
+    # every conversation survives with exactly its most recent turns
+    last = full.groupby("conv_id")["turn_idx"].max()
+    gl = g.groupby("conv_id")["turn_idx"].max()
+    assert gl.sort_index().equals(last.sort_index())
