@@ -1544,6 +1544,21 @@ def _q_join_size_estimate(sf_dir: str):
     return pd.DataFrame([r])
 
 
+def _q_events_selfjoin_f2(sf_dir: str):
+    """AMS (tug-of-war) F2 — the user_id stream's self-join size and
+    skew statistic, the planner input before choosing a salting
+    strategy. One streaming pass, no shuffle; linear sketch, so the
+    estimate is partition-invariant. Approximate (no oracle row): the
+    |est − F2| ≤ ε·F2 bound is pinned in tests/test_sketches.py against
+    the exact DuckDB sum(c²)."""
+    import pandas as pd
+
+    from bloomjoin_ray.pipelines.aggregate import ams_f2
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return pd.DataFrame([ams_f2(ev, "user_id", depth=7, width=8192)])
+
+
 def _q_bucketed_group_stats(sf_dir: str):
     """Zero-shuffle grouped reduce over a bucket-aligned layout:
     orders written hash-bucketed by custkey once, then per-key
@@ -2013,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_params_grid": _q_bloom_params,
         "multimodal_features": _q_multimodal_features,
         "join_size_estimate": _q_join_size_estimate,
+        "events_selfjoin_f2": _q_events_selfjoin_f2,
         "ddsketch_value_quantiles": _q_ddsketch_value,
         "dataset_profile_events": _q_dataset_profile,
         "minhash_join_docs": _q_minhash_join_docs,

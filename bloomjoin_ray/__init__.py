@@ -64,6 +64,8 @@ def __getattr__(name):
         "grouped_vector_mean": "bloomjoin_ray.pipelines.aggregate",
         "cms_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
         "estimate_join_size": "bloomjoin_ray.pipelines.aggregate",
+        "ams_f2": "bloomjoin_ray.pipelines.aggregate",
+        "AmsSketch": "bloomjoin_ray.state.ams",
         "mg_heavy_hitters": "bloomjoin_ray.pipelines.aggregate",
         "theta_sketch": "bloomjoin_ray.pipelines.aggregate",
         "theta_set_estimates": "bloomjoin_ray.pipelines.aggregate",

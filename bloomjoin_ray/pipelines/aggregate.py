@@ -734,6 +734,34 @@ def estimate_join_size(ds_left, ds_right, on, *, depth: int = 5,
             "bound_slack": sl.epsilon * sl.total * sr.total}
 
 
+def ams_f2(ds, cols: str | Sequence[str], *, depth: int = 7,
+           width: int = 8192) -> dict:
+    """AMS (tug-of-war) estimate of the second frequency moment
+    ``F2 = Σ_k f_k²`` of the given key columns — the stream's SELF-join
+    size and the canonical skew statistic, the query a planner asks
+    before choosing a join/salting strategy. One column-pruned streaming
+    pass (per-block partials, tree merge), no shuffle; the linear sketch
+    makes the merged counters bit-identical to a single-pass build under
+    any partitioning, so the estimate itself is partition-invariant.
+
+    Returns ``{"f2_estimate", "n_rows", "epsilon",
+    "avg_multiplicity": F2/n (mean rows matched per row in the
+    self-join), "skew": F2/n² ∈ [1/n_distinct, 1]}``; the published
+    ``|est − F2| ≤ ε·F2`` bound is pinned in tests."""
+    from ..state.ams import AmsSketch
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    s = sketch_aggregate_global(
+        ds, lambda: AmsSketch(depth, width),
+        lambda sk, t: sk.update_batch(hash_keys64(t, cols)),
+        input_cols=cols) or AmsSketch(depth, width)
+    f2 = s.estimate_f2()
+    n = s.total
+    return {"f2_estimate": f2, "n_rows": n, "epsilon": s.epsilon,
+            "avg_multiplicity": (f2 / n) if n else 0.0,
+            "skew": (f2 / (n * n)) if n else 0.0}
+
+
 def cms_heavy_hitters(ds, cols: str | Sequence[str], topk: int = 10, *,
                       depth: int = 5, width: int = 4096,
                       candidates_per_block: int | None = None,

@@ -83,9 +83,9 @@ def register_sketch(name: str):
 def _ensure_registry() -> None:
     # populate lazily: a Ray worker may deserialize a blob having imported
     # only this module, not the concrete sketch modules
-    if len(_REGISTRY) < 11:
+    if len(_REGISTRY) < 13:
         from . import (  # noqa: F401
-            bloom, cms, ddsketch, hll, kll, misra_gries, reservoir,
+            ams, bloom, cms, ddsketch, hll, kll, misra_gries, reservoir,
             tdigest, theta, tprofile)
 
 

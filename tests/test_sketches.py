@@ -193,3 +193,75 @@ def test_kll_space_bound():
     k = KllSketch(k=200)
     k.update_batch(np.random.default_rng(0).uniform(size=1_000_000))
     assert k._size() < 3000  # O(k log log n), far below n
+
+
+def test_ams_f2_bound_merge_and_roundtrip():
+    """AMS tug-of-war: |est − F2| ≤ ε·F2 across seeds/skews; merge of
+    arbitrary stream partitions is BIT-identical to the single-pass
+    build (linear sketch, int64 counters); blob roundtrip works via the
+    worker registry."""
+    import numpy as np
+
+    from bloomjoin_ray.state.ams import AmsSketch
+    from bloomjoin_ray.state.base import sketch_from_bytes
+
+    rng = np.random.default_rng(77)
+    for trial, alpha in enumerate([1.1, 1.5, 2.5]):
+        for seed in range(4):
+            n = 40_000
+            keys = rng.zipf(alpha, size=n) % 5000
+            h = np.frombuffer(
+                np.ascontiguousarray(keys, dtype=np.int64).tobytes(),
+                dtype=np.uint64).copy()
+            # decorate so distinct keys get distinct 64-bit patterns
+            from bloomjoin_ray.functions.keys import splitmix64
+            h = splitmix64(h)
+            _, counts = np.unique(h, return_counts=True)
+            f2 = int((counts.astype(np.float64) ** 2).sum())
+
+            s = AmsSketch(depth=7, width=2048)
+            s.update_batch(h)
+            est = s.estimate_f2()
+            assert abs(est - f2) <= s.epsilon * f2, (alpha, seed, est, f2)
+
+            # merge == single pass, bit-exact, under a random 5-way split
+            parts = np.sort(rng.integers(0, len(h), 4))
+            chunks = np.split(h, parts)
+            rng.shuffle(chunks)
+            merged = AmsSketch(depth=7, width=2048)
+            for c in chunks:
+                p = AmsSketch(depth=7, width=2048)
+                p.update_batch(c)
+                merged.merge(p)
+            assert np.array_equal(merged.table, s.table)
+            assert merged.total == s.total == n
+
+    rt = sketch_from_bytes(s.to_bytes())
+    assert isinstance(rt, AmsSketch) and np.array_equal(rt.table, s.table)
+    import pytest
+    with pytest.raises(ValueError, match="depth, width"):
+        s.merge(AmsSketch(depth=5, width=2048))
+    with pytest.raises(ValueError, match="depth must be"):
+        AmsSketch(depth=0)
+
+
+def test_ams_f2_pipeline_vs_exact(ray_session):
+    """ams_f2 over the events table lands within its ε bound of the
+    exact self-join size, and weighted counts match repetition."""
+    import duckdb
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.aggregate import ams_f2
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    got = ams_f2(ds, "user_id", depth=7, width=8192)
+    exact = duckdb.sql("""
+        SELECT CAST(sum(c * c) AS BIGINT) FROM (
+            SELECT count(*) AS c
+            FROM '/root/testdata/sf0.01/events.parquet'
+            GROUP BY user_id)
+    """).fetchone()[0]
+    assert abs(got["f2_estimate"] - exact) <= got["epsilon"] * exact
+    assert got["n_rows"] == ds.count()
+    assert 0.0 < got["skew"] <= 1.0
+    assert got["avg_multiplicity"] == got["f2_estimate"] / got["n_rows"]
