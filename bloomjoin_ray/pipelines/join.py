@@ -894,6 +894,11 @@ def bloom_join(ds_x, ds_y, on=None, how: str = "inner", *,
     else:
         bloom = build_bloom_filter(build_ds, list(build_cols),
                                    plan.expected_elements, fpr, m_bits, k)
+        # free planner feedback from the merged filter (one driver-side
+        # popcount, no data pass): how full it is and the Swamidass–Baldi
+        # distinct estimate — a sanity check on expected_elements
+        report.extra["bloom_fill_ratio"] = round(bloom.fill_ratio(), 6)
+        report.extra["bloom_distinct_estimate"] = bloom.estimate_cardinality()
         filter_ref = ray.put(bloom)
         probe = bloom_probe_fn(filter_ref, list(probe_cols), counter)
         if verbose:

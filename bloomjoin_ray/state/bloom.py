@@ -137,6 +137,25 @@ class BloomSketch:
             total += int(_POPCOUNT8[u8[i : i + (1 << 24)]].sum(dtype=np.int64))
         return total
 
+    def fill_ratio(self) -> float:
+        return self.bits_set() / self.m
+
+    def estimate_cardinality(self) -> int:
+        """Distinct-key estimate from the fill ratio (Swamidass–Baldi
+        2007): ``n̂ = −(m/k)·ln(1 − X/m)`` where X = set bits — a free
+        byproduct of a filter that already exists (e.g. the merged
+        prefilter of a bloom_join), no extra pass over the data. The
+        double-hashed probe positions are exactly k distinct slots per
+        key (odd-forced h2, power-of-two m), matching the formula's
+        k-draws model closely; accuracy degrades as the filter
+        saturates — at X == m the estimate is clamped to the value at
+        X = m − 1 and is a lower bound only."""
+        x = self.bits_set()
+        if x == 0:
+            return 0
+        x = min(x, self.m - 1)
+        return int(round(-(self.m / self.k) * float(np.log1p(-x / self.m))))
+
     @property
     def size_bytes(self) -> int:
         return self.words.nbytes

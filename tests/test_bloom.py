@@ -103,3 +103,34 @@ def test_empty_batch_noop():
     f.add_batch(np.array([], dtype=np.int32))
     assert f.bits_set() == 0
     assert f.contains_batch(np.array([], dtype=np.int32)).shape == (0,)
+
+
+def test_estimate_cardinality_fill_ratio():
+    """Swamidass–Baldi fill-ratio estimate: within 5% of the true
+    distinct count at sane fills, identical after split-build + merge
+    (same bit array), 0 when empty, clamped lower bound when saturated."""
+    import numpy as np
+
+    from bloomjoin_ray.state.bloom import BloomSketch
+
+    rng = np.random.default_rng(5)
+    for n in (200, 5_000, 30_000):
+        s = BloomSketch(expected_elements=30_000, fpr=0.01)
+        keys = rng.choice(2**31 - 1, size=n, replace=False).astype(np.int32)
+        s.add_batch(keys)
+        est = s.estimate_cardinality()
+        assert abs(est - n) <= 0.05 * n, (n, est)
+        # split-build + merge sets the same bits -> same estimate
+        m = BloomSketch(expected_elements=30_000, fpr=0.01)
+        for chunk in np.array_split(keys, 7):
+            p = BloomSketch(expected_elements=30_000, fpr=0.01)
+            p.add_batch(chunk)
+            m.merge(p)
+        assert m.estimate_cardinality() == est
+        assert 0.0 < s.fill_ratio() < 1.0
+
+    assert BloomSketch(1000, 0.01).estimate_cardinality() == 0
+    sat = BloomSketch(16, 0.5, _m=64, _k=1)
+    sat.words[:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert sat.fill_ratio() == 1.0
+    assert sat.estimate_cardinality() == round(-64 * np.log1p(-63 / 64))

@@ -53,6 +53,11 @@ def test_inner_matches_oracle_and_uses_filter(rd, sparse_xy):
     assert report.filtered_rows_x > 0
     assert report.reduction_ratio > 0.5  # favorable case (reference guard)
     assert report.retained_rows + report.filtered_rows_x == len(x)
+    # free filter feedback: fill ratio + Swamidass–Baldi distinct estimate
+    assert 0.0 < report.extra["bloom_fill_ratio"] < 1.0
+    n_build = y["id"].nunique()
+    assert abs(report.extra["bloom_distinct_estimate"] - n_build) \
+        <= max(0.05 * n_build, 2)
 
 
 @pytest.mark.parametrize("fpr", [0.0001, 0.01, 0.5])
