@@ -151,6 +151,11 @@ def __getattr__(name):
         "minhash_join": "bloomjoin_ray.pipelines.dedup",
         "edit_distance_join": "bloomjoin_ray.pipelines.fuzzy",
         "fuzzy_dedup": "bloomjoin_ray.pipelines.fuzzy",
+        "init_corpus_index": "bloomjoin_ray.pipelines.incremental",
+        "incremental_dedup": "bloomjoin_ray.pipelines.incremental",
+        "rebuild_bloom": "bloomjoin_ray.pipelines.incremental",
+        "compact_index": "bloomjoin_ray.pipelines.incremental",
+        "read_index_spec": "bloomjoin_ray.pipelines.incremental",
         "levenshtein_batch": "bloomjoin_ray.functions.editdist",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
