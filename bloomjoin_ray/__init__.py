@@ -156,6 +156,10 @@ def __getattr__(name):
         "rebuild_bloom": "bloomjoin_ray.pipelines.incremental",
         "compact_index": "bloomjoin_ray.pipelines.incremental",
         "read_index_spec": "bloomjoin_ray.pipelines.incremental",
+        "init_neardup_index": "bloomjoin_ray.pipelines.incremental",
+        "incremental_neardup_dedup": "bloomjoin_ray.pipelines.incremental",
+        "rebuild_neardup_bloom": "bloomjoin_ray.pipelines.incremental",
+        "compact_neardup_index": "bloomjoin_ray.pipelines.incremental",
         "levenshtein_batch": "bloomjoin_ray.functions.editdist",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",

@@ -130,7 +130,8 @@ def init_corpus_index(index_dir: str, *, num_buckets: int = 64,
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     empty = BloomSketch(int(bloom_capacity), float(bloom_fpr))
-    spec = {"generation": 0, "num_buckets": int(num_buckets),
+    spec = {"kind": "exact", "generation": 0,
+            "num_buckets": int(num_buckets),
             "rows": 0, "bloom_capacity": int(bloom_capacity),
             "bloom_fpr": float(bloom_fpr),
             "bloom_m": empty.m, "bloom_k": empty.k}
@@ -205,6 +206,10 @@ def incremental_dedup(ds_new, index_dir: str, *, text_col: str = "text",
     from .buckets import packed_bucket_map_groups
 
     spec = read_index_spec(index_dir)
+    if spec.get("kind", "exact") != "exact":
+        raise ValueError(f"{index_dir} is not an exact index "
+                         f"(kind={spec.get('kind')!r}); use "
+                         "incremental_neardup_dedup for near-dup indexes")
     nb = int(spec["num_buckets"])
     gen = int(spec["generation"])
     next_gen = gen + 1
@@ -302,6 +307,351 @@ def incremental_dedup(ds_new, index_dir: str, *, text_col: str = "text",
     return survivors.map_batches(
         lambda t: t.drop_columns(["_ch1", "_ch2"]),
         batch_format="pyarrow")
+
+
+# -------------------------------------------------- near-dup index ----
+
+def init_neardup_index(index_dir: str, *, num_buckets: int = 64,
+                       num_perm: int = 128, bands: int = 16,
+                       shingle_k: int = 5,
+                       bloom_capacity: int = 1_000_000,
+                       bloom_fpr: float = 0.01,
+                       overwrite: bool = False) -> dict:
+    """Create an empty NEAR-DUP corpus index: MinHash band rows
+    ``(band, bhash, id, sig)`` bucketed by ``bhash % num_buckets``, plus
+    a Bloom sidecar over the band hashes. The MinHash geometry
+    (``num_perm``/``bands``/``shingle_k``) is pinned at init — every
+    increment must probe with the signatures the index stores."""
+    if os.path.exists(_spec_path(index_dir)):
+        if not overwrite:
+            raise FileExistsError(
+                f"corpus index already exists at {index_dir} "
+                "(pass overwrite=True to reinitialise)")
+        import shutil
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    empty = BloomSketch(int(bloom_capacity), float(bloom_fpr))
+    spec = {"kind": "neardup", "generation": 0,
+            "num_buckets": int(num_buckets), "rows": 0,
+            "num_perm": int(num_perm), "bands": int(bands),
+            "shingle_k": int(shingle_k), "id_col": None,
+            "bloom_capacity": int(bloom_capacity),
+            "bloom_fpr": float(bloom_fpr),
+            "bloom_m": empty.m, "bloom_k": empty.k}
+    for b in range(int(num_buckets)):
+        os.makedirs(_bucket_dir(index_dir, b), exist_ok=True)
+    with open(_bloom_path(index_dir, 0), "wb") as f:
+        f.write(empty.to_bytes())
+    _commit_spec(index_dir, spec)
+    return spec
+
+
+def _read_bucket_band_rows(index_dir: str, bucket: int, max_gen: int,
+                           bhash_filter: np.ndarray | None = None
+                           ) -> pa.Table | None:
+    """Committed (band, bhash, id, sig) rows of one near-dup bucket,
+    optionally pruned to ``bhash ∈ bhash_filter`` (sorted int64)."""
+    tables = [pq.read_table(f)
+              for f in _bucket_files(index_dir, bucket, max_gen)]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables)
+    if bhash_filter is not None and t.num_rows:
+        bh = np.asarray(t.column("bhash"))
+        pos = np.minimum(bhash_filter.searchsorted(bh),
+                         len(bhash_filter) - 1)
+        t = t.filter(pa.array(bhash_filter[pos] == bh))
+    return t if t.num_rows else None
+
+
+def incremental_neardup_dedup(ds_new, index_dir: str, *,
+                              text_col: str = "text",
+                              order_col: str = "doc_id",
+                              threshold: float = 0.7,
+                              update_index: bool = True):
+    """Near-dup dedup of ``ds_new`` against itself AND a persisted
+    MinHash index — the daily-ingest counterpart of
+    ``dedup.minhash_dedup``: the accepted corpus is never re-shingled;
+    each increment pays one signature pass over ITSELF plus
+    Bloom-pruned, ``isin``-filtered reads of only the index buckets its
+    band hashes fall in.
+
+    Survivor policy (documented, pinned in tests): a new doc whose
+    estimated Jaccard vs ANY indexed doc is ≥ ``threshold`` is dropped;
+    the remainder cluster among themselves (pairs touching a
+    corpus-dup are discarded first — a doc near-dup of a corpus-dup
+    but not of the corpus itself SURVIVES) and the min-``order_col``
+    member of each cluster is kept. With ``update_index=True`` the
+    survivors' band rows are appended under the next generation and
+    the Bloom sidecar is extended; commit is atomic via the generation
+    gate, exactly as in ``incremental_dedup``. Ray-retried tasks can
+    leave duplicate band rows — harmless: the pair reduce keeps the
+    first row per (segment, side, id).
+
+    Scale shape: increment cost ∝ |new batch| · bands (one packed
+    exchange of band rows) + |bloom-hit band rows| · (bucket file
+    read); novel-content increments skip ~all index I/O via the
+    sidecar. Pairs, clustering and the survivor filter run entirely on
+    engine primitives (``hash_join`` anti/semi, ``dedup_by_pairs``) —
+    nothing corpus-sized ever reaches the driver."""
+    import ray
+
+    from .buckets import dedupe_pairs, packed_bucket_map_groups
+    from .dedup import _MinHashStage, _minhash_bucket_reduce, dedup_by_pairs
+    from .join import hash_join
+
+    spec = read_index_spec(index_dir)
+    if spec.get("kind") != "neardup":
+        raise ValueError(f"{index_dir} is not a near-dup index "
+                         f"(kind={spec.get('kind')!r}); use "
+                         "incremental_dedup for exact indexes")
+    if spec["id_col"] not in (None, order_col):
+        raise ValueError(f"index was built with id column "
+                         f"{spec['id_col']!r}, got {order_col!r}")
+    nb = int(spec["num_buckets"])
+    gen = int(spec["generation"])
+    next_gen = gen + 1
+    with open(_bloom_path(index_dir, gen), "rb") as f:
+        bloom_blob = f.read()
+    bloom_ref = ray.put(bloom_blob)
+    index_has_rows = spec["rows"] > 0
+
+    stage = _MinHashStage(text_col, order_col, int(spec["num_perm"]),
+                          int(spec["bands"]), int(spec["shingle_k"]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bh = np.asarray(batch.column("bhash")).view(np.uint64)
+        return batch.append_column(
+            "_ndbucket", pa.array((bh % np.uint64(nb)).astype(np.int32)))
+
+    band_rows = (ds_new.select_columns([order_col, text_col])
+                 .map_batches(stage, batch_format="pyarrow")
+                 .map_batches(add_bucket, batch_format="pyarrow"))
+    if update_index:
+        band_rows = band_rows.materialize()  # reused for the append pass
+
+    def probe_fn(group: pa.Table) -> pa.Table:
+        """Bucket-union-invariant: within-batch pairs re-segment by
+        (bhash, band); index probes re-segment by the bucket column."""
+        within = _minhash_bucket_reduce(group, order_col, threshold)
+        within = within.append_column(
+            "vs_corpus", pa.array(np.zeros(within.num_rows, dtype=np.int8)))
+        if not index_has_rows or group.num_rows == 0:
+            return within
+        filt = sketch_from_bytes(ray.get(bloom_ref))
+        bh = np.asarray(group.column("bhash")).view(np.uint64)
+        hit = filt.contains_batch(_fold32(bh))
+        if not hit.any():
+            return within
+        probe = group.filter(pa.array(hit))
+        pieces = []
+        pb = np.asarray(probe.column("_ndbucket"))
+        pbh = np.asarray(probe.column("bhash"), dtype=np.int64)
+        for b in np.unique(pb):
+            m = pb == b
+            idx_t = _read_bucket_band_rows(index_dir, int(b), gen,
+                                           np.unique(pbh[m]))
+            if idx_t is None:
+                continue
+            new_t = probe.filter(pa.array(m))
+            both = pa.concat_tables([
+                pa.table({"band": idx_t.column("band"),
+                          "bhash": idx_t.column("bhash"),
+                          order_col: idx_t.column(order_col),
+                          "sig": idx_t.column("sig")}),
+                pa.table({"band": new_t.column("band"),
+                          "bhash": new_t.column("bhash"),
+                          order_col: new_t.column(order_col),
+                          "sig": new_t.column("sig")}),
+            ]).append_column("__mside", pa.array(np.concatenate([
+                np.zeros(idx_t.num_rows, dtype=np.int8),
+                np.ones(new_t.num_rows, dtype=np.int8)])))
+            pieces.append(_minhash_bucket_reduce(
+                both, order_col, threshold, side_col="__mside"))
+        if not pieces:
+            return within
+        cross = pa.concat_tables(pieces)
+        cross = cross.append_column(
+            "vs_corpus", pa.array(np.ones(cross.num_rows, dtype=np.int8)))
+        return pa.concat_tables([within, cross])
+
+    pairs = packed_bucket_map_groups(
+        band_rows, None, probe_fn, num_buckets=nb,
+        pre_bucketed=True, bucket_col="_ndbucket").materialize()
+
+    if pairs.count() == 0:  # fully-empty Datasets lose their schema
+        survivors = ds_new
+    else:
+        # id_a is the INDEX id on vs_corpus pairs (side 0 sorts first)
+        def dup_ids(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch.column("vs_corpus"), 1))
+            return pa.table({"_nd_dupid": sub.column("id_b")})
+
+        def within_only(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch.column("vs_corpus"), 0))
+            return sub.drop_columns(["vs_corpus"])
+
+        # empty Datasets shed their schema — every branch below guards
+        # on count() before joining
+        dups = (pairs.map_batches(dup_ids, batch_format="pyarrow")
+                .materialize())
+        if dups.count() == 0:
+            dups, kept = None, ds_new
+        else:
+            kept = hash_join(ds_new, dups, on={order_col: "_nd_dupid"},
+                             how="anti")
+        wp = (pairs.map_batches(within_only, batch_format="pyarrow")
+              .materialize())
+        if wp.count() == 0:
+            survivors = kept
+        else:
+            within = dedupe_pairs(wp, {"est_jaccard": "min"})
+            if dups is not None:  # corpus-dup endpoints never cluster
+                for side in ("id_a", "id_b"):
+                    within = hash_join(within, dups,
+                                       on={side: "_nd_dupid"}, how="anti")
+            survivors = dedup_by_pairs(kept, within, order_col)
+
+    if not update_index:
+        return survivors
+
+    survivors = survivors.materialize()
+    n_new = survivors.count()
+    to_write = None
+    if n_new:  # empty survivors lose their schema — nothing to append
+        surv_ids = survivors.map_batches(
+            lambda t: pa.table({"_nd_sid": t.column(order_col)}),
+            batch_format="pyarrow")
+        to_write = hash_join(band_rows, surv_ids,
+                             on={order_col: "_nd_sid"}, how="semi")
+
+    m, k, fpr = spec["bloom_m"], spec["bloom_k"], spec["bloom_fpr"]
+
+    def write_rows(batch: pa.Table) -> pa.Table:
+        """Append this block's survivor band rows per bucket (gen-gated
+        files) and emit one bloom partial; both idempotent-safe."""
+        s = BloomSketch(1, fpr, _m=m, _k=k)
+        if batch.num_rows:
+            s.add_batch(_fold32(
+                np.asarray(batch.column("bhash")).view(np.uint64)))
+            bk = np.asarray(batch.column("_ndbucket"))
+            for b in np.unique(bk):
+                sl = (batch.filter(pa.array(bk == b))
+                      .select(["band", "bhash", order_col, "sig"]))
+                d = _bucket_dir(index_dir, int(b))
+                os.makedirs(d, exist_ok=True)
+                token = secrets.token_hex(8)
+                tmp = os.path.join(d, f".tmp-{token}.parquet")
+                pq.write_table(sl, tmp)
+                os.replace(tmp, os.path.join(
+                    d, f"gen{next_gen:08d}-{token}.parquet"))
+        return pa.table({"blob": pa.array([s.to_bytes()],
+                                          type=pa.large_binary())})
+
+    merged = sketch_from_bytes(bloom_blob)
+    if to_write is not None:
+        for row in to_write.map_batches(
+                write_rows, batch_format="pyarrow").take_all():
+            merged.merge(sketch_from_bytes(row["blob"]))
+
+    with open(_bloom_path(index_dir, next_gen), "wb") as f:
+        f.write(merged.to_bytes())
+    spec["generation"] = next_gen
+    spec["rows"] = int(spec["rows"]) + int(n_new)
+    spec["id_col"] = order_col
+    _commit_spec(index_dir, spec)
+
+    if merged.fill_ratio() > 0.5:
+        rebuild_neardup_bloom(index_dir)
+    return survivors
+
+
+def rebuild_neardup_bloom(index_dir: str, *,
+                          capacity: int | None = None) -> dict:
+    """Rebuild the near-dup Bloom sidecar from the committed band rows
+    — one Ray Data task per bucket, partials merged on the driver.
+    Default capacity: 4× current (the saturation-growth path)."""
+    import ray
+
+    spec = read_index_spec(index_dir)
+    gen = int(spec["generation"])
+    cap = int(capacity or 4 * spec["bloom_capacity"])
+    cap = max(cap, 2 * int(spec["rows"]) * int(spec["bands"]), 1024)
+    fpr = float(spec["bloom_fpr"])
+    probe = BloomSketch(cap, fpr)
+    m, k = probe.m, probe.k
+
+    def build(batch: pa.Table) -> pa.Table:
+        s = BloomSketch(1, fpr, _m=m, _k=k)
+        for b in np.asarray(batch.column("bucket")):
+            t = _read_bucket_band_rows(index_dir, int(b), gen)
+            if t is not None:
+                s.add_batch(_fold32(
+                    np.asarray(t.column("bhash")).view(np.uint64)))
+        return pa.table({"blob": pa.array([s.to_bytes()],
+                                          type=pa.large_binary())})
+
+    ds = ray.data.from_items(
+        [{"bucket": b} for b in range(int(spec["num_buckets"]))])
+    merged = BloomSketch(1, fpr, _m=m, _k=k)
+    for row in ds.map_batches(build, batch_format="pyarrow").take_all():
+        merged.merge(sketch_from_bytes(row["blob"]))
+
+    with open(_bloom_path(index_dir, gen), "wb") as f:
+        f.write(merged.to_bytes())
+    spec.update(bloom_capacity=cap, bloom_m=m, bloom_k=k)
+    _commit_spec(index_dir, spec)
+    return spec
+
+
+def compact_neardup_index(index_dir: str) -> dict:
+    """Rewrite each near-dup bucket to one file with exact-duplicate
+    band rows (task-retry artifacts) removed — same crash-safety
+    argument as ``compact_index``: the compacted file lands at the
+    committed generation before the old files are removed."""
+    import ray
+
+    spec = read_index_spec(index_dir)
+    gen = int(spec["generation"])
+    id_col = spec["id_col"]
+
+    def compact(batch: pa.Table) -> pa.Table:
+        for b in np.asarray(batch.column("bucket")):
+            files = _bucket_files(index_dir, int(b), gen)
+            if len(files) <= 1:
+                continue
+            t = _read_bucket_band_rows(index_dir, int(b), gen)
+            if t is None:
+                continue
+            # keep-first per (bhash, band, id): dup rows are identical
+            idx = np.asarray(pc.sort_indices(t, sort_keys=[
+                ("bhash", "ascending"), ("band", "ascending"),
+                (id_col, "ascending")]))
+            g = t.take(pa.array(idx))
+            bh = np.asarray(g.column("bhash"))
+            bd = np.asarray(g.column("band"))
+            ids = g.column(id_col).combine_chunks()
+            n = g.num_rows
+            keep = np.empty(n, dtype=bool)
+            keep[0] = True
+            if n > 1:
+                same = np.asarray(pc.equal(ids.slice(1), ids.slice(0, n - 1)))
+                keep[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1]) | ~same
+            g = g.filter(pa.array(keep))
+            d = _bucket_dir(index_dir, int(b))
+            token = secrets.token_hex(8)
+            tmp = os.path.join(d, f".tmp-{token}.parquet")
+            pq.write_table(g, tmp)
+            os.replace(tmp, os.path.join(
+                d, f"gen{gen:08d}-{token}.parquet"))
+            for f in files:
+                os.remove(f)
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64())})
+
+    ds = ray.data.from_items(
+        [{"bucket": b} for b in range(int(spec["num_buckets"]))])
+    ds.map_batches(compact, batch_format="pyarrow").count()
+    return spec
 
 
 # ------------------------------------------------------- maintenance ----
