@@ -188,7 +188,8 @@ def _write_bucket_file(index_dir: str, bucket: int, generation: int,
 
 def incremental_dedup(ds_new, index_dir: str, *, text_col: str = "text",
                       order_col: str = "doc_id",
-                      update_index: bool = True):
+                      update_index: bool = True,
+                      commit_meta: dict | None = None):
     """Dedup ``ds_new`` against itself AND the persisted corpus index;
     return the surviving rows (first-by-``order_col`` per distinct
     ``text_col``, never seen in any prior committed increment).
@@ -299,6 +300,8 @@ def incremental_dedup(ds_new, index_dir: str, *, text_col: str = "text",
         f.write(merged.to_bytes())
     spec["generation"] = next_gen
     spec["rows"] = int(spec["rows"]) + int(n_new)
+    if commit_meta:  # rides the same atomic rename as the generation
+        spec.update(commit_meta)
     _commit_spec(index_dir, spec)
 
     if merged.fill_ratio() > 0.5:
@@ -368,7 +371,8 @@ def incremental_neardup_dedup(ds_new, index_dir: str, *,
                               text_col: str = "text",
                               order_col: str = "doc_id",
                               threshold: float = 0.7,
-                              update_index: bool = True):
+                              update_index: bool = True,
+                              commit_meta: dict | None = None):
     """Near-dup dedup of ``ds_new`` against itself AND a persisted
     MinHash index — the daily-ingest counterpart of
     ``dedup.minhash_dedup``: the accepted corpus is never re-shingled;
@@ -559,6 +563,8 @@ def incremental_neardup_dedup(ds_new, index_dir: str, *,
     spec["generation"] = next_gen
     spec["rows"] = int(spec["rows"]) + int(n_new)
     spec["id_col"] = order_col
+    if commit_meta:  # rides the same atomic rename as the generation
+        spec.update(commit_meta)
     _commit_spec(index_dir, spec)
 
     if merged.fill_ratio() > 0.5:
