@@ -632,6 +632,21 @@ def _q_value_histogram(sf_dir: str):
     return histogram(ev, "value", 20, lo=0.0, hi=1000.0)
 
 
+def _q_docs_cap_per_source(sf_dir: str):
+    """Per-source diversity cap — keep the 3 longest docs per source
+    (doc_id tiebreak), the "at most k pages per domain" curation rule.
+    SQL ``row_number() OVER (PARTITION BY source ...) <= 3`` parity via
+    the packed mergeable top-k-rows reduce (per-block prune first; only
+    ≤ k rows per key per block reach the exchange)."""
+    from bloomjoin_ray.pipelines.aggregate import topk_rows_per_key
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "n_chars"])
+    return topk_rows_per_key(docs, "source",
+                             [("n_chars", "descending"),
+                              ("doc_id", "ascending")], 3)
+
+
 def _q_docs_source_extract(sf_dir: str):
     """Generic named-group regex extraction (SQL regexp_extract): parse
     the numeric suffix out of each document's source tag. One re2 pass
@@ -1092,6 +1107,23 @@ def _q_ann_topk_lsh(sf_dir: str):
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
     return lsh_ann_topk(_read(sf_dir, "embeddings"), Q, k=10, n_bits=4)
+
+
+def _q_ann_topk_pq(sf_dir: str):
+    """Product-quantized ANN (Jégou et al. 2011): train an m=16 PQ
+    codebook, compress the corpus 16× to 16-byte codes, ADC top-10 via
+    byte-indexed LUT sums — the path where one float32 pass over the
+    embeddings is already the bottleneck. Approximate (rows-only);
+    recall-vs-bruteforce and ADC score error pinned in tests/test_pq.py."""
+    import pyarrow.parquet as pq
+
+    from bloomjoin_ray.pipelines.ann import pq_ann_topk, pq_encode, pq_fit
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pq_fit(emb, m=16, sample_rows=2048)
+    return pq_ann_topk(pq_encode(emb, model), Q, model, k=10)
 
 
 def _q_ann_topk_ivf(sf_dir: str):
@@ -1776,6 +1808,28 @@ def _q_partitioned_write_roundtrip(sf_dir: str):
     return part.map_batches(add_back, batch_format="pyarrow")
 
 
+def _q_events_range_pruned_read(sf_dir: str):
+    """Range-clustered sink end-to-end: write events into 16
+    value-quantile hive partitions (one KLL pass for the split points,
+    committed in _RANGE_SPEC.json), then a PRUNED range read of
+    value ∈ [200, 400] — partitions are selected from the spec alone
+    before any file I/O, with the exact row filter inside. The scan
+    layout hash bucketing can't give: a 20 % value slice reads ~20 % of
+    the files. Oracle-checked against the plain SQL WHERE."""
+    import tempfile
+
+    from bloomjoin_ray.pipelines.materialize import (read_range,
+                                                     write_range_clustered)
+
+    out = tempfile.mkdtemp(prefix="bjr_range_rt_")
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    write_range_clustered(ev, out, "value", num_partitions=16,
+                          overwrite=True)
+    ds, stats = read_range(out, 200.0, 400.0)
+    assert stats["partitions_read"] < stats["partitions_total"], stats
+    return ds
+
+
 def _q_write_roundtrip(sf_dir: str):
     """Streaming sink path end-to-end: read → filter/derive →
     ``resumable_write`` partitioned Parquet (atomic per-partition commit
@@ -1916,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": _q_events_first_last,
         "value_histogram": _q_value_histogram,
         "docs_source_extract": _q_docs_source_extract,
+        "docs_cap_per_source": _q_docs_cap_per_source,
         "mode_type_per_user": _q_mode_type_per_user,
         "docs_canonical": _q_docs_canonical,
         "events_describe": _q_events_describe,
@@ -1985,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_docs": _q_tfidf_docs,
         "events_sliding": _q_events_sliding,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
+        "events_range_pruned_read": _q_events_range_pruned_read,
         "curated_docs": _q_curated_docs,
         "scrubbed_docs": _q_scrubbed_docs,
         "events_lag_per_user": _q_events_lag_per_user,
@@ -2012,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "doc_fingerprints": _q_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_pq": _q_ann_topk_pq,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_dedup_pairs": _q_embedding_dedup,
         "semdedup_embeddings": _q_semdedup_embeddings,
@@ -2197,6 +2254,10 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_write_roundtrip": """
             SELECT event_id, user_id, value, event_type
             FROM events WHERE event_type = 'purchase'
+        """,
+        "events_range_pruned_read": """
+            SELECT event_id, user_id, value
+            FROM events WHERE value >= 200.0 AND value <= 400.0
         """,
         "events_write_roundtrip": """
             SELECT event_id, user_id, value, value * 2.0 AS value_double
@@ -2494,6 +2555,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN regexp_extract(source, '^src([0-9]+)$', 1)
                    END AS src_num
             FROM documents
+        """,
+        "docs_cap_per_source": """
+            SELECT doc_id, source, n_chars, rank FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rank
+                FROM documents)
+            WHERE rank <= 3
         """,
         "user_overlap_exact": """
             WITH da AS (SELECT DISTINCT event_type, user_id FROM events

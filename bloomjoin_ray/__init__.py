@@ -143,6 +143,9 @@ def __getattr__(name):
         "duplicate_spans": "bloomjoin_ray.pipelines.decontam",
         "scrub_duplicate_spans": "bloomjoin_ray.pipelines.decontam",
         "knn_join": "bloomjoin_ray.pipelines.ann",
+        "pq_fit": "bloomjoin_ray.pipelines.ann",
+        "pq_encode": "bloomjoin_ray.pipelines.ann",
+        "pq_ann_topk": "bloomjoin_ray.pipelines.ann",
         "write_bucketed": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_join": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_map_groups": "bloomjoin_ray.pipelines.bucketed",
@@ -174,6 +177,9 @@ def __getattr__(name):
         "ntile_per_key": "bloomjoin_ray.pipelines.windows",
         "checkpointed_sketch_aggregate": "bloomjoin_ray.pipelines.checkpoint",
         "resumable_write": "bloomjoin_ray.pipelines.materialize",
+        "write_partitioned_by": "bloomjoin_ray.pipelines.materialize",
+        "write_range_clustered": "bloomjoin_ray.pipelines.materialize",
+        "read_range": "bloomjoin_ray.pipelines.materialize",
         "transcripts_dataset": "bloomjoin_ray.sources.transcripts",
         "write_transcripts": "bloomjoin_ray.sources.transcripts",
     }

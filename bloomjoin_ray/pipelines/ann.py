@@ -772,3 +772,179 @@ def semdedup_pairs(ds, *, threshold: float = 0.95,
     return _bucket_cosine_pairs(bucketed, threshold=threshold,
                                 id_col=id_col, vec_col=vec_col,
                                 pair_chunk_elems=pair_chunk_elems)
+
+
+# ------------------------------------------------------ product quant ----
+
+def _euclid_kmeans(X: np.ndarray, n_centroids: int, seed: int,
+                   iters: int = 12) -> np.ndarray:
+    """Deterministic seeded Lloyd k-means (Euclidean — PQ subvectors are
+    not unit vectors, unlike the spherical ``_minibatch_kmeans``)."""
+    rng = np.random.default_rng(seed)
+    X = np.ascontiguousarray(X, dtype=np.float32)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                     replace=False)].copy()
+    for _ in range(iters):
+        d = (C * C).sum(axis=1) - 2.0 * (X @ C.T)   # + |x|², argmin-free
+        assign = np.argmin(d, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def pq_fit(ds, *, vec_col: str = "embedding", m: int = 8, nbits: int = 8,
+           sample_rows: int = 8192, seed: int = 0x50C0DE,
+           iters: int = 12, dim: int | None = None) -> dict:
+    """Train a product-quantization codebook (Jégou, Douze, Schmid 2011)
+    on a corpus-wide unbiased vector sample: the embedding is split into
+    ``m`` subspaces and each gets its own ``2**nbits``-centroid
+    Euclidean k-means. Vectors are L2-normalized FIRST, so ADC inner
+    products approximate COSINE — the metric every other ANN path here
+    uses. Returns ``{"codebook": (m, 2**nbits, dsub) float32, "m",
+    "nbits", "dim"}``; at the default m=8/nbits=8 a d=64 float32
+    embedding compresses 256 B → 8 B (32×) — the difference between a
+    100 TB embedding corpus and a 3 TB code table that fits hot.
+
+    v1 supports nbits=8 only (one byte per subspace — the layout
+    ``pq_encode`` packs)."""
+    if nbits != 8:
+        raise ValueError("pq_fit: only nbits=8 is supported "
+                         "(one byte per subquantizer)")
+    dim = dim or _infer_dim(ds, vec_col)
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sample = _even_sample_matrix(ds, vec_col, sample_rows)
+    if len(sample) < (1 << nbits):
+        raise ValueError(f"pq_fit: sample of {len(sample)} rows cannot "
+                         f"train {1 << nbits} centroids per subspace")
+    sample = _normalize(sample.astype(np.float32))
+    dsub = dim // m
+    cb = np.stack([
+        _euclid_kmeans(sample[:, j * dsub:(j + 1) * dsub], 1 << nbits,
+                       seed + j, iters)
+        for j in range(m)
+    ])  # (m, 2**nbits, dsub)
+    return {"codebook": cb.astype(np.float32), "m": int(m),
+            "nbits": int(nbits), "dim": int(dim)}
+
+
+class _PQEncodeStage:
+    """map_batches actor: L2-normalize, quantize each subvector to its
+    nearest codebook centroid, emit one fixed_size_binary(m) code per
+    row — the broadcast codebook ships once per actor via ray.put."""
+
+    def __init__(self, cb_ref, id_col: str, vec_col: str):
+        import ray
+
+        model = ray.get(cb_ref)
+        self.C = model["codebook"]              # (m, K, dsub)
+        self.cn = (self.C * self.C).sum(axis=2)  # (m, K)
+        self.m, self.dim = model["m"], model["dim"]
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        code_type = pa.binary(self.m)
+        if n == 0:
+            return pa.table({self.id_col: batch.column(self.id_col),
+                             "code": pa.array([], type=code_type)})
+        V = _normalize(embeddings_to_matrix(
+            batch.column(self.vec_col)).astype(np.float32))
+        dsub = self.dim // self.m
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = V[:, j * dsub:(j + 1) * dsub]
+            d = self.cn[j] - 2.0 * (sub @ self.C[j].T)
+            codes[:, j] = np.argmin(d, axis=1)
+        code_arr = pa.Array.from_buffers(
+            code_type, n,
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "code": code_arr})
+
+
+def pq_encode(ds, model: dict, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Compress an embedding dataset to PQ codes:
+    Dataset[id_col, code fixed_size_binary(m)]. Streaming, no shuffle;
+    write the result with ``write_parquet`` / ``write_bucketed`` to
+    persist the compressed index."""
+    import ray
+
+    cb_ref = ray.put(model)
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _PQEncodeStage(cb_ref, id_col, vec_col), batch_format="pyarrow")
+
+
+def _codes_matrix(col: pa.ChunkedArray | pa.Array, m: int) -> np.ndarray:
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.frombuffer(col.buffers()[1], dtype=np.uint8,
+                         offset=col.offset * m,
+                         count=len(col) * m).reshape(-1, m)
+
+
+class _PQAdcTopK:
+    """map_batches actor: asymmetric-distance (ADC) top-k — each block's
+    score is m byte-indexed lookups into the query LUT summed, never a
+    float reconstruction. LUT = (nq, m, K) query-subvector × centroid
+    inner products, built once on the driver and broadcast."""
+
+    def __init__(self, lut_ref, k: int, id_col: str):
+        import ray
+
+        self.LUT = ray.get(lut_ref)             # (nq, m, K) float32
+        self.k, self.id_col = k, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col))
+        n = batch.num_rows
+        nq, m, _K = self.LUT.shape
+        if n == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int32()),
+                             self.id_col: batch.column(self.id_col),
+                             "score": pa.array([], type=pa.float32())})
+        codes = _codes_matrix(batch.column("code"), m)
+        sims = np.zeros((nq, n), dtype=np.float32)
+        for j in range(m):
+            sims += self.LUT[:, j, codes[:, j]]
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]   # (nq, k)
+        qids = np.repeat(np.arange(nq, dtype=np.int32), k)
+        rows = top.ravel()
+        return pa.table({
+            "query_id": pa.array(qids),
+            self.id_col: pa.array(ids[rows]),
+            "score": pa.array(sims[qids, rows].astype(np.float32)),
+        })
+
+
+def pq_ann_topk(codes_ds, queries: np.ndarray, model: dict, k: int = 10, *,
+                id_col: str = "vec_id", as_dataset: bool = False):
+    """Approximate cosine top-k over a PQ-COMPRESSED corpus
+    (``pq_encode`` output): the scan touches m bytes per vector instead
+    of 4·dim — the 100-TB path where even one float32 pass over the
+    embeddings is the bottleneck. Same candidate shape as every other
+    ANN path (per-block local top-k → dataset-native bucketed reduce);
+    recall is bounded by quantization error — raise ``m`` (finer cells)
+    or re-rank the top candidates against the raw vectors for the exact
+    head."""
+    import ray
+
+    C = model["codebook"]                       # (m, K, dsub)
+    m, dim = model["m"], model["dim"]
+    dsub = dim // m
+    Q = _normalize(np.ascontiguousarray(queries, dtype=np.float32))
+    if Q.shape[1] != dim:
+        raise ValueError(f"pq_ann_topk: queries dim {Q.shape[1]} != "
+                         f"codebook dim {dim}")
+    Qs = Q.reshape(len(Q), m, dsub)             # (nq, m, dsub)
+    lut = np.einsum("qjd,jkd->qjk", Qs, C).astype(np.float32)
+    lut_ref = ray.put(lut)
+    local = codes_ds.map_batches(_PQAdcTopK(lut_ref, k, id_col),
+                                 batch_format="pyarrow")
+    reduced = _reduce_candidates(local, k, id_col)
+    if as_dataset:
+        return reduced
+    return _candidates_topk(reduced.take_all(), k, id_col)

@@ -151,3 +151,97 @@ def write_partitioned_by(ds, out_dir: str, cols, *, overwrite: bool = False):
     first = f"{cols[0]}="
     return sorted(d for d in os.listdir(out_dir)
                   if d.startswith(first))
+
+
+_RANGE_SPEC = "_RANGE_SPEC.json"
+
+
+def write_range_clustered(ds, out_dir: str, col: str, *,
+                          num_partitions: int = 16,
+                          overwrite: bool = False,
+                          method: str = "kll", k: int = 200) -> dict:
+    """Range-CLUSTERED parquet sink: one hive directory per quantile
+    range of ``col`` (equal-frequency split points from one KLL/t-digest
+    pass), committed with a ``_RANGE_SPEC.json`` recording the
+    boundaries — so ``read_range`` prunes whole partitions from the
+    spec alone before touching a file. The storage layout for
+    time/score-scan-heavy corpora: a scan of 1% of the value range
+    reads ~1% of the files, where hash bucketing (``write_bucketed``)
+    would read all of them.
+
+    Split points are approximate (sketch rank error → partition sizes
+    wobble), but PRUNING is exact: rows are labeled by ``searchsorted``
+    against the committed boundaries, and ``read_range`` selects
+    partitions with the same arithmetic on the same boundaries. Null
+    ``col`` rows land in their own hive partition (never matched by a
+    range read). Spec commit is write-then-rename; a torn write leaves
+    no readable spec and the directory is re-creatable."""
+    from .aggregate import bucketize_by_quantile
+    from .asof import _schema_of
+
+    if col not in _schema_of(ds).names:
+        raise ValueError(f"write_range_clustered: no column {col!r}")
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    labeled, bounds = bucketize_by_quantile(ds, col, num_partitions,
+                                            method=method, k=k,
+                                            out_col="__rpart")
+    labeled.write_parquet(out_dir, partition_cols=["__rpart"])
+    spec = {"col": col, "bounds": [float(b) for b in bounds],
+            "num_partitions": int(num_partitions)}
+    tmp = os.path.join(out_dir, _RANGE_SPEC + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(spec, f)
+    os.replace(tmp, os.path.join(out_dir, _RANGE_SPEC))
+    return spec
+
+
+def read_range(out_dir: str, lo=None, hi=None, *,
+               columns: list[str] | None = None):
+    """Read a range-clustered layout, pruning every partition whose
+    value range cannot intersect ``[lo, hi]`` (closed; ``None`` =
+    unbounded) BEFORE any file I/O, then applying the exact row filter
+    inside. Returns ``(dataset, stats)`` with
+    ``stats = {"partitions_read": r, "partitions_total": t}`` so callers
+    (and tests) can assert the prune actually happened."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    with open(os.path.join(out_dir, _RANGE_SPEC)) as f:
+        spec = json.load(f)
+    col = spec["col"]
+    if columns is not None and col not in columns:
+        raise ValueError(f"columns= must include the clustering column "
+                         f"{col!r} (the exact row filter needs it)")
+    bounds = np.asarray(spec["bounds"], dtype=np.float64)
+    total = int(spec["num_partitions"])
+    # partition p holds rows with searchsorted(bounds, v, 'right') == p
+    p_lo = int(np.searchsorted(bounds, float(lo), side="right")) \
+        if lo is not None else 0
+    p_hi = int(np.searchsorted(bounds, float(hi), side="right")) \
+        if hi is not None else total - 1
+    import glob
+
+    dirs = [os.path.join(out_dir, f"__rpart={p}")
+            for p in range(p_lo, p_hi + 1)]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    stats = {"partitions_read": len(dirs), "partitions_total": total}
+    files = sorted(f for d in dirs
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return None, stats
+    ds = ray.data.read_parquet(files, columns=columns)
+
+    def exact(t: pa.Table) -> pa.Table:
+        if "__rpart" in t.column_names:  # hive key, if the reader kept it
+            t = t.drop_columns(["__rpart"])
+        mask = pc.is_valid(t.column(col))
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(t.column(col), lo))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less_equal(t.column(col), hi))
+        return t.filter(mask)
+
+    return ds.map_batches(exact, batch_format="pyarrow"), stats

@@ -68,7 +68,8 @@ def test_oracle_keys_subset_of_queries(entrymod):
     "theta_user_overlap_by_type", "scrubbed_docs",
     "repetition_stats_docs", "decontam_docs", "vocab_counts_docs",
     "curation_full_docs", "doc_frequency_docs", "chunked_docs",
-    "events_context_tail",
+    "events_context_tail", "docs_cap_per_source",
+    "events_range_pruned_read",
 ])
 def test_query_matches_oracle(entrymod, con, name):
     got = _canon(_to_df(entrymod.queries()[name](SF)))

@@ -105,3 +105,55 @@ def test_write_partitioned_by_roundtrip(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="not in"):
         write_partitioned_by(rd.from_arrow(t), out, "nope")
+
+
+def test_range_clustered_write_and_pruned_read(ray_session, tmp_path):
+    """Range layout: pruned read touches only intersecting partitions
+    and returns exactly the SQL WHERE rows; null clustering values
+    never match a range read."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.materialize import (read_range,
+                                                     write_range_clustered)
+
+    rng = np.random.default_rng(91)
+    n = 4000
+    vals = rng.uniform(0, 1000, n)
+    vals[::97] = np.nan  # null rows land in their own partition
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(vals),
+    })
+    out = str(tmp_path / "rc")
+    spec = write_range_clustered(rd.from_arrow(t).repartition(6), out,
+                                 "value", num_partitions=8)
+    assert len(spec["bounds"]) == 7
+
+    ds, stats = read_range(out, 100.0, 220.0)
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT id, value FROM t
+        WHERE value >= 100.0 AND value <= 220.0 ORDER BY id
+    """).df()
+    assert got["id"].tolist() == want["id"].tolist()
+    assert np.allclose(got["value"], want["value"])
+    # ~12% of the value range must not read every partition
+    assert stats["partitions_read"] < stats["partitions_total"]
+    assert stats["partitions_read"] >= 1
+
+    # unbounded read returns every non-null row; nulls never match
+    full, fstats = read_range(out)
+    assert full.count() == int(np.count_nonzero(~np.isnan(vals)))
+    assert fstats["partitions_read"] == fstats["partitions_total"]
+
+    # empty intersection (beyond the max) → no partitions, no dataset
+    none_ds, nstats = read_range(out, 5000.0, 6000.0)
+    assert none_ds is None or none_ds.count() == 0
+    assert nstats["partitions_read"] <= 1
+
+    with pytest.raises(ValueError, match="must include"):
+        read_range(out, 0.0, 1.0, columns=["id"])
