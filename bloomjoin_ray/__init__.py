@@ -146,6 +146,7 @@ def __getattr__(name):
         "pq_fit": "bloomjoin_ray.pipelines.ann",
         "pq_encode": "bloomjoin_ray.pipelines.ann",
         "pq_ann_topk": "bloomjoin_ray.pipelines.ann",
+        "rerank_topk": "bloomjoin_ray.pipelines.ann",
         "write_bucketed": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_join": "bloomjoin_ray.pipelines.bucketed",
         "bucketed_map_groups": "bloomjoin_ray.pipelines.bucketed",

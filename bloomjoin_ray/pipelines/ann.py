@@ -948,3 +948,41 @@ def pq_ann_topk(codes_ds, queries: np.ndarray, model: dict, k: int = 10, *,
     if as_dataset:
         return reduced
     return _candidates_topk(reduced.take_all(), k, id_col)
+
+
+def rerank_topk(ds, candidates, queries: np.ndarray, k: int = 10, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                as_dataset: bool = False):
+    """EXACT re-rank of approximate ANN output: one streamed
+    brute-force pass over only the rows named in ``candidates`` (a
+    Dataset or Arrow table with an ``id_col`` column — e.g.
+    ``pq_ann_topk``/``lsh_ann_topk``/``ivf_ann_topk`` results at a
+    generous k′ > k), scoring true cosine and reducing to per-query
+    top-k. The standard two-stage shape: a cheap wide scan proposes,
+    the exact head is recovered by touching only nq·k′ raw vectors.
+
+    Scoring runs over the candidate UNION (every query sees every
+    candidate row), so the result is the exact top-k restricted to the
+    union — recall can only improve over the proposing stage. The
+    candidate-id set broadcasts once via ``ray.put`` (bounded by
+    nq·k′, driver-side by construction of every ANN reduce here)."""
+    import pyarrow.compute as pc
+    import ray
+
+    if isinstance(candidates, pa.Table):
+        cand_ids = candidates.column(id_col)
+    else:
+        rows = candidates.select_columns([id_col]).take_all()
+        cand_ids = pa.array([r[id_col] for r in rows])
+    cand_ref = ray.put(pc.unique(
+        cand_ids.combine_chunks() if isinstance(cand_ids, pa.ChunkedArray)
+        else cand_ids))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(id_col),
+                                 value_set=ray.get(cand_ref)))
+
+    filtered = ds.select_columns([id_col, vec_col]).map_batches(
+        keep, batch_format="pyarrow")
+    return ann_topk(filtered, queries, k, id_col=id_col, vec_col=vec_col,
+                    as_dataset=as_dataset)

@@ -116,3 +116,32 @@ def test_pq_error_envelopes(emb):
     codes = pq_encode(ds, model)
     with pytest.raises(ValueError, match="dim"):
         pq_ann_topk(codes, np.zeros((2, 32), dtype=np.float32), model)
+
+
+def test_rerank_recovers_exact_head(emb):
+    """Two-stage retrieval: PQ proposes top-50, exact re-rank of the
+    candidate union recovers (at least) the PQ recall and, on this
+    corpus, the full exact top-10."""
+    from bloomjoin_ray.pipelines.ann import (pq_ann_topk, pq_encode,
+                                             pq_fit, rerank_topk)
+
+    ds, V, ids = emb
+    Q = V[:10]
+    want = _oracle_topk(V, ids, Q, 10)
+    model = pq_fit(ds, m=8, sample_rows=500)
+    codes = pq_encode(ds, model).materialize()
+
+    pq10 = pq_ann_topk(codes, Q, model, k=10).to_pandas()
+    cand = pq_ann_topk(codes, Q, model, k=50)
+    rr = rerank_topk(ds, cand, Q, k=10).to_pandas()
+
+    r_pq, r_rr = _recall(pq10, want, 10), _recall(rr, want, 10)
+    assert r_rr >= r_pq
+    assert r_rr >= 0.9, (r_pq, r_rr)
+    # re-ranked scores are TRUE cosines (bit-exact vs numpy)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    true = Vn @ Qn.T
+    pos = {int(i): p for p, i in enumerate(ids)}
+    for r in rr.itertuples():
+        assert abs(r.score - true[pos[int(r.vec_id)], int(r.query_id)]) < 1e-5
