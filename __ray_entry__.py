@@ -632,6 +632,37 @@ def _q_value_histogram(sf_dir: str):
     return histogram(ev, "value", 20, lo=0.0, hi=1000.0)
 
 
+def _q_doc_quality_scores(sf_dir: str):
+    """Classifier-based quality gate (the GPT-3/CCNet 'looks like
+    reference text' filter): train the hashed-BoW logistic model with
+    the real documents as positives vs a deterministic vocabulary-
+    scrambled junk twin as negatives, then stream scores over the
+    corpus. Rows-only (model output); separation/invariance pinned in
+    tests/test_classify.py."""
+    import pyarrow.compute as pc
+
+    from bloomjoin_ray.functions.text import fnv1a64_strings, split_tokens
+    from bloomjoin_ray.pipelines.classify import (score_text_classifier,
+                                                  train_text_classifier)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def junkify(t: pa.Table) -> pa.Table:
+        flat, offs = split_tokens(t.column("text"))
+        h = (fnv1a64_strings(flat) % np.uint64(9973)).astype(np.int64)
+        junk_flat = pa.array(np.char.add("j", h.astype("U5")))
+        lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                       junk_flat)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pc.binary_join(lst, " ")})
+
+    junk = docs.map_batches(junkify, batch_format="pyarrow")
+    model = train_text_classifier(docs, junk, dim=1024,
+                                  sample_rows=2048, iters=100)
+    return score_text_classifier(docs, model).select_columns(
+        ["doc_id", "quality_score"])
+
+
 def _q_docs_cap_per_source(sf_dir: str):
     """Per-source diversity cap — keep the 3 longest docs per source
     (doc_id tiebreak), the "at most k pages per domain" curation rule.
@@ -1971,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "docs_source_extract": _q_docs_source_extract,
         "docs_cap_per_source": _q_docs_cap_per_source,
+        "doc_quality_scores": _q_doc_quality_scores,
         "mode_type_per_user": _q_mode_type_per_user,
         "docs_canonical": _q_docs_canonical,
         "events_describe": _q_events_describe,
