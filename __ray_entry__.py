@@ -2002,7 +2002,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "docs_source_extract": _q_docs_source_extract,
         "docs_cap_per_source": _q_docs_cap_per_source,
-        "doc_quality_scores": _q_doc_quality_scores,
         "mode_type_per_user": _q_mode_type_per_user,
         "docs_canonical": _q_docs_canonical,
         "events_describe": _q_events_describe,
@@ -2127,6 +2126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans_docs": _q_duplicate_spans,
         "scrub_spans_docs": _q_scrub_spans,
         "bpe_token_counts_docs": _q_bpe_token_counts,
+        # no-oracle entries stay OUT of the driver's 50-entry window
+        "doc_quality_scores": _q_doc_quality_scores,
     }
 
 
