@@ -1157,6 +1157,27 @@ def _q_ann_topk_pq(sf_dir: str):
     return pq_ann_topk(pq_encode(emb, model), Q, model, k=10)
 
 
+def _q_ann_topk_ivfpq(sf_dir: str):
+    """IVF-PQ ANN: coarse cells route each query to its 3 best of 8
+    cells, PQ codes (16×-compressed) ADC-score only probed rows —
+    compute ∝ probed fraction at m bytes per vector, the
+    billion-scale serving shape. Approximate (rows-only);
+    full-probe==PQ equality, recall monotonicity in n_probe, and the
+    prune's strictness pinned in tests/test_pq.py."""
+    import pyarrow.parquet as pq
+
+    from bloomjoin_ray.pipelines.ann import (ivfpq_ann_topk, ivfpq_encode,
+                                             kmeans_fit, pq_fit)
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    Q = np.array(head.column("embedding").to_pylist(), dtype=np.float32)
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = pq_fit(emb, m=16, sample_rows=2048)
+    cents = kmeans_fit(emb, n_clusters=8, sample_rows=2048)
+    codes = ivfpq_encode(emb, model, cents)
+    return ivfpq_ann_topk(codes, Q, model, cents, k=10, n_probe=3)
+
+
 def _q_ann_topk_ivf(sf_dir: str):
     """IVF-cell ANN (approximate; deterministic seeded k-means cells)."""
     from bloomjoin_ray.pipelines.ann import ivf_ann_topk
@@ -2128,6 +2149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_docs": _q_bpe_token_counts,
         # no-oracle entries stay OUT of the driver's 50-entry window
         "doc_quality_scores": _q_doc_quality_scores,
+        "ann_topk_ivfpq": _q_ann_topk_ivfpq,
     }
 
 

@@ -147,6 +147,8 @@ def __getattr__(name):
         "pq_encode": "bloomjoin_ray.pipelines.ann",
         "pq_ann_topk": "bloomjoin_ray.pipelines.ann",
         "rerank_topk": "bloomjoin_ray.pipelines.ann",
+        "ivfpq_encode": "bloomjoin_ray.pipelines.ann",
+        "ivfpq_ann_topk": "bloomjoin_ray.pipelines.ann",
         "train_text_classifier": "bloomjoin_ray.pipelines.classify",
         "score_text_classifier": "bloomjoin_ray.pipelines.classify",
         "write_bucketed": "bloomjoin_ray.pipelines.bucketed",

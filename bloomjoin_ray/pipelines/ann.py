@@ -986,3 +986,141 @@ def rerank_topk(ds, candidates, queries: np.ndarray, k: int = 10, *,
         keep, batch_format="pyarrow")
     return ann_topk(filtered, queries, k, id_col=id_col, vec_col=vec_col,
                     as_dataset=as_dataset)
+
+
+class _IvfPqEncodeStage:
+    """map_batches actor: one pass assigns each vector its coarse cell
+    (argmax cosine vs the centroid matrix) AND its PQ code — the
+    compressed IVF layout needs no second scan."""
+
+    def __init__(self, ref, id_col: str, vec_col: str):
+        import ray
+
+        model, centroids = ray.get(ref)
+        self.C = model["codebook"]
+        self.cn = (self.C * self.C).sum(axis=2)
+        self.m, self.dim = model["m"], model["dim"]
+        self.T = np.ascontiguousarray(centroids, dtype=np.float32).T
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        code_type = pa.binary(self.m)
+        if n == 0:
+            return pa.table({self.id_col: batch.column(self.id_col),
+                             "cell": pa.array([], type=pa.int32()),
+                             "code": pa.array([], type=code_type)})
+        V = _normalize(embeddings_to_matrix(
+            batch.column(self.vec_col)).astype(np.float32))
+        cells = np.argmax(V @ self.T, axis=1).astype(np.int32)
+        dsub = self.dim // self.m
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            sub = V[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = np.argmin(
+                self.cn[j] - 2.0 * (sub @ self.C[j].T), axis=1)
+        code_arr = pa.Array.from_buffers(
+            code_type, n,
+            [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())])
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "cell": pa.array(cells),
+                         "code": code_arr})
+
+
+def ivfpq_encode(ds, model: dict, centroids: np.ndarray, *,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Compress an embedding corpus to the IVF-PQ layout:
+    Dataset[id_col, cell int32, code fixed_size_binary(m)] — persist it
+    (ideally ``write_partitioned_by(..., "cell")`` so a probe touches
+    only its cells' files). Vectors are quantized raw (no residual
+    subtraction — the simpler IVF+PQ variant; ADC scores stay directly
+    comparable across cells, at some recall cost vs residual PQ)."""
+    import ray
+
+    ref = ray.put((model, np.asarray(centroids, dtype=np.float32)))
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _IvfPqEncodeStage(ref, id_col, vec_col), batch_format="pyarrow")
+
+
+class _IvfPqAdcTopK:
+    """map_batches actor: drop rows outside every query's probed cells,
+    ADC-score the survivors, mask per-query non-probed rows to -inf."""
+
+    def __init__(self, ref, k: int, id_col: str):
+        import ray
+
+        self.LUT, self.probe_mask = ray.get(ref)  # (nq,m,K), (nq,ncells)
+        self.k, self.id_col = k, id_col
+        self.any_probed = self.probe_mask.any(axis=0)  # (ncells,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nq, m, _K = self.LUT.shape
+
+        def empty():
+            return pa.table({
+                "query_id": pa.array([], type=pa.int32()),
+                self.id_col: batch.column(self.id_col).slice(0, 0),
+                "score": pa.array([], type=pa.float32())})
+
+        if batch.num_rows == 0:
+            return empty()
+        cells = np.asarray(batch.column("cell"))
+        keep = self.any_probed[cells]
+        if not keep.any():
+            return empty()
+        sub = batch.filter(pa.array(keep))
+        ids = np.asarray(sub.column(self.id_col))
+        codes = _codes_matrix(sub.column("code"), m)
+        n = len(ids)
+        sims = np.zeros((nq, n), dtype=np.float32)
+        for j in range(m):
+            sims += self.LUT[:, j, codes[:, j]]
+        sims[~self.probe_mask[:, cells[keep]]] = -np.inf
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qids = np.repeat(np.arange(nq, dtype=np.int32), k)
+        rows = top.ravel()
+        scores = sims[qids, rows]
+        ok = np.isfinite(scores)          # drop masked placeholders
+        return pa.table({
+            "query_id": pa.array(qids[ok]),
+            self.id_col: pa.array(ids[rows[ok]]),
+            "score": pa.array(scores[ok].astype(np.float32)),
+        })
+
+
+def ivfpq_ann_topk(codes_ds, queries: np.ndarray, model: dict,
+                   centroids: np.ndarray, k: int = 10, *,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   as_dataset: bool = False):
+    """Approximate cosine top-k over the IVF-PQ layout: each query
+    probes its ``n_probe`` best coarse cells and ADC-scores ONLY rows
+    in probed cells — compute ∝ probed fraction of the corpus at m
+    bytes per vector, the standard billion-scale serving shape. With
+    ``n_probe = len(centroids)`` this equals ``pq_ann_topk`` exactly
+    (pinned in tests); recall is monotone in ``n_probe``. Chain
+    ``rerank_topk`` for the exact head."""
+    import ray
+
+    C = np.asarray(centroids, dtype=np.float32)
+    m, dim = model["m"], model["dim"]
+    if queries.shape[1] != dim:
+        raise ValueError(f"ivfpq_ann_topk: queries dim "
+                         f"{queries.shape[1]} != codebook dim {dim}")
+    n_probe = min(int(n_probe), len(C))
+    Q = _normalize(np.ascontiguousarray(queries, dtype=np.float32))
+    cell_aff = Q @ C.T                           # (nq, ncells)
+    probed = np.argpartition(-cell_aff, n_probe - 1,
+                             axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
+    np.put_along_axis(probe_mask, probed, True, axis=1)
+    dsub = dim // m
+    lut = np.einsum("qjd,jkd->qjk", Q.reshape(len(Q), m, dsub),
+                    model["codebook"]).astype(np.float32)
+    ref = ray.put((lut, probe_mask))
+    local = codes_ds.map_batches(_IvfPqAdcTopK(ref, k, id_col),
+                                 batch_format="pyarrow")
+    reduced = _reduce_candidates(local, k, id_col)
+    if as_dataset:
+        return reduced
+    return _candidates_topk(reduced.take_all(), k, id_col)

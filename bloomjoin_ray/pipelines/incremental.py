@@ -620,6 +620,8 @@ def compact_neardup_index(index_dir: str) -> dict:
     spec = read_index_spec(index_dir)
     gen = int(spec["generation"])
     id_col = spec["id_col"]
+    if id_col is None:  # never ingested — nothing to compact
+        return spec
 
     def compact(batch: pa.Table) -> pa.Table:
         for b in np.asarray(batch.column("bucket")):

@@ -145,3 +145,68 @@ def test_rerank_recovers_exact_head(emb):
     pos = {int(i): p for p, i in enumerate(ids)}
     for r in rr.itertuples():
         assert abs(r.score - true[pos[int(r.vec_id)], int(r.query_id)]) < 1e-5
+
+
+def test_ivfpq_full_probe_equals_pq(emb):
+    """n_probe = n_centroids makes the cell routing a no-op: IVF-PQ
+    must return exactly pq_ann_topk's answer (same codebook)."""
+    from bloomjoin_ray.pipelines.ann import (ivfpq_ann_topk, ivfpq_encode,
+                                             kmeans_fit, pq_ann_topk,
+                                             pq_encode, pq_fit)
+
+    ds, V, ids = emb
+    Q = V[:8]
+    model = pq_fit(ds, m=16, sample_rows=500)
+    cents = kmeans_fit(ds, n_clusters=8, sample_rows=500)
+    codes = ivfpq_encode(ds, model, cents).materialize()
+
+    full = ivfpq_ann_topk(codes, Q, model, cents, k=10,
+                          n_probe=8).to_pandas()
+    plain = pq_ann_topk(pq_encode(ds, model), Q, model, k=10).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert (full.sort_values(key).reset_index(drop=True)[key + ["score"]]
+            .equals(plain.sort_values(key).reset_index(drop=True)
+                    [key + ["score"]]))
+
+
+def test_ivfpq_recall_monotone_in_n_probe(emb):
+    from bloomjoin_ray.pipelines.ann import (ivfpq_ann_topk, ivfpq_encode,
+                                             kmeans_fit, pq_fit)
+
+    ds, V, ids = emb
+    Q = V[:10]
+    want = _oracle_topk(V, ids, Q, 10)
+    model = pq_fit(ds, m=16, sample_rows=500)
+    cents = kmeans_fit(ds, n_clusters=8, sample_rows=500)
+    codes = ivfpq_encode(ds, model, cents).materialize()
+    r = {p: _recall(ivfpq_ann_topk(codes, Q, model, cents, k=10,
+                                   n_probe=p).to_pandas(), want, 10)
+         for p in (1, 3, 8)}
+    assert r[1] <= r[3] <= r[8], r
+    assert r[3] >= 0.5, r     # embeddings are label-clustered: few cells
+    assert r[8] >= 0.6, r     # == plain PQ at m=16
+
+
+def test_ivfpq_single_probe_scores_only_probed_cells(emb):
+    """Every returned (query, id) pair must lie in the query's probed
+    cell set — the prune is real, not advisory."""
+    import numpy as np
+
+    from bloomjoin_ray.pipelines.ann import (ivfpq_ann_topk, ivfpq_encode,
+                                             kmeans_fit, pq_fit)
+    from bloomjoin_ray.stages.ann_stages import _normalize
+
+    ds, V, ids = emb
+    Q = V[:6]
+    model = pq_fit(ds, m=8, sample_rows=500)
+    cents = kmeans_fit(ds, n_clusters=8, sample_rows=500)
+    codes = ivfpq_encode(ds, model, cents).materialize()
+    cells_df = codes.select_columns(["vec_id", "cell"]).to_pandas()
+    cell_of = dict(zip(cells_df["vec_id"], cells_df["cell"]))
+    got = ivfpq_ann_topk(codes, Q, model, cents, k=10,
+                         n_probe=2).to_pandas()
+    Qn = _normalize(np.asarray(Q, dtype=np.float32))
+    aff = Qn @ np.asarray(cents, dtype=np.float32).T
+    probed = np.argsort(-aff, axis=1)[:, :2]
+    for r in got.itertuples():
+        assert cell_of[r.vec_id] in probed[int(r.query_id)], r
