@@ -175,3 +175,33 @@ def test_init_guard_and_overwrite(ray_session, tmp_path):
         init_corpus_index(d, num_buckets=2)
     init_corpus_index(d, num_buckets=2, overwrite=True)
     assert read_index_spec(d)["generation"] == 0
+
+
+def test_incremental_fuzz_random_batch_chain(index_dir):
+    """Randomized 5-batch chain with overlapping content, shuffled
+    ingest partitioning and varying dup rates — every batch's
+    survivors must match the DuckDB first-seen oracle."""
+    rng = np.random.default_rng(1234)
+    batches = []
+    pool = [f"pool doc {i}" for i in range(300)]
+    for b in range(5):
+        n = int(rng.integers(50, 200))
+        texts = [pool[int(rng.integers(0, len(pool)))] for _ in range(n)]
+        batches.append(pa.table({
+            "doc_id": pa.array(np.arange(b * 1000, b * 1000 + n,
+                                         dtype=np.int64)),
+            "text": pa.array(texts)}))
+    for i, b in enumerate(batches):
+        import ray.data as rd
+        got = (incremental_dedup(
+            rd.from_arrow(b).repartition(int(rng.integers(1, 7))),
+            index_dir).to_pandas())
+        got = (got.sort_values("doc_id")[["doc_id", "text"]]
+               .reset_index(drop=True)) if len(got) else got
+        want = _oracle_survivors(batches, i).to_pandas()
+        if len(want) == 0:
+            assert len(got) == 0, i
+        else:
+            assert got.equals(want), i
+    spec = read_index_spec(index_dir)
+    assert spec["generation"] == 5

@@ -157,3 +157,39 @@ def test_range_clustered_write_and_pruned_read(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="must include"):
         read_range(out, 0.0, 1.0, columns=["id"])
+
+
+def test_range_read_fuzz_against_duckdb(ray_session, tmp_path):
+    """Randomized [lo, hi] sweeps (including empty, point, and
+    full-range queries) against the SQL WHERE on a skewed value
+    distribution — the prune must never drop a qualifying row."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.materialize import (read_range,
+                                                     write_range_clustered)
+
+    rng = np.random.default_rng(137)
+    n = 3000
+    vals = np.concatenate([rng.exponential(50, n // 2),
+                           rng.uniform(0, 1000, n // 2)])
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "value": pa.array(vals)})
+    out = str(tmp_path / "fz")
+    write_range_clustered(rd.from_arrow(t).repartition(5), out, "value",
+                          num_partitions=12)
+    con = duckdb.connect()
+    con.register("t", t)
+    cases = [(0.0, 10.0), (999.0, 1000.0), (50.0, 50.0), (0.0, 1000.0),
+             (-5.0, -1.0), (200.0, 201.0)]
+    cases += [tuple(sorted(rng.uniform(0, 1000, 2))) for _ in range(6)]
+    for lo, hi in cases:
+        ds, _ = read_range(out, lo, hi)
+        got = sorted(ds.to_pandas()["id"]) if ds is not None \
+            and ds.count() else []
+        want = [r[0] for r in con.execute(
+            "SELECT id FROM t WHERE value >= ? AND value <= ? ORDER BY id",
+            [lo, hi]).fetchall()]
+        assert got == want, (lo, hi, len(got), len(want))
