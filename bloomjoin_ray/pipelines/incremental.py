@@ -4,6 +4,12 @@ moves again; each new increment pays one packed bucket exchange over
 ITSELF plus bucket-aligned reads of only the index buckets its
 candidates fall in.
 
+Two index kinds share the layout and commit protocol: EXACT
+(``init_corpus_index`` / ``incremental_dedup`` — 128-bit content-hash
+membership) and NEAR-DUP (``init_neardup_index`` /
+``incremental_neardup_dedup`` — MinHash band rows, documented further
+down). ``jobs/ingest_job.py`` wraps either in an exactly-once CLI.
+
 Index layout (plain hive parquet, readable by any engine)::
 
     index_dir/
