@@ -171,6 +171,7 @@ def __getattr__(name):
         "levenshtein_batch": "bloomjoin_ray.functions.editdist",
         "read_bucket_spec": "bloomjoin_ray.pipelines.bucketed",
         "key_skew_summary": "bloomjoin_ray.pipelines.profile",
+        "pipeline_stats": "bloomjoin_ray.pipelines.profile",
         "dataset_profile": "bloomjoin_ray.pipelines.profile",
         "heavy_keys": "bloomjoin_ray.pipelines.profile",
         "key_skew_sketch": "bloomjoin_ray.pipelines.profile",

@@ -172,3 +172,48 @@ def dataset_profile(ds, columns: Sequence[str] | None = None, *,
     if prof is None:
         prof = TableProfile(columns, dtypes, p=p, k=k)
     return prof.finalize(qs=qs)
+
+
+def pipeline_stats(ds) -> "pa.Table":
+    """Parse a MATERIALIZED Dataset's ``ds.stats()`` report into one row
+    per operator — the "read the stats and iterate" loop as a table you
+    can sort/filter instead of a wall of text. Columns: ``operator``,
+    ``tasks``, ``blocks``, ``wall_s`` (operator wall-clock), ``udf_s``
+    (total in-UDF time), ``rows_out``, ``bytes_out``,
+    ``rows_per_s`` (Ray Data throughput). Driver-side string parsing
+    only — no extra execution; call after ``materialize()`` (a lazy
+    Dataset has no stats yet)."""
+    import re
+
+    import pyarrow as pa
+
+    text = ds.stats()
+    ops = []
+    for m in re.finditer(
+            r"Operator (\d+) (.+?): (\d+) tasks executed, "
+            r"(\d+) blocks produced in ([\d.]+)s", text):
+        ops.append({"idx": int(m.group(1)), "operator": m.group(2),
+                    "tasks": int(m.group(3)), "blocks": int(m.group(4)),
+                    "wall_s": float(m.group(5)), "end": m.end()})
+    units = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+    rows = []
+    for i, op in enumerate(ops):
+        nxt = text.find("Operator ", op["end"])
+        seg = text[op["end"]: nxt if nxt != -1 else len(text)]
+        udf = re.search(r"UDF time:.*?([\d.]+)(us|ms|s) total", seg)
+        nrows = re.search(r"Output num rows per block:.*?(\d+) total", seg)
+        nbytes = re.search(r"Output size bytes per block:.*?(\d+) total",
+                           seg)
+        thr = re.search(r"Ray Data throughput: ([\d.]+) rows/s", seg)
+        rows.append({
+            "operator": op["operator"], "tasks": op["tasks"],
+            "blocks": op["blocks"], "wall_s": op["wall_s"],
+            "udf_s": (float(udf.group(1)) * units[udf.group(2)]
+                      if udf else None),
+            "rows_out": int(nrows.group(1)) if nrows else None,
+            "bytes_out": int(nbytes.group(1)) if nbytes else None,
+            "rows_per_s": float(thr.group(1)) if thr else None,
+        })
+    if not rows:
+        return pa.table({"operator": pa.array([], type=pa.string())})
+    return pa.Table.from_pylist(rows)

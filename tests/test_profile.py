@@ -105,3 +105,22 @@ def test_key_skew_summary_validation(skewed):
         key_skew_summary(ds, "user_id", qs=[1.5])
     with pytest.raises(ValueError, match="k"):
         heavy_keys(ds, "user_id", k=0)
+
+
+def test_pipeline_stats_parses_operators(ray_session):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.profile import pipeline_stats
+
+    ds = rd.read_parquet("/root/testdata/sf0.01/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 1000.0)),
+        batch_format="pyarrow").materialize()
+    st = pipeline_stats(out).to_pandas()
+    assert len(st) >= 2                      # read + map at minimum
+    assert any("MapBatches" in o for o in st["operator"])
+    assert (st["wall_s"] >= 0).all()
+    assert st["rows_out"].iloc[-1] == out.count()
+    assert st["tasks"].ge(1).all()
