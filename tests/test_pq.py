@@ -210,3 +210,63 @@ def test_ivfpq_single_probe_scores_only_probed_cells(emb):
     probed = np.argsort(-aff, axis=1)[:, :2]
     for r in got.itertuples():
         assert cell_of[r.vec_id] in probed[int(r.query_id)], r
+
+
+def test_ivfpq_persisted_cell_layout_pruned_scan(emb, tmp_path):
+    """The documented serving layout end-to-end: IVF-PQ codes persisted
+    hive-partitioned by cell, a query reads ONLY its probed cells'
+    directories, and the ADC answer matches ivfpq_ann_topk over the
+    full in-memory dataset at the same probes."""
+    import os
+
+    import ray.data as rd
+
+    from bloomjoin_ray.pipelines.ann import (ivfpq_ann_topk, ivfpq_encode,
+                                             kmeans_fit, pq_fit)
+    from bloomjoin_ray.pipelines.materialize import write_partitioned_by
+    from bloomjoin_ray.stages.ann_stages import _normalize
+
+    ds, V, ids = emb
+    Q = V[:4]
+    model = pq_fit(ds, m=16, sample_rows=500)
+    cents = kmeans_fit(ds, n_clusters=8, sample_rows=500)
+    codes = ivfpq_encode(ds, model, cents).materialize()
+    out = str(tmp_path / "ivfpq_idx")
+    dirs = write_partitioned_by(codes, out, "cell")
+    assert dirs and all(d.startswith("cell=") for d in dirs)
+
+    want = ivfpq_ann_topk(codes, Q, model, cents, k=10,
+                          n_probe=2).to_pandas()
+
+    # probe-side: load ONLY the probed cells' directories
+    Qn = _normalize(np.asarray(Q, dtype=np.float32))
+    aff = Qn @ np.asarray(cents, dtype=np.float32).T
+    probed_cells = sorted({int(c) for q in range(len(Q))
+                           for c in np.argsort(-aff[q])[:2]})
+    import pyarrow.compute as pc
+
+    def add_cell(c):
+        # the hive read restores `cell` (as the partition value's type);
+        # normalize it to the int32 the scan stage expects
+        return lambda t: (t.drop_columns(["cell"])
+                          if "cell" in t.column_names else t).append_column(
+            "cell", pa.array(np.full(t.num_rows, c, dtype=np.int32)))
+
+    parts = None
+    n_loaded = 0
+    for c in probed_cells:
+        d = os.path.join(out, f"cell={c}")
+        if not os.path.isdir(d):
+            continue
+        p = rd.read_parquet(d).map_batches(add_cell(c),
+                                           batch_format="pyarrow")
+        n_loaded += 1
+        parts = p if parts is None else parts.union(p)
+    assert n_loaded < 8          # the prune is real
+    got = ivfpq_ann_topk(parts, Q, model, cents, k=10,
+                         n_probe=2).to_pandas()
+
+    key = ["query_id", "vec_id"]
+    assert (got.sort_values(key).reset_index(drop=True)[key + ["score"]]
+            .equals(want.sort_values(key).reset_index(drop=True)
+                    [key + ["score"]]))
